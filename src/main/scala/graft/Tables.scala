@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries take a `dir` (scale-factor directory) and read parquet
+  * lazily — Catalyst pushes filters/projections down to the scan, so a
+  * query that touches 2 columns reads 2 columns. At 100 TB the same
+  * code reads a partitioned table; nothing here assumes data fits in
+  * memory.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read it as a long (ns since epoch) via
+    * the legacy conf and truncate to microseconds — exactly what DuckDB
+    * does on scan, so oracle comparison stays bit-identical. Integer
+    * `div` (not `/`) because ns-since-epoch exceeds double's 2^53 exact
+    * range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(s, d, "events")
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn(
+        "ts",
+        org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}

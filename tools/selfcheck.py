@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each SparkEntry query result (parquet written by graft.Verify),
+runs the corresponding oracle SQL in DuckDB against the same tables,
+sorts columns by name and rows by value, and compares.
+"""
+import duckdb
+import json
+import math
+import sys
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        cells = []
+        for v in row:
+            if isinstance(v, float):
+                cells.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            elif hasattr(v, "tolist"):  # numpy arrays / lists
+                cells.append(repr(v.tolist()))
+            else:
+                cells.append(repr(v))
+        rows.append("|".join(cells))
+    return sorted(rows), list(df.columns)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+            srows, scols = canon(spark_df)
+            drows, dcols = canon(duck_df)
+            if scols != dcols:
+                print(f"FAIL {name}: columns {scols} vs {dcols}")
+                n_bad += 1
+            elif srows != drows:
+                diff = [
+                    (a, b) for a, b in zip(srows, drows) if a != b
+                ][:3]
+                print(f"FAIL {name}: {len(srows)} vs {len(drows)} rows; "
+                      f"first diffs: {diff}")
+                n_bad += 1
+            else:
+                print(f"OK   {name} ({len(srows)} rows)")
+                n_ok += 1
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
