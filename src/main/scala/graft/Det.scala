@@ -22,6 +22,28 @@ object Det {
   /** Order-independent average (double division of exact operands). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** [[dsum]] as a window aggregate (the WindowSpec must attach to the
+    * aggregate itself, not to the outer cast).
+    */
+  def dsumOver(c: Column,
+               w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(18, 4))).over(w).cast(DoubleType)
+
+  /** Exact 2-dp decimal view of a money column. Products of these stay
+    * exact (decimal multiply), avoiding the double→decimal rounding
+    * boundary where Spark (rounds the exact double value) and DuckDB
+    * (rounds a 10^scale-scaled double) can disagree by 1 ulp of the
+    * last decimal place.
+    */
+  def money2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact 2-dp decimal of a small factor like (1 - discount). */
+  def factor2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact-decimal sum of money * factor products, as double. */
+  def dsumExact(product: Column): Column =
+    sum(product).cast(DoubleType)
+
   /** DuckDB-side SQL for [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"

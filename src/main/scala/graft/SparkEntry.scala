@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (cdc.BatchReconstruction.queries, cdc.BatchReconstruction.oracles)
+    (cdc.BatchReconstruction.queries, cdc.BatchReconstruction.oracles),
+    (ops.RelationalQueries.queries, ops.RelationalQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

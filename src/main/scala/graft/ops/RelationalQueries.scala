@@ -1,0 +1,581 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Relational operator breadth over the TPC-H-ish tables.
+  *
+  * The reference's operator surface is narrow (SURVEY.md §2.3): filters,
+  * equi-joins, one list-accumulation aggregation. Exposing the data
+  * relationally gives the full breadth via Catalyst — each query here
+  * pins down one operator category with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design point, stated per query below):
+  * - dimension joins broadcast explicitly (`broadcast()`), fact-fact
+  *   joins shuffle on the join key and rely on AQE for skew;
+  * - aggregates are hash aggregates with map-side partial reduction;
+  * - window functions shuffle once per partition key — queries reuse a
+  *   single `Window` spec so Catalyst plans one Exchange, not several;
+  * - float aggregates go through [[graft.Det]] so results are
+  *   partition-order independent (required for both the oracle hash and
+  *   for reproducibility on a real cluster).
+  */
+object RelationalQueries {
+
+  // ---------------------------------------------------------------- q1_agg
+  /** Hash aggregation with grouped sums/averages (TPC-H Q1 shape).
+    * Scale: map-side partial agg → single shuffle on 2 low-card keys.
+    */
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det
+          .dsumExact(Det.money2(col("l_extendedprice")) *
+            Det.factor2(lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        Det
+          .dsumExact(Det.money2(col("l_extendedprice")) *
+            Det.factor2(lit(1) - col("l_discount")) *
+            Det.factor2(lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+
+  private val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |           * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       |    AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |           * CAST(1 - l_discount AS DECIMAL(4,2))
+       |           * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE)
+       |    AS sum_charge,
+       |  ${Det.davgSql("l_quantity")} AS avg_qty,
+       |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+       |  ${Det.davgSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ----------------------------------------------------------- q_join_star
+  /** Star join: fact tables shuffle-join on keys, dimensions broadcast.
+    * Scale: `nation`/`region` are tiny at any SF → broadcast hash join
+    * (no shuffle); customer⋈orders⋈lineitem co-shuffle on their keys.
+    */
+  private def qJoinStar(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det
+          .dsumExact(Det.money2(col("l_extendedprice")) *
+            Det.factor2(lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs")
+      )
+  }
+
+  private val qJoinStarSql: String =
+    s"""SELECT r_name, n_name,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |           * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       |    AS revenue,
+       |  count(DISTINCT o_orderkey) AS n_orders,
+       |  count(DISTINCT c_custkey) AS n_custs
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q_semi
+  /** Left-semi join (EXISTS). Scale: semi-join shuffles only the keys of
+    * the right side; Catalyst may also build a bloom filter via AQE.
+    */
+  private def qSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  private val qSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000)""".stripMargin
+
+  // ---------------------------------------------------------------- q_anti
+  /** Left-anti join (NOT EXISTS). */
+  private def qAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  private val qAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q_topk
+  /** Global top-k with full tie-break — Spark plans TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows, no global sort).
+    */
+  private def qTopk(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  private val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------- q_window
+  /** Analytic window functions: rank, lag, running sum over one window
+    * spec → a single Exchange on o_custkey.
+    */
+  private def qWindow(s: SparkSession, d: String): DataFrame = {
+    val byCust =
+      Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(s, d)
+      .withColumn("rnk", row_number().over(byCust))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byCust))
+      .withColumn(
+        "running_spend",
+        Det.dsumOver(col("o_totalprice"),
+          byCust.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("prev_price"), col("running_spend"))
+  }
+
+  private val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk, prev_price, running_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rnk,
+      |    lag(o_totalprice, 1) OVER w AS prev_price,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |         OVER (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS DOUBLE) AS running_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rnk <= 3""".stripMargin
+
+  // -------------------------------------------------------------- q_rollup
+  /** ROLLUP grouping sets with GROUPING() markers. */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_status")
+      )
+
+  private val qRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  count(*) AS n,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q_cube
+  /** CUBE grouping sets. */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+
+  private val qCubeSql: String =
+    s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       |  ${Det.dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  // ------------------------------------------------------------ q_distinct
+  /** Exact distinct aggregation (expands to two-phase agg in Spark). */
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+
+  private val qDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- q_setops
+  /** INTERSECT / UNION / EXCEPT (all DISTINCT semantics), explicitly
+    * parenthesized identically on both engines.
+    */
+  private def qSetops(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = o.filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("k"))
+    val u = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+    val x = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.intersect(b).union(u).distinct().except(x)
+  }
+
+  private val qSetopsSql: String =
+    """SELECT k FROM (
+      |  SELECT k FROM (
+      |    (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      |    INTERSECT
+      |    (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000))
+      |  UNION
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // ---------------------------------------------------------- q_string_fns
+  /** Scalar string/math function coverage. Only functions with identical
+    * cross-engine semantics (no float rounding, no locale).
+    */
+  private def qStringFns(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).cast(IntegerType).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        col("p_name").contains("green").cast(IntegerType).as("has_green"),
+        abs(col("p_size") - lit(25)).cast(IntegerType).as("size_dist"),
+        (col("p_size") % 5).cast(IntegerType).as("size_mod"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        ceil(col("p_retailprice")).cast("long").as("price_ceil")
+      )
+
+  private val qStringFnsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  lower(p_type) AS type_l,
+      |  substring(p_name, 1, 8) AS name_pfx,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+      |  CAST(contains(p_name, 'green') AS INTEGER) AS has_green,
+      |  CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+      |  CAST(p_size % 5 AS INTEGER) AS size_mod,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
+      |FROM part""".stripMargin
+
+  // ------------------------------------------------------------ q_date_fns
+  /** Date/time function coverage (UTC session, identical extraction
+    * semantics on both engines).
+    */
+  private def qDateFns(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"),
+        month(col("o_orderdate")).cast(IntegerType).as("o_month"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("o_day"),
+        quarter(col("o_orderdate")).cast(IntegerType).as("o_quarter"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(IntegerType)
+          .as("days_since_95")
+      )
+
+  private val qDateFnsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |       AS INTEGER) AS days_since_95
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------------- q_having
+  /** GROUP BY + HAVING over a join. */
+  private def qHaving(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 5)
+  }
+
+  private val qHavingSql: String =
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |  ${Det.dsumSql("o_totalprice")} AS spend
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING count(*) >= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q_case
+  /** CASE WHEN bucketing + conditional aggregation. */
+  private def qCase(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderstatus"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large")
+          .as("bucket"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private val qCaseSql: String =
+    """SELECT o_orderstatus,
+      |  CASE WHEN o_totalprice < 50000 THEN 'small'
+      |       WHEN o_totalprice < 150000 THEN 'medium'
+      |       ELSE 'large' END AS bucket,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q_json
+  /** JSON path extraction — the Spark-native form of the reference's
+    * Jackson navigation (`DebeziumTransactionReconstructor.java:103-122`).
+    */
+  private def qJson(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+
+  private val qJsonSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------- q_sessionize
+  /** Sessionization via gap detection — lag + windowed running count.
+    * Scale: one shuffle on user_id; no self-join.
+    */
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min in microseconds
+    Tables
+      .events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > gapUs,
+          1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"),
+        col("session_id").cast(IntegerType).as("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        Det.dsum(col("value")).as("session_value")
+      )
+  }
+
+  private val qSessionizeSql: String =
+    s"""SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       |  count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  ${Det.dsumSql("value")} AS session_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_id
+       |  FROM (
+       |    SELECT user_id, ts, event_id, value,
+       |      CASE WHEN prev_us IS NULL
+       |                OR epoch_us(ts) - prev_us > 30*60*1000*1000
+       |           THEN 1 ELSE 0 END AS is_new
+       |    FROM (
+       |      SELECT user_id, ts, event_id, value,
+       |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |                                   ORDER BY ts, event_id) AS prev_us
+       |      FROM events)))
+       |GROUP BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------ q_tumbling
+  /** Tumbling time-window aggregation (batch form of the streaming
+    * windowed agg; same date_trunc bucketing DuckDB uses).
+    */
+  private def qTumbling(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+
+  private val qTumblingSql: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  count(*) AS n, ${Det.dsumSql("value")} AS total
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- q_sliding
+  /** Sliding window (1 h length, 30 min slide) via Spark's window();
+    * oracle reproduces the two-bucket expansion explicitly.
+    */
+  private def qSliding(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  private val qSlidingSql: String =
+    s"""SELECT window_start, event_type, count(*) AS n,
+       |  ${Det.dsumSql("value")} AS total
+       |FROM (
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, *
+       |  FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+       |         - INTERVAL '30 minutes' AS window_start, *
+       |  FROM events)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q_asof
+  /** As-of join: for each purchase, the most recent strictly-prior click
+    * of the same user. Spark-native formulation: tag + one window pass
+    * (single shuffle on user_id) instead of a range join — this is the
+    * plan that survives 100×: no join explosion, no per-row probe.
+    */
+  private def qAsof(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .events(s, d)
+      .withColumn("click_ts",
+        when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts",
+        last(col("click_ts"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("last_click_ts"))
+  }
+
+  private val qAsofSql: String =
+    """SELECT user_id, event_id, ts, last_click_ts
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"       -> q1Agg _,
+    "q_join_star"  -> qJoinStar _,
+    "q_semi"       -> qSemi _,
+    "q_anti"       -> qAnti _,
+    "q_topk"       -> qTopk _,
+    "q_window"     -> qWindow _,
+    "q_rollup"     -> qRollup _,
+    "q_cube"       -> qCube _,
+    "q_distinct"   -> qDistinct _,
+    "q_setops"     -> qSetops _,
+    "q_string_fns" -> qStringFns _,
+    "q_date_fns"   -> qDateFns _,
+    "q_having"     -> qHaving _,
+    "q_case"       -> qCase _,
+    "q_json"       -> qJson _,
+    "q_sessionize" -> qSessionize _,
+    "q_tumbling"   -> qTumbling _,
+    "q_sliding"    -> qSliding _,
+    "q_asof"       -> qAsof _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"       -> q1AggSql,
+    "q_join_star"  -> qJoinStarSql,
+    "q_semi"       -> qSemiSql,
+    "q_anti"       -> qAntiSql,
+    "q_topk"       -> qTopkSql,
+    "q_window"     -> qWindowSql,
+    "q_rollup"     -> qRollupSql,
+    "q_cube"       -> qCubeSql,
+    "q_distinct"   -> qDistinctSql,
+    "q_setops"     -> qSetopsSql,
+    "q_string_fns" -> qStringFnsSql,
+    "q_date_fns"   -> qDateFnsSql,
+    "q_having"     -> qHavingSql,
+    "q_case"       -> qCaseSql,
+    "q_json"       -> qJsonSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_tumbling"   -> qTumblingSql,
+    "q_sliding"    -> qSlidingSql,
+    "q_asof"       -> qAsofSql
+  )
+}

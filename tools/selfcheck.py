@@ -16,13 +16,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df):
+    import numpy as np
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
         cells = []
         for v in row:
-            if isinstance(v, float):
+            if isinstance(v, (float, np.floating)):
+                v = float(v)
                 cells.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            elif isinstance(v, (bool, np.bool_)):
+                cells.append(repr(bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                cells.append(repr(int(v)))
             elif hasattr(v, "tolist"):  # numpy arrays / lists
                 cells.append(repr(v.tolist()))
             else:
