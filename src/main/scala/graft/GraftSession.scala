@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults documented for the
+  * 100 TB design point.
+  *
+  * Local testing runs `local[N]`; on a real cluster the same configs
+  * apply with `shufflePartitions` sized to ~2-3× total cores (or left
+  * to AQE coalescing). Stateful streaming queries additionally want the
+  * RocksDB state store provider — heap state does not survive 100 TB of
+  * open transactions (the reference's unbounded heap `ValueState` is
+  * exactly the thing this replaces).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      rocksDbState: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE: runtime coalescing + skew-join splitting — the salting
+      // fallback for keys we can't predict.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Parquet: vectorized reader + pushdown are defaults; keep
+      // partition sizes bounded so a 100 TB table splits sanely.
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+    if (rocksDbState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b
+  }
+
+  def get(): SparkSession = builder().getOrCreate()
+}

@@ -13,7 +13,11 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (cdc.BatchReconstruction.queries, cdc.BatchReconstruction.oracles),
-    (ops.RelationalQueries.queries, ops.RelationalQueries.oracles)
+    (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
+    (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
+    (llm.Dedup.queries, llm.Dedup.oracles),
+    (llm.Similarity.queries, llm.Similarity.oracles),
+    (llm.Multimodal.queries, llm.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,220 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard.
+  *
+  * All hash arithmetic is explicit (polynomial char hash mod 1e9+7)
+  * rather than engine-native murmur/xxhash, so the DuckDB oracle can
+  * reproduce results bit-for-bit. The plan shapes are the ones that
+  * scale:
+  *  - exact dedup: map-side fingerprint → one hash aggregation;
+  *  - MinHash LSH: explode tokens → per-doc signature (one partial
+  *    agg) → band keys → self-join *only within band buckets* (the
+  *    candidate set is the join output, never the full cross product);
+  *  - SimHash: map-only signature, pairable by prefix buckets;
+  *  - n-gram Jaccard: blocked pairwise compare (here blocked by `lang`;
+  *    at 100 TB the block key would be an LSH band).
+  */
+object Dedup {
+
+  /** Deterministic polynomial hash of a token:
+    * fold(7, (acc, ch) => (acc * 31 + codepoint(ch)) mod 1e9+7).
+    */
+  private val P = 1000000007L
+
+  def tokenHash(t: Column): Column =
+    aggregate(
+      split(t, ""),
+      lit(7L),
+      (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  private def tokHashSql(t: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(string_split_regex($t, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  // -------------------------------------------------------- q_dedup_exact
+  /** Exact dedup via canonical fingerprint: one row per distinct
+    * normalized text, keeping the smallest doc_id as canonical.
+    */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  private val qDedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS canonical_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- q_minhash_lsh
+  /** MinHash signatures + LSH banding: candidate near-dup pairs are
+    * docs sharing at least one band bucket.
+    *
+    * K = 8 hash functions h_i(x) = ((2i+1)·x + 12345·i) mod P over the
+    * token hash; 4 bands × 2 rows. Output: distinct candidate pairs.
+    */
+  private val K = 8
+  private val ROWS_PER_BAND = 2
+
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+      .withColumn("h", tokenHash(col("t")))
+    val perms = explode(sequence(lit(0), lit(K - 1))).as("i")
+    tok
+      .select(col("doc_id"), col("h"), perms)
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("h") * (col("i") * 2 + 1) + col("i") * 12345L) % P)
+        .as("sig"))
+  }
+
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val bands = sigs
+      .groupBy(col("doc_id"), (col("i") / ROWS_PER_BAND).cast(LongType)
+        .as("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig"))).as("key"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val qMinhashLshSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+       |    AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    min((h * (i * 2 + 1) + i * 12345) % 1000000007) AS sig
+       |  FROM th, range($K) r(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // $ROWS_PER_BAND AS band,
+       |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a
+       |JOIN bands b ON a.band = b.band AND a.key = b.key
+       |            AND a.doc_id < b.doc_id""".stripMargin
+
+  // ----------------------------------------------------------- q_simhash
+  /** 16-bit SimHash per document from token hashes: bit b is the sign
+    * of sum over tokens of ±1 by token-hash bit b.
+    */
+  private val BITS = 16
+
+  private def qSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+      .withColumn("h", tokenHash(col("t")))
+    val bitCols = (0 until BITS).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
+    }
+    val sim = (0 until BITS)
+      .map(b => when(col(s"s$b") >= 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val qSimhashSql: String = {
+    val bitSums = (0 until BITS)
+      .map(b => s"SUM((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
+    val sim = (0 until BITS)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+       |    AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id)
+       |SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  // ----------------------------------------------------- q_ngram_jaccard
+  /** Blocked pairwise token-set Jaccard: probe docs (doc_id % 50 == 0)
+    * against all same-lang docs. The block key bounds the pair count —
+    * the same structure as LSH-bucketed verification at scale.
+    */
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("doc_a"), col("lang"),
+        col("toks").as("toks_a"))
+    probes
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang"),
+        col("toks").as("toks_b")), Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("lang"), col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast(IntegerType).as("n_common"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+          / (size(col("toks_a")) + size(col("toks_b"))
+            - size(array_intersect(col("toks_a"), col("toks_b")))))
+          .as("jaccard")
+      )
+  }
+
+  private val qNgramJaccardSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(string_split(lower(text), ' ')) AS toks
+      |  FROM documents)
+      |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+      |       AS INTEGER) AS n_common,
+      |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+      |       AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks)
+      |       - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+      |    AS jaccard
+      |FROM docs a
+      |JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE a.doc_id % 50 = 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> qDedupExact _,
+    "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_simhash"       -> qSimhash _,
+    "q_ngram_jaccard" -> qNgramJaccard _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact"   -> qDedupExactSql,
+    "q_minhash_lsh"   -> qMinhashLshSql,
+    "q_simhash"       -> qSimhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql
+  )
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode/feature-extraction as per-partition batch
+  * functions.
+  *
+  * The container ships no image/audio codecs, so the decode itself is
+  * STUBBED (deterministic fake, clearly marked below). Everything
+  * Spark-side is real: schema, batch shape, partitioning, and the
+  * map-partitions execution pattern a Pandas-UDF (`mapInPandas`)
+  * pipeline uses — per-partition iterator in, iterator out, no
+  * per-row JVM↔native round trips.
+  *
+  * Scale: media blobs are the widest column by orders of magnitude —
+  * the layout keeps them in their own projected column so Parquet
+  * column pruning skips the bytes unless `decode*` is actually called,
+  * and feature extraction is map-only (no shuffle).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaItem(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source: String)
+
+  /** Extracted features. `width/height/duration` come from the decoder
+    * stub; `n_bytes`/`checksum` are real byte-level facts.
+    */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  /** STUB — the real implementation would decode the payload with an
+    * image/audio codec. Deterministic fake: dimensions derived from
+    * byte-level facts so tests are reproducible. The signature (bytes →
+    * features, no Spark types) is what a codec adapter must implement.
+    */
+  def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Long) = {
+    val n = payload.length
+    kind match {
+      case "image" => (n % 1920, n % 1080, 0L)
+      case "audio" => (0, 0, n.toLong * 8)
+      case _       => (n % 1280, n % 720, n.toLong * 40)
+    }
+  }
+
+  /** Per-partition feature extraction — the Scala analog of a
+    * `mapInPandas` batch UDF: one iterator per partition, codec state
+    * initialized once per partition (here: the fold constant), rows
+    * streamed through.
+    */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // per-partition initialization would open the codec here
+      it.map { m =>
+        val checksum =
+          m.payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) %
+            1000000007L)
+        val (w, h, dur) = decodeStub(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, checksum, w, h,
+          dur)
+      }
+    }
+  }
+
+  /** Build a media table from `documents` (text bytes stand in for the
+    * blob payload; kind assigned round-robin).
+    */
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        encode(col("text"), "utf-8").as("payload"),
+        col("source"))
+      .as[MediaItem]
+  }
+
+  // ------------------------------------------------------ q_media_features
+  /** Oracle-checkable slice of the media pipeline: byte-level facts
+    * (length, polynomial checksum over bytes, hex prefix) computed on
+    * the binary column. The decoder-dependent fields are exercised in
+    * ScalaTest instead (no codec in DuckDB either).
+    */
+  private def qMediaFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        octet_length(encode(col("text"), "utf-8")).cast(IntegerType)
+          .as("n_bytes"),
+        substring(hex(encode(col("text"), "utf-8")), 1, 16).as("hex_prefix"))
+
+  private val qMediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+      |    AS kind,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  substring(hex(encode(text)), 1, 16) AS hex_prefix
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> qMediaFeatures _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_media_features" -> qMediaFeaturesSql
+  )
+}

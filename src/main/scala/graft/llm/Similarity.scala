@@ -1,0 +1,162 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Similarity search over the embedding column (`Array[Float]`, dim 64).
+  *
+  * Vector math uses higher-order functions (`zip_with` + `aggregate`) —
+  * codegen'd, no UDF serialization. Floats are widened to double before
+  * any arithmetic: the fold is then a deterministic left-to-right double
+  * sum in both engines, so the oracle matches exactly.
+  *
+  * Plan shapes:
+  *  - brute force: broadcast the (small) probe set against the corpus —
+  *    map-only scoring + per-probe top-k via window. At 100 TB the probe
+  *    side stays broadcastable and the corpus streams.
+  *  - LSH path: sign-bit bucketing against deterministic pseudo-random
+  *    hyperplanes → candidates share a bucket → exact re-rank within
+  *    bucket. The candidate join replaces the cross product; this is
+  *    the structure that survives a billion-row corpus.
+  */
+object Similarity {
+
+  /** Elementwise double view of a float vector. */
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB equivalents: list_dot_product over DOUBLE[] is the same
+    * sequential fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // ----------------------------------------------------------- q_ann_brute
+  /** Brute-force exact top-5 cosine neighbors for probe vectors
+    * (vec_id < 10). Probe side broadcast; corpus side scanned once.
+    */
+  private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qAnnBruteSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings e ON q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // --------------------------------------------------------- q_cosine_pairs
+  /** Blocked near-dup scan: all same-label pairs with cosine above a
+    * threshold (label plays the LSH-bucket role at this scale).
+    */
+  private def qCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    emb.alias("a")
+      .join(emb.alias("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") > 0.3)
+      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  private val qCosinePairsSql: String =
+    s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3""".stripMargin
+
+  // ------------------------------------------------------------- q_ann_lsh
+  /** Random-hyperplane LSH: 8 sign bits from dot products with
+    * deterministic planes; bucket = the 8-bit signature. Output: bucket
+    * histogram (bucket, n_vectors) — the partition layout an ANN index
+    * would store, and the candidate-set size the re-ranker would scan.
+    *
+    * Plane j, component i = ((i+1)·(j+1)·2654435761 mod 1000003)
+    * / 1000003 − 0.5 — identical arithmetic on both engines.
+    */
+  private val PLANES = 8
+
+  private def planeDot(v: Column, j: Int): Column = {
+    val plane = transform(sequence(lit(0), lit(63)),
+      i => ((i + 1) * (j + 1) * 2654435761L % 1000003L)
+        .cast("double") / 1000003.0 - 0.5)
+    dot(v, plane)
+  }
+
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bucket = (0 until PLANES)
+      .map(j => when(planeDot(col("v"), j) >= 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    emb
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"))
+  }
+
+  private val qAnnLshSql: String = {
+    def planeSql(j: Int): String =
+      s"""list_dot_product(CAST(embedding AS DOUBLE[]),
+         |    list_transform(range(0, 64),
+         |      i -> CAST((i + 1) * ${j + 1} * 2654435761 % 1000003
+         |           AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin
+    val bucket = (0 until PLANES)
+      .map(j => s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT CAST($bucket AS BIGINT) AS bucket,
+       |  count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM embeddings
+       |GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_brute"    -> qAnnBrute _,
+    "q_cosine_pairs" -> qCosinePairs _,
+    "q_ann_lsh"      -> qAnnLsh _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_brute"    -> qAnnBruteSql,
+    "q_cosine_pairs" -> qCosinePairsSql,
+    "q_ann_lsh"      -> qAnnLshSql
+  )
+}

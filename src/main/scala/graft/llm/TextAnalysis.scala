@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is per-row narrow work (map-only, no shuffle except the
+  * final aggregations) built from codegen'd built-ins — at 100 TB these
+  * scan linearly with zero exchange, the ideal shape for corpus
+  * filtering.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Canonical fingerprint: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, md5. The rolling-hash document
+    * fingerprint of the dedup literature, on md5 for cross-engine
+    * determinism.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  // ----------------------------------------------------------- q_text_stats
+  /** Per-document quality statistics: token counts, uniqueness, average
+    * token length, stopword ratio.
+    */
+  private def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(t).cast(IntegerType).as("n_tokens"),
+        size(array_distinct(t)).cast(IntegerType).as("n_uniq_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("avg_token_span"),
+        size(filter(t, x => x.isInCollection(stopwords)))
+          .cast(IntegerType).as("n_stopwords"),
+        (size(filter(t, x => x.isInCollection(stopwords))).cast("double")
+          / size(t)).as("stopword_ratio")
+      )
+  }
+
+  private val qTextStatsSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER)
+       |    AS n_uniq_tokens,
+       |  CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
+       |    AS avg_token_span,
+       |  CAST(len(list_filter(string_split(lower(text), ' '),
+       |                       x -> x IN ($sw))) AS INTEGER) AS n_stopwords,
+       |  CAST(len(list_filter(string_split(lower(text), ' '),
+       |                       x -> x IN ($sw))) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')) AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  // ------------------------------------------------------------- q_lang_id
+  /** Marker-token language ID: score each candidate language by marker
+    * hits, argmax with a deterministic tie-break on language name. A
+    * real n-gram profile model has the same plan shape (map-side score,
+    * no shuffle).
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("zh0", "zh1", "zh2") // synthetic corpus has no hanzi
+  )
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    // argmax encoded as a sortable "zero-padded-score|lang" string:
+    // max = highest score, ties broken by lang name descending —
+    // identical greatest(VARCHAR) semantics on both engines.
+    val scored = langMarkers.map { case (lang, markers) =>
+      concat(
+        lpad(size(filter(t, x => x.isInCollection(markers)))
+          .cast("string"), 6, "0"),
+        lit("|" + lang))
+    }
+    val best = greatest(scored: _*)
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang").as("true_lang"),
+        substring(best, 8, 8).as("pred_lang"),
+        substring(best, 1, 6).cast(IntegerType).as("pred_score")
+      )
+  }
+
+  private val qLangIdSql: String = {
+    val scored = langMarkers.map { case (lang, markers) =>
+      val sw = markers.map(w => s"'$w'").mkString(", ")
+      s"lpad(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ($sw))) AS VARCHAR), 6, '0') || '|$lang'"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, lang AS true_lang,
+       |  substring(greatest($scored), 8, 8) AS pred_lang,
+       |  CAST(substring(greatest($scored), 1, 6) AS INTEGER) AS pred_score
+       |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------------------- q_token_count
+  /** Corpus token accounting per source: whitespace tokens and a
+    * BPE-ish regex token count (letter runs / digit runs / other).
+    */
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("ws_tokens"),
+        sum(regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+          .as("bpe_ish_tokens"),
+        sum(col("n_chars")).as("total_chars")
+      )
+
+  private val qTokenCountSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_ish_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY source""".stripMargin
+
+  // -------------------------------------------------------- q_fingerprint
+  /** Canonical-form fingerprint per document (md5 of normalized text) —
+    * the map side of exact dedup.
+    */
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  private val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"  -> qTextStats _,
+    "q_lang_id"     -> qLangId _,
+    "q_token_count" -> qTokenCount _,
+    "q_fingerprint" -> qFingerprint _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats"  -> qTextStatsSql,
+    "q_lang_id"     -> qLangIdSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql
+  )
+}

@@ -1,0 +1,94 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.model.TransactionRecord
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-semantics spec via MemoryStream — the Spark-native
+  * replacement for Flink's operator test harness (SURVEY.md §5).
+  *
+  * Covers both arrival orders (the stricter of the two reference
+  * pipelines' behaviors), BEGIN no-ops, empty-END, and count-gating.
+  */
+class StreamingReconstructionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def change(txn: String, ts: Long, op: String = "u"): String =
+    s"""{"payload": {"op": "$op", "ts_ms": $ts,
+       |  "transaction": {"id": "$txn"},
+       |  "before": {"v": ${ts - 1}}, "after": {"v": $ts}}}""".stripMargin
+  private def marker(txn: String, status: String, count: Long = -1): String = {
+    val c = if (count >= 0) count.toString else "null"
+    s"""{"payload": {"status": "$status", "id": "$txn", "event_count": $c}}"""
+  }
+
+  /** Drive a scenario: feed batches into a MemoryStream, return all
+    * emitted records after each batch is fully processed.
+    */
+  private def run(countGated: Boolean, batches: Seq[Seq[String]],
+      name: String): Seq[TransactionRecord] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StreamingReconstruction.fromRawStrings(input.toDS(), countGated)
+    val query: StreamingQuery = out.writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
+      spark.table(name).as[TransactionRecord].collect().toSeq
+    } finally query.stop()
+  }
+
+  test("events then END: one record with all events, time-ordered") {
+    val recs = run(countGated = false, Seq(
+      Seq(change("t1", 30), change("t1", 10), marker("t1", "BEGIN")),
+      Seq(change("t1", 20), marker("t1", "END", 3))
+    ), "s1")
+    assert(recs.map(_.transactionId) == Seq("t1"))
+    assert(recs.head.events.map(_.tsMs) == Seq(10, 20, 30))
+    assert(recs.head.eventCount.contains(3L))
+  }
+
+  test("parity mode: END emits whatever is buffered; empty END emits nothing") {
+    val recs = run(countGated = false, Seq(
+      Seq(change("t1", 1), change("t1", 2)),
+      Seq(marker("t1", "END", 5)), // short: only 2 of 5 arrived
+      Seq(marker("t2", "END", 0))  // nothing buffered for t2
+    ), "s2")
+    assert(recs.map(_.transactionId) == Seq("t1"))
+    assert(recs.head.events.size == 2) // reference parity: emit short
+  }
+
+  test("countGated mode: END before stragglers holds until count met") {
+    val recs1 = run(countGated = true, Seq(
+      Seq(change("t1", 1), marker("t1", "END", 3)), // 1 of 3 — hold
+      Seq(change("t1", 2)),                         // 2 of 3 — hold
+      Seq(change("t1", 3))                          // 3 of 3 — emit
+    ), "s3")
+    assert(recs1.map(_.transactionId) == Seq("t1"))
+    assert(recs1.head.events.map(_.tsMs) == Seq(1, 2, 3))
+  }
+
+  test("metadata before any event (pipeline-2 race): no data loss") {
+    // The reference's pipeline 2 drops change events whose metadata
+    // hasn't arrived (`...WithEventCorrelation.java:146-149`). With
+    // count-gating the transaction emits complete regardless of order.
+    val recs = run(countGated = true, Seq(
+      Seq(marker("t9", "BEGIN"), marker("t9", "END", 2)),
+      Seq(change("t9", 100), change("t9", 200))
+    ), "s4")
+    assert(recs.map(_.transactionId) == Seq("t9"))
+    assert(recs.head.events.map(_.tsMs) == Seq(100, 200))
+  }
+
+  test("BEGIN alone emits nothing; independent txns don't interfere") {
+    val recs = run(countGated = false, Seq(
+      Seq(marker("a", "BEGIN"), change("a", 1), change("b", 1)),
+      Seq(marker("b", "END", 1))
+    ), "s5")
+    assert(recs.map(_.transactionId) == Seq("b"))
+  }
+}

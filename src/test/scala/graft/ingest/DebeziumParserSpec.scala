@@ -1,0 +1,59 @@
+package graft.ingest
+
+import graft.SparkSpec
+
+/** Behavioral spec of the envelope parser, fixture-for-fixture against
+  * the reference's branches (FIXTURES.md §1;
+  * `DebeziumTransactionReconstructor.java:97-129`).
+  */
+class DebeziumParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val change =
+    """{"payload": {"op": "c", "ts_ms": 1722988800000,
+      |  "transaction": {"id": "file=binlog.000002,pos=1234"},
+      |  "before": null,
+      |  "after": {"id": 1001, "name": "alice"}}}""".stripMargin
+  private val begin =
+    """{"payload": {"status": "BEGIN", "id": "file=binlog.000002,pos=1234", "event_count": null}}"""
+  private val end =
+    """{"payload": {"status": "END", "id": "file=binlog.000002,pos=1234", "event_count": 3}}"""
+  private val noPayload = """{"schema": {}}"""
+  private val notJson   = "not json"
+  private val noTxnBlock =
+    """{"payload": {"op": "u", "ts_ms": 5, "before": {"a": 1}, "after": {"a": 2}}}"""
+
+  private def splitAll(rows: String*) =
+    DebeziumParser.parseAndSplit(spark.createDataset(rows))
+
+  test("change event: op/txn-id/ts extracted, images stay raw JSON") {
+    val (c, t, dead) = splitAll(change)
+    val e = c.collect().head
+    assert(e.transactionId == "file=binlog.000002,pos=1234")
+    assert(e.operation == "c")
+    assert(e.tsMs == 1722988800000L)
+    assert(e.before.isEmpty) // JSON null → no before image (insert)
+    assert(e.after.exists(_.contains("\"alice\"")))
+    assert(t.isEmpty && dead.isEmpty)
+  }
+
+  test("txn events: discriminated by presence of status") {
+    val (c, t, dead) = splitAll(begin, end)
+    assert(c.isEmpty && dead.isEmpty)
+    val byStatus = t.collect().map(e => e.status -> e).toMap
+    assert(byStatus("BEGIN").eventCount.isEmpty)
+    assert(byStatus("END").eventCount.contains(3L))
+    assert(byStatus.values.forall(_.transactionId == "file=binlog.000002,pos=1234"))
+  }
+
+  test("malformed rows route to dead letter, not to either stream") {
+    val (c, t, dead) = splitAll(noPayload, notJson, change)
+    assert(c.count() == 1 && t.isEmpty)
+    assert(dead.as[String].collect().toSet == Set(noPayload, notJson))
+  }
+
+  test("missing transaction block → empty-string txn id (Jackson path default)") {
+    val (c, _, _) = splitAll(noTxnBlock)
+    assert(c.collect().head.transactionId == "")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the LLM-pipeline operators (the oracle gate
+  * checks cross-engine equality; these check meaning).
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: identical normalized texts collapse to one row") {
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val groups = fp.groupBy("fp").agg(
+      min("doc_id").as("canonical"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(1L) == 2) // docs 1+2 are the same after normalization
+    assert(groups(3L) == 1)
+  }
+
+  test("minhash: identical docs share all bands; disjoint docs none") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list("sig")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(2.0, 0.0))
+    ).toDF("id", "v")
+    val pairs = df.alias("a").crossJoin(df.alias("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(pairs((1L, 2L))) < 1e-12)
+    assert(math.abs(pairs((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 1L)) - 1.0) < 1e-12)
+  }
+
+  test("multimodal: feature extraction runs per-partition, stub is deterministic") {
+    val items = Multimodal.mediaFromDocuments(spark, sf())
+    val feats = Multimodal.extractFeatures(items)
+    val f = feats.filter(col("media_id") === 0).collect().head
+    val again = Multimodal.extractFeatures(items)
+      .filter(col("media_id") === 0).collect().head
+    assert(f == again)
+    assert(f.n_bytes > 0 && f.checksum > 0)
+    // image kind decodes to bounded dimensions
+    val img = feats.filter(col("kind") === "image").limit(5).collect()
+    assert(img.forall(m => m.width < 1920 && m.height < 1080))
+  }
+
+  test("ann-lsh buckets partition the corpus completely") {
+    val total = graft.Tables.embeddings(spark, sf()).count()
+    val buckets = SparkEntryHelpers.annLsh(spark, sf())
+    assert(buckets.agg(sum("n_vectors")).collect().head.getLong(0) == total)
+  }
+}
+
+/** Test-only access to private query builders. */
+object SparkEntryHelpers {
+  def annLsh(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SparkEntry.queries("q_ann_lsh")(s, d)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Watermark/window semantics via MemoryStream. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window with watermark: late rows beyond delay are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamOps.tumblingCounts(
+      input.toDF().toDF("ts", "value"), "ts",
+      watermarkDelay = "10 minutes", windowLen = "1 hour")
+    val q = out.writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(5), 1.0), (ts(30), 2.0), (ts(59), 3.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      input.addData((Timestamp.valueOf("2024-01-01 12:30:00"), 9.0))
+      q.processAllAvailable()
+      // this row is now older than watermark → dropped, not re-emitted
+      input.addData((ts(10), 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .as[(Timestamp, Long, Double)].collect()
+        .map { case (k, v, t) => (k.toString, (v, t)) }.toMap
+      assert(rows("2024-01-01 10:00:00.0") == ((3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("ts", "k"), "ts", Seq("k"),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 7L), (ts(3), 8L))
+      q.processAllAvailable()
+      input.addData((ts(4), 7L)) // still within watermark → duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session window groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "user", gap = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two bursts 30 min apart → two sessions once watermark passes
+      input.addData((ts(0), "u"), (ts(2), "u"), (ts(40), "u"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "u"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+      assert(sessions.count(_.getString(0) == "u") >= 2)
+    } finally q.stop()
+  }
+}
