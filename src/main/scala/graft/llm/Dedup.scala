@@ -69,27 +69,53 @@ object Dedup {
   private val K = 8
   private val ROWS_PER_BAND = 2
 
+  /** Word n-gram shingles (distinct, lowercased). MinHash over
+    * *shingles*, not unigram token sets: with a small vocabulary every
+    * document contains every token, so unigram sets are identical and
+    * LSH degenerates to the full cross product — shingles keep sets
+    * distinctive (the textbook construction).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = split(lower(text), " ")
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  private def shingleSql(inner: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))))
+       |    AS t
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |        FROM $inner)""".stripMargin
+
+  /** Per-doc MinHash signature columns sig0..sig{K-1}, computed in ONE
+    * aggregation pass (K min-aggregates over the shingle-hash stream —
+    * map-side partial min, single shuffle on doc_id; no K× row
+    * explosion).
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val tok = docs
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
-      .withColumn("h", tokenHash(col("t")))
-    val perms = explode(sequence(lit(0), lit(K - 1))).as("i")
-    tok
-      .select(col("doc_id"), col("h"), perms)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("h") * (col("i") * 2 + 1) + col("i") * 12345L) % P)
-        .as("sig"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
+      .withColumn("h", graft.functions.PolyHash.poly_hash(col("t")))
+    val aggs = (0 until K).map(i =>
+      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
+    val bandStructs = (0 until K / ROWS_PER_BAND).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until ROWS_PER_BAND)
+          .map(r => col(s"sig${b * ROWS_PER_BAND + r}")): _*).as("key"))
+    }
     val bands = sigs
-      .groupBy(col("doc_id"), (col("i") / ROWS_PER_BAND).cast(LongType)
-        .as("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          x => x.getField("sig"))).as("key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -100,9 +126,7 @@ object Dedup {
 
   private val qMinhashLshSql: String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
-       |    AS t
-       |  FROM documents),
+       |  ${shingleSql("documents")}),
        |th AS (
        |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
        |mh AS (
@@ -126,10 +150,10 @@ object Dedup {
   private val BITS = 16
 
   private def qSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PolyHash.register(s)
     val tok = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("t"))
-      .withColumn("h", tokenHash(col("t")))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
+      .withColumn("h", graft.functions.PolyHash.poly_hash(col("t")))
     val bitCols = (0 until BITS).map { b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
     }
@@ -148,9 +172,7 @@ object Dedup {
       .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
-       |    AS t
-       |  FROM documents),
+       |  ${shingleSql("documents")}),
        |th AS (
        |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
        |bits AS (

@@ -28,8 +28,17 @@ object Similarity {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — codegen'd
+    * custom expression ([[graft.functions.VecDot]]); same fold order as
+    * the HOF formulation and DuckDB's list_dot_product.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecDot.vec_dot(a, b)
+
+  /** Composable HOF reference implementation of [[dot]] (interpreted
+    * path; used to cross-check VecDot in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -49,15 +58,20 @@ object Similarity {
     * (vec_id < 10). Probe side broadcast; corpus side scanned once.
     */
   private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    // Norms precomputed once per vector (not once per pair): the pair
+    // scoring then does a single fold per pair.
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("q"))
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"))
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
       .join(emb, col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(byQuery))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -84,13 +98,16 @@ object Similarity {
     * threshold (label plays the LSH-bucket role at this scale).
     */
   private def qCosinePairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     emb.alias("a")
       .join(emb.alias("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") > 0.3)
       .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"), col("cos"))
@@ -114,18 +131,22 @@ object Similarity {
     */
   private val PLANES = 8
 
-  private def planeDot(v: Column, j: Int): Column = {
-    val plane = transform(sequence(lit(0), lit(63)),
-      i => ((i + 1) * (j + 1) * 2654435761L % 1000003L)
-        .cast("double") / 1000003.0 - 0.5)
-    dot(v, plane)
-  }
+  /** Plane components precomputed driver-side (same integer formula
+    * the oracle evaluates in SQL) and shipped as array literals — the
+    * per-row work is just the fold, not rebuilding the plane.
+    */
+  private def planeLit(j: Int): Seq[Double] =
+    (0 until 64).map(i =>
+      ((i + 1).toLong * (j + 1) * 2654435761L % 1000003L).toDouble
+        / 1000003.0 - 0.5)
 
   private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucket = (0 until PLANES)
-      .map(j => when(planeDot(col("v"), j) >= 0, 1L << j).otherwise(0L))
+      .map(j => when(dot(col("v"), typedlit(planeLit(j))) >= 0,
+        1L << j).otherwise(0L))
       .reduce(_ + _)
     emb
       .groupBy(bucket.as("bucket"))

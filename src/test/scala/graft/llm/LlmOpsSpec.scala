@@ -29,13 +29,31 @@ class LlmOpsSpec extends SparkSpec {
       (3L, "zeta eta theta iota")
     ).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(docs)
-      .groupBy("doc_id").agg(sort_array(collect_list("sig")).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
 
-  test("cosine: orthogonal = 0, identical = 1") {
+  test("poly_hash (codegen) == HOF fold == Scala reference") {
+    graft.functions.PolyHash.register(spark)
+    val df = Seq("alpha beta gamma", "x", "the quick brown fox")
+      .toDF("t")
+      .select(col("t"), Dedup.tokenHash(col("t")).as("hof"),
+        graft.functions.PolyHash.poly_hash(col("t")).as("cg"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))
+      assert(r.getLong(2) == graft.functions.PolyHash.hash(r.getString(0)))
+    }
+  }
+
+  test("cosine: orthogonal = 0, identical = 1; VecDot == HOF fold") {
+    graft.functions.VecDot.register(spark)
+    val pairsDf = Seq((Array(1.5, 2.5, -3.0), Array(0.5, -1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("cg"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+    val r = pairsDf.collect().head
+    assert(r.getDouble(0) == r.getDouble(1)) // bit-identical fold
     val df = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(2.0, 0.0))
     ).toDF("id", "v")
