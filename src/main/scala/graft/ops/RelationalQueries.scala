@@ -534,6 +534,69 @@ object RelationalQueries {
       |  FROM events)
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // --------------------------------------------------------- q_percentiles
+  /** Exact interpolated percentiles per group (same interpolation rule
+    * as DuckDB's quantile_cont; operands are identical doubles, so the
+    * result matches bit-for-bit). At scale an approximate sketch
+    * (percentile_approx / t-digest) replaces this; exact percentile
+    * needs a per-group sort.
+    */
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi")
+      )
+
+  private val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95,
+      |  min(l_extendedprice) AS lo,
+      |  max(l_extendedprice) AS hi
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------- q_array_fns
+  /** Array construction + manipulation: per-order sorted quantity
+    * array, then slice/reverse/contains/element_at over it. One shuffle
+    * (the groupBy); array ops are map-only.
+    */
+  private def qArrayFns(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_sort(collect_list(col("l_linenumber"))).as("lines"),
+        array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+          .as("qty_pairs"))
+      .select(
+        col("l_orderkey"),
+        col("lines"),
+        size(col("lines")).cast(IntegerType).as("n_lines"),
+        slice(col("lines"), 1, 2).as("first2"),
+        reverse(col("lines")).as("rev"),
+        array_contains(col("lines"), 3).cast(IntegerType).as("has_line3"),
+        element_at(col("qty_pairs"), 1).getField("l_quantity").as("first_qty"))
+
+  private val qArrayFnsSql: String =
+    """SELECT l_orderkey, lines,
+      |  CAST(len(lines) AS INTEGER) AS n_lines,
+      |  lines[1:2] AS first2,
+      |  list_reverse(lines) AS rev,
+      |  CAST(list_contains(lines, 3) AS INTEGER) AS has_line3,
+      |  qty_pairs[1].l_quantity AS first_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list(l_linenumber ORDER BY l_linenumber) AS lines,
+      |    list({'l_linenumber': l_linenumber, 'l_quantity': l_quantity}
+      |         ORDER BY l_linenumber, l_quantity) AS qty_pairs
+      |  FROM lineitem GROUP BY l_orderkey)""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -554,7 +617,9 @@ object RelationalQueries {
     "q_sessionize" -> qSessionize _,
     "q_tumbling"   -> qTumbling _,
     "q_sliding"    -> qSliding _,
-    "q_asof"       -> qAsof _
+    "q_asof"       -> qAsof _,
+    "q_percentiles" -> qPercentiles _,
+    "q_array_fns"  -> qArrayFns _
   )
 
   val oracles: Map[String, String] = Map(
@@ -576,6 +641,8 @@ object RelationalQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_tumbling"   -> qTumblingSql,
     "q_sliding"    -> qSlidingSql,
-    "q_asof"       -> qAsofSql
+    "q_asof"       -> qAsofSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_array_fns"  -> qArrayFnsSql
   )
 }
