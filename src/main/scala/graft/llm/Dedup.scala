@@ -90,16 +90,29 @@ object Dedup {
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
        |        FROM $inner)""".stripMargin
 
+  /** All shingles (no string-level distinct — dedup happens on the hash
+    * value downstream, mirroring the engine).
+    */
+  private def shingleAllSql(inner: String): String =
+    s"""SELECT doc_id, unnest(list_transform(
+       |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))
+       |    AS t
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |        FROM $inner)""".stripMargin
+
   /** Per-doc MinHash signature columns sig0..sig{K-1}, computed in ONE
     * aggregation pass (K min-aggregates over the shingle-hash stream —
     * map-side partial min, single shuffle on doc_id; no K× row
     * explosion).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    graft.functions.PolyHash.register(docs.sparkSession)
-    val tok = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
-      .withColumn("h", graft.functions.PolyHash.poly_hash(col("t")))
+    graft.functions.ShinglePolyHash.register(docs.sparkSession)
+    // Shingle hashes straight off the token array (no shingle strings
+    // materialized, ShinglePolyHash scaladoc). min() is insensitive to
+    // duplicates, so no distinct pass is needed either.
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.ShinglePolyHash.shingle_hashes(
+        split(lower(col("text")), " "), lit(3))).as("h"))
     val aggs = (0 until K).map(i =>
       min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -150,10 +163,15 @@ object Dedup {
   private val BITS = 16
 
   private def qSimhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.PolyHash.register(s)
+    graft.functions.ShinglePolyHash.register(s)
+    // SimHash sums ±1 per DISTINCT shingle — dedupe by hash (both the
+    // engine and the oracle dedupe on the hash value, so a same-doc
+    // hash collision cannot cause a cross-engine mismatch).
     val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
-      .withColumn("h", graft.functions.PolyHash.poly_hash(col("t")))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShinglePolyHash
+          .shingle_hashes(split(lower(col("text")), " "), lit(3))))
+          .as("h"))
     val bitCols = (0 until BITS).map { b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
     }
@@ -172,9 +190,9 @@ object Dedup {
       .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""WITH tok AS (
-       |  ${shingleSql("documents")}),
+       |  ${shingleAllSql("documents")}),
        |th AS (
-       |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
+       |  SELECT DISTINCT doc_id, ${tokHashSql("t")} AS h FROM tok),
        |bits AS (
        |  SELECT doc_id,
        |    $bitSums

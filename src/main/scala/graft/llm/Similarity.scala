@@ -141,13 +141,13 @@ object Similarity {
         / 1000003.0 - 0.5)
 
   private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecDot.register(s)
+    graft.functions.LshBucket.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucket = (0 until PLANES)
-      .map(j => when(dot(col("v"), typedlit(planeLit(j))) >= 0,
-        1L << j).otherwise(0L))
-      .reduce(_ + _)
+    // All planes as one flattened row-major literal → a single fused
+    // codegen loop per row (LshBucket scaladoc).
+    val planes = typedlit((0 until PLANES).flatMap(planeLit))
+    val bucket = graft.functions.LshBucket.lsh_bucket(col("v"), planes)
     emb
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_vectors"),

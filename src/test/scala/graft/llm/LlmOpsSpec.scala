@@ -46,6 +46,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes == poly_hash of the materialized shingle strings") {
+    graft.functions.PolyHash.register(spark)
+    graft.functions.ShinglePolyHash.register(spark)
+    val df = Seq("the quick brown fox jumps", "a b c", "x y")
+      .toDF("text")
+      .select(
+        graft.functions.ShinglePolyHash
+          .shingle_hashes(split(lower(col("text")), " "), lit(3))
+          .as("fused"),
+        transform(Dedup.shingles(col("text")),
+          t => graft.functions.PolyHash.poly_hash(t)).as("viaStrings"))
+    df.collect().foreach { r =>
+      // shingles() dedupes strings; fused keeps all windows — compare sets
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+    }
+  }
+
   test("cosine: orthogonal = 0, identical = 1; VecDot == HOF fold") {
     graft.functions.VecDot.register(spark)
     val pairsDf = Seq((Array(1.5, 2.5, -3.0), Array(0.5, -1.0, 2.0)))
