@@ -597,6 +597,26 @@ object RelationalQueries {
       |         ORDER BY l_linenumber, l_quantity) AS qty_pairs
       |  FROM lineitem GROUP BY l_orderkey)""".stripMargin
 
+  // -------------------------------------------------------------- q_approx
+  /** Sketch-based approximate aggregates: HyperLogLog++ distinct counts
+    * and quantile sketches. No DuckDB oracle (different sketch
+    * implementations produce different estimates by design) — the
+    * driver records a rows-only check; exact twins `q_distinct` /
+    * `q_percentiles` are the oracle-checked counterparts. At 100 TB the
+    * sketches are the default: mergeable, bounded memory, one pass.
+    */
+  private def qApprox(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        count(lit(1)).as("n_rows")
+      )
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -619,7 +639,8 @@ object RelationalQueries {
     "q_sliding"    -> qSliding _,
     "q_asof"       -> qAsof _,
     "q_percentiles" -> qPercentiles _,
-    "q_array_fns"  -> qArrayFns _
+    "q_array_fns"  -> qArrayFns _,
+    "q_approx"     -> qApprox _
   )
 
   val oracles: Map[String, String] = Map(

@@ -84,6 +84,26 @@ class StreamingReconstructionSpec extends SparkSpec {
     assert(recs.head.events.map(_.tsMs) == Seq(100, 200))
   }
 
+  test("streaming output matches batch assembly on a 50-txn shuffled corpus") {
+    val rnd = new scala.util.Random(42)
+    val txns = (0 until 50).map(i => s"txn$i" -> (1 + rnd.nextInt(5)))
+    val events = txns.flatMap { case (id, n) =>
+      (0 until n).map(k => change(id, 1000L * (k + 1) + rnd.nextInt(999)))
+    }
+    val ends = txns.map { case (id, n) => marker(id, "END", n) }
+    val all = rnd.shuffle(events ++ ends)
+    val batches = all.grouped((all.size / 3) + 1).toSeq
+    val recs = run(countGated = true, batches, "s_corpus")
+    assert(recs.size == 50)
+    val byId = recs.map(r => r.transactionId -> r).toMap
+    txns.foreach { case (id, n) =>
+      assert(byId(id).events.size == n)
+      assert(byId(id).eventCount.contains(n.toLong))
+      val ts = byId(id).events.map(_.tsMs)
+      assert(ts == ts.sorted) // deterministic event-time order
+    }
+  }
+
   test("BEGIN alone emits nothing; independent txns don't interfere") {
     val recs = run(countGated = false, Seq(
       Seq(marker("a", "BEGIN"), change("a", 1), change("b", 1)),
