@@ -43,4 +43,17 @@ object Tables {
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the full engine surface is
+    * also reachable through `spark.sql(...)` — the SQL layer the
+    * reference lacks entirely (SURVEY.md §0).
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

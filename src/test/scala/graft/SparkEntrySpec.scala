@@ -13,6 +13,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(noOracle == Set("q_approx")) // rows-only by design (sketches)
   }
 
+  test("registerViews exposes the tables to spark.sql") {
+    Tables.registerViews(spark, sf())
+    val df = spark.sql(
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(df.count() == 3)
+    assert(spark.sql("SELECT count(*) FROM events").collect()
+      .head.getLong(0) > 0)
+  }
+
   test("every query builds and returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

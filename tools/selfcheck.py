@@ -23,8 +23,10 @@ def canon(df):
         cells = []
         for v in row:
             if isinstance(v, (float, np.floating)):
+                # exact: all oracles are engineered to be bit-identical
+                # (decimal-routed sums, identical fold orders)
                 v = float(v)
-                cells.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+                cells.append("NaN" if math.isnan(v) else repr(v))
             elif isinstance(v, (bool, np.bool_)):
                 cells.append(repr(bool(v)))
             elif isinstance(v, (int, np.integer)):
