@@ -597,6 +597,82 @@ object RelationalQueries {
       |         ORDER BY l_linenumber, l_quantity) AS qty_pairs
       |  FROM lineitem GROUP BY l_orderkey)""".stripMargin
 
+  // -------------------------------------------------------- q_window_range
+  /** RANGE-frame window: per customer, count of orders within ±10000
+    * of each order's totalprice (value-based frame, vs the ROWS frames
+    * in q_window). Same single-Exchange plan shape.
+    */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, 10000L)
+    Tables
+      .orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"))
+  }
+
+  private val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+      |    AS n_near
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------- q_scalar_subq
+  /** Correlated scalar subquery, expressed through the engine's SQL
+    * layer (`Tables.registerViews` + `spark.sql`): each customer's
+    * order count and max order value. Catalyst decorrelates this into
+    * an aggregate + left outer join — one shuffle each side, no
+    * per-row subquery execution.
+    */
+  private def qScalarSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE c_acctbal > 5000""".stripMargin)
+  }
+
+  private val qScalarSubqSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |    AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c
+      |WHERE c_acctbal > 5000""".stripMargin
+
+  // --------------------------------------------------------------- q_pivot
+  /** Pivot (wide conditional aggregation): one column per
+    * `l_linestatus` value. Spark's relational `pivot`; the oracle is
+    * the equivalent conditional aggregation, which is also exactly how
+    * Spark plans a pivot with known pivot values (single hash agg, no
+    * extra shuffle).
+    */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Det.dsum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+
+  private val qPivotSql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+       |       THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    AS qty_f,
+       |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+       |       THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    AS qty_o
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- q_approx
   /** Sketch-based approximate aggregates: HyperLogLog++ distinct counts
     * and quantile sketches. No DuckDB oracle (different sketch
@@ -640,7 +716,10 @@ object RelationalQueries {
     "q_asof"       -> qAsof _,
     "q_percentiles" -> qPercentiles _,
     "q_array_fns"  -> qArrayFns _,
-    "q_approx"     -> qApprox _
+    "q_approx"     -> qApprox _,
+    "q_pivot"      -> qPivot _,
+    "q_window_range" -> qWindowRange _,
+    "q_scalar_subq"  -> qScalarSubq _
   )
 
   val oracles: Map[String, String] = Map(
@@ -664,6 +743,9 @@ object RelationalQueries {
     "q_sliding"    -> qSlidingSql,
     "q_asof"       -> qAsofSql,
     "q_percentiles" -> qPercentilesSql,
-    "q_array_fns"  -> qArrayFnsSql
+    "q_array_fns"  -> qArrayFnsSql,
+    "q_pivot"      -> qPivotSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_scalar_subq"  -> qScalarSubqSql
   )
 }

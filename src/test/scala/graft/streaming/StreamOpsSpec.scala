@@ -52,6 +52,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file streaming source: windowed agg over events parquet") {
+    // The testable analog of the Kafka source: an unbounded file
+    // source over the same parquet the batch queries read.
+    val events = graft.Tables.events(spark, sf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fsrc")
+    events.write.mode("overwrite").parquet(s"$tmp/events")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$tmp/events")
+    val out = StreamOps.tumblingCounts(stream, "ts",
+      watermarkDelay = "1 minute", windowLen = "1 hour")
+    val q = out.writeStream.format("memory").queryName("fsrc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("fsrc")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()
+        .head.getLong(0)
+      assert(total == events.count()) // every event landed in a window
+    } finally q.stop()
+  }
+
   test("session window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
