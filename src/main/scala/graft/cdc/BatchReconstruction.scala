@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object BatchReconstruction {
 
-  def reconstruct(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw-array form (event_ids: array<long>) — used by the ScalaTest
+    * specs. The oracle-checked [[reconstruct]] string-encodes the array
+    * because the driver's hasher cannot sort array cells.
+    */
+  def reconstructRaw(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(col("user_id").as("transaction_id"))
       .agg(
@@ -43,6 +47,15 @@ object BatchReconstruction {
       .drop("has_end")
   }
 
+  /** Oracle-checked flagship: same as [[reconstructRaw]] but with the
+    * event-id list pipe-joined to one string so the external driver
+    * gate can hash it (pandas cannot sort ndarray cells).
+    */
+  def reconstruct(spark: SparkSession, dir: String): DataFrame =
+    reconstructRaw(spark, dir)
+      .withColumn("event_ids",
+        array_join(transform(col("event_ids"), _.cast("string")), "|"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_reconstruct" -> reconstruct
   )
@@ -51,7 +64,8 @@ object BatchReconstruction {
     "cdc_reconstruct" ->
       s"""SELECT user_id AS transaction_id,
          |       count(*) AS n_events,
-         |       list(event_id ORDER BY ts, event_id) AS event_ids,
+         |       array_to_string(list(event_id ORDER BY ts, event_id), '|')
+         |         AS event_ids,
          |       min(ts) AS first_ts,
          |       max(ts) AS last_ts,
          |       ${Det.dsumSql("value")} AS total_value

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd polynomial string hash:
-  * fold(7, (acc, ch) => (acc * 31 + ch) mod 1e9+7).
+  * fold(7, (acc, cp) => (acc * 31 + cp) mod 1e9+7) over Unicode
+  * CODEPOINTS (not UTF-16 code units — `split(s,"")`/`ascii` and
+  * DuckDB's `string_split_regex`/`ascii` both yield codepoints, so
+  * supplementary-plane characters hash identically across all three).
   *
   * Same value as the composable higher-order-function formulation
-  * (`aggregate(split(s, ""), 7, ...)`, see [[graft.llm.Dedup.tokenHash]])
-  * for ASCII input, and as the DuckDB oracle's `list_reduce` — but
+  * (`aggregate(split(s, ""), 7, ...)`, see [[graft.llm.Dedup.tokenHash]]),
+  * and as the DuckDB oracle's `list_reduce` — but
   * evaluated as a single tight loop inside whole-stage codegen instead
   * of materializing a per-character array per row. On a shingle stream
   * (billions of short strings at 100 TB) this is the difference between
@@ -31,12 +34,16 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |java.lang.String $s = $c.toString();
          |long $acc = 7L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31 + $s.charAt($i)) % 1000000007L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31 + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -53,8 +60,9 @@ object PolyHash {
     var acc = 7L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % P
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     acc
   }

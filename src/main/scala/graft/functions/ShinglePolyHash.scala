@@ -43,8 +43,9 @@ case class ShinglePolyHash(left: Expression, right: Expression)
         val s = arr.getUTF8String(j).toString
         var k = 0
         while (k < s.length) {
-          acc = (acc * 31 + s.charAt(k)) % PolyHash.P
-          k += 1
+          val cp = s.codePointAt(k) // codepoints, see PolyHash scaladoc
+          acc = (acc * 31 + cp) % PolyHash.P
+          k += Character.charCount(cp)
         }
         j += 1
       }
@@ -62,6 +63,7 @@ case class ShinglePolyHash(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
       s"""
@@ -73,8 +75,11 @@ case class ShinglePolyHash(left: Expression, right: Expression)
          |  for (int $j = $i; $j < $i + $n; $j++) {
          |    if ($j > $i) $acc = ($acc * 31 + 32) % 1000000007L;
          |    java.lang.String $s = $arr.getUTF8String($j).toString();
-         |    for (int $k = 0; $k < $s.length(); $k++) {
-         |      $acc = ($acc * 31 + $s.charAt($k)) % 1000000007L;
+         |    int $k = 0;
+         |    while ($k < $s.length()) {
+         |      int $cp = $s.codePointAt($k);
+         |      $acc = ($acc * 31 + $cp) % 1000000007L;
+         |      $k += java.lang.Character.charCount($cp);
          |    }
          |  }
          |  $out[$i] = $acc;

@@ -25,8 +25,14 @@ object DebeziumParser {
       from_json(col("value"), Envelope.envelopeSchema).getField("payload"))
 
   /** Split of a parsed frame into (change events, txn events,
-    * dead letter). Discriminator: presence of `status`
-    * (`DebeziumTransactionReconstructor.java:109`).
+    * dead letter). Discriminator: presence of the `status` KEY in the
+    * payload — the reference checks `payload.has("status")`
+    * (`DebeziumTransactionReconstructor.java:109`), so an envelope
+    * carrying an explicit `"status": null` still routes to the
+    * transaction stream. `from_json` cannot distinguish missing from
+    * null, so key presence is read from the raw JSON via
+    * `json_object_keys`. A null status value surfaces as "" (the same
+    * Jackson `path().asText()` default used for the other fields).
     */
   def split(parsed: DataFrame)
       : (Dataset[ChangeEvent], Dataset[TxnEvent], DataFrame) = {
@@ -34,18 +40,24 @@ object DebeziumParser {
 
     val dead = parsed.filter(col("payload").isNull).select(col("value"))
 
+    val hasStatusKey = coalesce(
+      array_contains(
+        json_object_keys(get_json_object(col("value"), "$.payload")),
+        "status"),
+      lit(false))
+
     val txn = parsed
-      .filter(col("payload").isNotNull && col("payload.status").isNotNull)
+      .filter(col("payload").isNotNull && hasStatusKey)
       .select(
         // Jackson `path(...).asText()` yields "" for a missing node —
         // mirrored with coalesce (`:111-113`).
         coalesce(col("payload.id"), lit("")).as("transactionId"),
-        col("payload.status").as("status"),
+        coalesce(col("payload.status"), lit("")).as("status"),
         col("payload.event_count").as("eventCount"))
       .as[TxnEvent]
 
     val change = parsed
-      .filter(col("payload").isNotNull && col("payload.status").isNull)
+      .filter(col("payload").isNotNull && !hasStatusKey)
       .select(
         coalesce(col("payload.transaction.id"), lit(""))
           .as("transactionId"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -564,9 +564,12 @@ object RelationalQueries {
   // ---------------------------------------------------------- q_array_fns
   /** Array construction + manipulation: per-order sorted quantity
     * array, then slice/reverse/contains/element_at over it. One shuffle
-    * (the groupBy); array ops are map-only.
+    * (the groupBy); array ops are map-only. Array-typed outputs are
+    * pipe-joined to strings for the driver gate (its pandas hasher
+    * cannot sort ndarray cells); [[qArrayFnsRaw]] keeps the raw arrays
+    * for the ScalaTest side.
     */
-  private def qArrayFns(s: SparkSession, d: String): DataFrame =
+  private[graft] def qArrayFnsRaw(s: SparkSession, d: String): DataFrame =
     Tables
       .lineitem(s, d)
       .groupBy(col("l_orderkey"))
@@ -583,11 +586,21 @@ object RelationalQueries {
         array_contains(col("lines"), 3).cast(IntegerType).as("has_line3"),
         element_at(col("qty_pairs"), 1).getField("l_quantity").as("first_qty"))
 
+  private def qArrayFns(s: SparkSession, d: String): DataFrame = {
+    def joined(c: Column): Column =
+      array_join(transform(c, _.cast("string")), "|")
+    qArrayFnsRaw(s, d)
+      .withColumn("lines", joined(col("lines")))
+      .withColumn("first2", joined(col("first2")))
+      .withColumn("rev", joined(col("rev")))
+  }
+
   private val qArrayFnsSql: String =
-    """SELECT l_orderkey, lines,
+    """SELECT l_orderkey,
+      |  array_to_string(lines, '|') AS lines,
       |  CAST(len(lines) AS INTEGER) AS n_lines,
-      |  lines[1:2] AS first2,
-      |  list_reverse(lines) AS rev,
+      |  array_to_string(lines[1:2], '|') AS first2,
+      |  array_to_string(list_reverse(lines), '|') AS rev,
       |  CAST(list_contains(lines, 3) AS INTEGER) AS has_line3,
       |  qty_pairs[1].l_quantity AS first_qty
       |FROM (

@@ -31,8 +31,14 @@ object Sinks {
       .outputMode("append")
 
   /** Dead-letter split via foreachBatch: rows with a null payload go to
-    * the dead-letter path, parsed rows to the main path — both written
-    * exactly-once per micro-batch from one pass over the batch.
+    * the dead-letter path, parsed rows to the main path.
+    *
+    * Idempotent per micro-batch: each batch writes (mode=overwrite) into
+    * its own `batch_id=<id>` subdirectory, so a batch retried after a
+    * partial failure replaces its previous partial output instead of
+    * appending duplicates — effectively exactly-once for any reader of
+    * the directory tree (`spark.read.parquet(mainPath)` sees `batch_id`
+    * as a discovered partition column).
     */
   def withDeadLetter(parsed: DataFrame, mainPath: String,
       deadPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -43,9 +49,9 @@ object Sinks {
         batch.persist()
         try {
           batch.filter(col("payload").isNotNull)
-            .write.mode("append").parquet(mainPath)
+            .write.mode("overwrite").parquet(s"$mainPath/batch_id=$batchId")
           batch.filter(col("payload").isNull).select(col("value"))
-            .write.mode("append").parquet(deadPath)
+            .write.mode("overwrite").parquet(s"$deadPath/batch_id=$batchId")
         } finally batch.unpersist()
         ()
       }

@@ -56,4 +56,14 @@ class DebeziumParserSpec extends SparkSpec {
     val (c, _, _) = splitAll(noTxnBlock)
     assert(c.collect().head.transactionId == "")
   }
+
+  test("explicit status:null routes to txn stream (key presence, not value)") {
+    // The reference discriminates on payload.has("status") — an envelope
+    // with "status": null is still a transaction event.
+    val nullStatus = """{"payload": {"status": null, "id": "t9", "event_count": 2}}"""
+    val (c, t, dead) = splitAll(nullStatus, change)
+    assert(c.count() == 1 && dead.isEmpty)
+    val e = t.collect().head
+    assert(e.transactionId == "t9" && e.status == "" && e.eventCount.contains(2L))
+  }
 }

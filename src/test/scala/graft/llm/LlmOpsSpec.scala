@@ -36,7 +36,11 @@ class LlmOpsSpec extends SparkSpec {
 
   test("poly_hash (codegen) == HOF fold == Scala reference") {
     graft.functions.PolyHash.register(spark)
-    val df = Seq("alpha beta gamma", "x", "the quick brown fox")
+    // includes non-ASCII and supplementary-plane (𝕏 = U+1D54F) input:
+    // all three formulations fold CODEPOINTS, so they must agree
+    // beyond the BMP too.
+    val df = Seq("alpha beta gamma", "x", "the quick brown fox",
+        "café 日本語", "emoji 𝕏 mix")
       .toDF("t")
       .select(col("t"), Dedup.tokenHash(col("t")).as("hof"),
         graft.functions.PolyHash.poly_hash(col("t")).as("cg"))

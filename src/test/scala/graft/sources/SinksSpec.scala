@@ -22,7 +22,8 @@ class SinksSpec extends SparkSpec {
         "garbage", """{"schema": {}}""")
       q.processAllAvailable()
       assert(spark.read.parquet(s"$tmp/main").count() == 1)
-      val dead = spark.read.parquet(s"$tmp/dead").as[String].collect().toSet
+      val dead = spark.read.parquet(s"$tmp/dead")
+        .select("value").as[String].collect().toSet
       assert(dead == Set("garbage", """{"schema": {}}"""))
     } finally q.stop()
   }
