@@ -244,17 +244,52 @@ object Dedup {
       |JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE a.doc_id % 50 = 0""".stripMargin
 
+  // ----------------------------------------------------- q_levenshtein
+  /** Edit-distance near-dup detection, blocked pairwise: probe parts
+    * (p_partkey % 10 == 0) against same-(p_type, p_size)-block parts,
+    * then exact Levenshtein ≤ 6 confirms. The block key bounds the
+    * quadratic term — the same role LSH bands play for MinHash; at
+    * 100 TB the block would be an LSH bucket and this the verify stage.
+    */
+  private def qLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val pr = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_type"), col("p_size"), col("p_name"))
+    pr.filter(col("p_partkey") % 10 === 0).alias("a")
+      .join(pr.alias("b"),
+        col("a.p_type") === col("b.p_type") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist",
+        levenshtein(col("a.p_name"), col("b.p_name")).cast(IntegerType))
+      .filter(col("dist") <= 6)
+      .select(col("a.p_type").as("p_type"), col("a.p_size").as("p_size"),
+        col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("dist"))
+  }
+
+  private val qLevenshteinSql: String =
+    """SELECT a.p_type AS p_type, a.p_size AS p_size,
+      |  a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM part a
+      |JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size
+      |           AND a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey % 10 = 0
+      |  AND levenshtein(a.p_name, b.p_name) <= 6""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"   -> qDedupExact _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
-    "q_ngram_jaccard" -> qNgramJaccard _
+    "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_levenshtein"   -> qLevenshtein _
   )
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
     "q_minhash_lsh"   -> qMinhashLshSql,
     "q_simhash"       -> qSimhashSql,
-    "q_ngram_jaccard" -> qNgramJaccardSql
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_levenshtein"   -> qLevenshteinSql
   )
 }

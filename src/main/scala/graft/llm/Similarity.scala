@@ -169,15 +169,101 @@ object Similarity {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_ivf_ann
+  /** IVF (inverted-file) approximate nearest neighbor, nprobe=1:
+    *  1. centroids = the first K=8 vectors (a deterministic stand-in
+    *     for k-means — the index structure, not the training, is the
+    *     operator under test);
+    *  2. every vector is assigned to its max-cosine centroid (tie →
+    *     lowest centroid id) — map-only against broadcast centroids;
+    *  3. each probe (vec_id % 97 == 0) searches ONLY its own
+    *     centroid's bucket — top-3 by cosine.
+    *
+    * Scale: this is the ANN path that survives a billion-row corpus —
+    * the corpus is hash-partitioned by centroid_id, probes broadcast,
+    * and each query scans ~N/K candidates instead of N. The exact
+    * twin is q_ann_brute.
+    */
+  private val IVF_K = 8
+
+  private def qIvfAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = emb.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("centroid_id").asc)
+    val assign = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("acos",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
+    val probes = assign.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").as("probe_centroid"),
+        col("v").as("q"), col("nrm").as("qnrm"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(assign,
+        col("probe_centroid") === col("centroid_id") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qIvfAnnSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $IVF_K),
+       |scored_assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.ce")} AS acos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored_assign) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id
+       |  FROM assign WHERE vec_id % 97 = 0),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id
+       |               AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs) WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
-    "q_ann_lsh"      -> qAnnLsh _
+    "q_ann_lsh"      -> qAnnLsh _,
+    "q_ivf_ann"      -> qIvfAnn _
   )
 
   val oracles: Map[String, String] = Map(
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,
-    "q_ann_lsh"      -> qAnnLshSql
+    "q_ann_lsh"      -> qAnnLshSql,
+    "q_ivf_ann"      -> qIvfAnnSql
   )
 }

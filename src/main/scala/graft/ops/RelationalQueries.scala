@@ -4,7 +4,7 @@ import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Relational operator breadth over the TPC-H-ish tables.
   *
@@ -75,6 +75,15 @@ object RelationalQueries {
   /** Star join: fact tables shuffle-join on keys, dimensions broadcast.
     * Scale: `nation`/`region` are tiny at any SF → broadcast hash join
     * (no shuffle); customer⋈orders⋈lineitem co-shuffle on their keys.
+    *
+    * The two countDistincts are computed via a two-level aggregation:
+    * a per-(region, nation, order) partial first (map-side combine
+    * shrinks the join output to ~#orders rows; revenue stays an exact
+    * decimal partial so the total is identical), then the distinct
+    * counts on the pre-grouped frame — avoiding Catalyst's Expand×3 of
+    * the full join output that a multi-distinct aggregate would plan.
+    * o_custkey is functionally dependent on o_orderkey, so
+    * count(*) over the pre-group = count(DISTINCT o_orderkey).
     */
   private def qJoinStar(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -82,17 +91,21 @@ object RelationalQueries {
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_orderkey"),
+        col("c_custkey"))
+      .agg(
+        sum(Det.money2(col("l_extendedprice")) *
+          Det.factor2(lit(1) - col("l_discount"))).as("rev_part"))
+    perOrder
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        Det
-          .dsumExact(Det.money2(col("l_extendedprice")) *
-            Det.factor2(lit(1) - col("l_discount")))
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("rev_part")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_custs")
       )
   }
@@ -706,6 +719,253 @@ object RelationalQueries {
         count(lit(1)).as("n_rows")
       )
 
+  // -------------------------------------------------------------- q_not_in
+  /** NOT IN subquery — plans as a null-aware anti join (a genuinely
+    * different operator from q_anti's plain left-anti: the build side
+    * must be checked for nulls before any row can pass). Expressed via
+    * the SQL layer so Catalyst's subquery rewrite is exercised.
+    * Scale: build side is a filtered key set — broadcastable.
+    */
+  private def qNotIn(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(qNotInSql)
+  }
+
+  private val qNotInSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin
+
+  // --------------------------------------------------------------- q_outer
+  /** FULL OUTER join of two aggregates with COALESCE over the null
+    * sides. Scale: both inputs are already-aggregated (25-nation)
+    * frames — the outer join is trivially small after pre-aggregation;
+    * never outer-join raw fact tables.
+    */
+  private def qOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") < -500)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < -500)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  private val qOuterSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS ck, count(*) AS n_cust
+      |  FROM customer WHERE c_acctbal < -500 GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS sk, count(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal < -500 GROUP BY 1)
+      |SELECT coalesce(ck, sk) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust,
+      |  coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin
+
+  // ------------------------------------------------------------- q_explode
+  /** Generator/table-function operator: posexplode over a split token
+    * array (the UNNEST WITH ORDINALITY of ANSI SQL). Map-side only —
+    * no shuffle; the row expansion happens inside whole-stage codegen.
+    */
+  private def qExplode(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+
+  private val qExplodeSql: String =
+    """SELECT p_partkey,
+      |  CAST(unnest(range(len(tk))) AS INTEGER) AS pos,
+      |  unnest(tk) AS word
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS tk FROM part)""".stripMargin
+
+  // --------------------------------------------------------------- q_ntile
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * nth_value — one window spec, one Exchange. The rank-derived
+    * doubles ((rank-1)/(n-1) etc.) are identical across engines since
+    * the operands are exact integers.
+    */
+  private def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          .as("second_key"))
+  }
+
+  private val qNtileSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                 AND UNBOUNDED FOLLOWING) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  // ------------------------------------------------------ q_grouping_sets
+  /** Explicit GROUPING SETS (a set combination that is neither ROLLUP
+    * nor CUBE), through the SQL layer. Plans as one Expand + hash agg —
+    * a single shuffle regardless of the number of sets.
+    */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(qGroupingSetsSql)
+  }
+
+  private val qGroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       |  count(*) AS n,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), (l_linestatus))""".stripMargin
+
+  // --------------------------------------------------------------- q_stats
+  /** Statistical aggregates — mean/variance/stddev/correlation —
+    * computed from exact decimal component sums (sum x, sum x², sum xy)
+    * with the final arithmetic done in identical double expressions on
+    * both engines. Built-in stddev/corr stream floats in engine-
+    * specific order and would never hash-match; the component-sum
+    * formulation is order-independent AND one-pass/mergeable — exactly
+    * what a 1000-executor aggregation needs anyway.
+    */
+  private def qStats(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity"); val p = col("l_extendedprice")
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(q).as("sx"),
+        Det.dsumExact(Det.money2(q) * Det.money2(q)).as("sxx"),
+        Det.dsum(p).as("sy"),
+        Det.dsumExact(Det.money2(p) * Det.money2(p)).as("syy"),
+        Det.dsumExact(Det.money2(q) * Det.money2(p)).as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    g.select(
+      col("l_returnflag"), n,
+      (sx / n).as("mean_qty"),
+      ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+      sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        .as("corr_qty_price"))
+  }
+
+  private val qStatsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sx / n AS mean_qty,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      |  (n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |    AS corr_qty_price
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------- q_range_join
+  /** Non-equi (range/interval) join against a tiny tier table — plans
+    * as BroadcastNestedLoopJoin, the right physical choice when one
+    * side is a handful of rows. Scale: the dimension is constant-size;
+    * the fact side streams map-only against the broadcast tiers.
+    */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("small", 0.0, 50000.0),
+      ("medium", 50000.0, 150000.0),
+      ("large", 150000.0, 1000000000.0)).toDF("tier", "lo", "hi")
+    Tables
+      .orders(s, d)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+  }
+
+  private val qRangeJoinSql: String =
+    s"""WITH tiers AS (
+       |  SELECT * FROM (VALUES ('small', 0.0, 50000.0),
+       |                        ('medium', 50000.0, 150000.0),
+       |                        ('large', 150000.0, 1000000000.0))
+       |    t(tier, lo, hi))
+       |SELECT tier, count(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
+       |FROM orders JOIN tiers
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY tier""".stripMargin
+
+  // --------------------------------------------------------------- q_regex
+  /** Regex scalar functions: group extraction + boolean match. */
+  private def qRegex(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+          .cast(IntegerType).as("brand_num"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        col("p_type").rlike("ECON").cast(IntegerType).as("is_econ"))
+
+  private val qRegexSql: String =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER)
+      |    AS brand_num,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  CAST(regexp_matches(p_type, 'ECON') AS INTEGER) AS is_econ
+      |FROM part""".stripMargin
+
+  // --------------------------------------------------------- q_hash_sample
+  /** Deterministic hash-based sampling (~2%): rows where
+    * md5(key) mod 50 = 0. Unlike TABLESAMPLE/rand() this is stable
+    * across engines, partitionings, and reruns — the only sampling
+    * that is reproducible on a cluster, and the standard way to carve
+    * held-out shards from a 100 TB corpus.
+    */
+  private def qHashSample(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .filter(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val qHashSampleSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+      |           AS BIGINT) % 50 = 0""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -732,7 +992,16 @@ object RelationalQueries {
     "q_approx"     -> qApprox _,
     "q_pivot"      -> qPivot _,
     "q_window_range" -> qWindowRange _,
-    "q_scalar_subq"  -> qScalarSubq _
+    "q_scalar_subq"  -> qScalarSubq _,
+    "q_not_in"     -> qNotIn _,
+    "q_outer"      -> qOuter _,
+    "q_explode"    -> qExplode _,
+    "q_ntile"      -> qNtile _,
+    "q_grouping_sets" -> qGroupingSets _,
+    "q_stats"      -> qStats _,
+    "q_range_join" -> qRangeJoin _,
+    "q_regex"      -> qRegex _,
+    "q_hash_sample" -> qHashSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,6 +1028,15 @@ object RelationalQueries {
     "q_array_fns"  -> qArrayFnsSql,
     "q_pivot"      -> qPivotSql,
     "q_window_range" -> qWindowRangeSql,
-    "q_scalar_subq"  -> qScalarSubqSql
+    "q_scalar_subq"  -> qScalarSubqSql,
+    "q_not_in"     -> qNotInSql,
+    "q_outer"      -> qOuterSql,
+    "q_explode"    -> qExplodeSql,
+    "q_ntile"      -> qNtileSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_stats"      -> qStatsSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_regex"      -> qRegexSql,
+    "q_hash_sample" -> qHashSampleSql
   )
 }
