@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SparkSessionExtensions route: a session created with
+  * `withExtensions(new GraftExtensions)` can call every custom
+  * expression from plain SQL with no register() call.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions-injected functions are callable from SQL") {
+    // Force the shared suite session into existence first, then build a
+    // sibling session (same JVM/SparkContext) with the extensions
+    // applied — getOrCreate only honors withExtensions when no
+    // active/default session is in the way.
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = ext.sql(
+        """SELECT poly_hash('the quick brown fox') AS ph,
+          |  vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS vd,
+          |  shingle_hashes(array('a', 'b', 'c'), 2) AS sh,
+          |  lsh_bucket(array(1.0d, -1.0d), array(1.0d, 0.0d, 0.0d, 1.0d))
+          |    AS lb""".stripMargin).collect().head
+      assert(row.getLong(0) == graft.functions.PolyHash.hash("the quick brown fox"))
+      assert(row.getDouble(1) == 32.0)
+      assert(row.getSeq[Long](2) == Seq(
+        graft.functions.PolyHash.hash("a b"),
+        graft.functions.PolyHash.hash("b c")))
+      // plane 0 = (1,0) → dot 1 >= 0 → bit 0; plane 1 = (0,1) → dot -1 → no bit
+      assert(row.getLong(3) == 1L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
