@@ -966,6 +966,130 @@ object RelationalQueries {
       |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
       |           AS BIGINT) % 50 = 0""".stripMargin
 
+  // ------------------------------------------------------------ q_map_fns
+  /** MapType construction + navigation: per-order map of line number →
+    * total quantity (pre-aggregated — map keys must be unique on both
+    * engines), then lookup / keys / cardinality. Entry order is the
+    * sorted key order on both sides, so the joined key list matches.
+    */
+  private def qMapFns(s: SparkSession, d: String): DataFrame = {
+    val perLine = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(Det.dsum(col("l_quantity")).as("q"))
+    perLine
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("l_linenumber").as("k"), col("q").as("v"))))).as("mp"))
+      .select(
+        col("l_orderkey"),
+        element_at(col("mp"), 1).as("q_line1"),
+        size(map_keys(col("mp"))).cast(IntegerType).as("n_keys"),
+        array_join(transform(map_keys(col("mp")), _.cast("string")), "|")
+          .as("keys"))
+  }
+
+  private val qMapFnsSql: String =
+    s"""WITH per_line AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ${Det.dsumSql("l_quantity")} AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |m AS (
+       |  SELECT l_orderkey,
+       |    map_from_entries(list({'k': l_linenumber, 'v': q}
+       |                          ORDER BY l_linenumber)) AS mp
+       |  FROM per_line GROUP BY 1)
+       |SELECT l_orderkey, mp[1][1] AS q_line1,
+       |  CAST(len(map_keys(mp)) AS INTEGER) AS n_keys,
+       |  array_to_string(map_keys(mp), '|') AS keys
+       |FROM m""".stripMargin
+
+  // ----------------------------------------------------------- q_null_fns
+  /** Null-handling scalar functions: NULLIF / COALESCE / IS NULL
+    * arithmetic — the null-propagation semantics a SQL surface must
+    * honor.
+    */
+  private def qNullFns(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("st_or_null"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN"))
+          .as("st_disp"),
+        (expr("nullif(o_totalprice, 0.0)") + lit(1.0)).isNull
+          .cast(IntegerType).as("null_propagated"))
+
+  private val qNullFnsSql: String =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'O') AS st_or_null,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_disp,
+      |  CAST((nullif(o_totalprice, 0.0) + 1.0) IS NULL AS INTEGER)
+      |    AS null_propagated
+      |FROM orders""".stripMargin
+
+  // ----------------------------------------------------------- q_cond_agg
+  /** FILTER-clause conditional aggregation (ANSI aggregate filters) —
+    * one hash aggregate, no self-joins; the same SQL text runs on both
+    * engines.
+    */
+  private val qCondAggSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+      |    AS urgent_total
+      |FROM orders
+      |GROUP BY o_orderstatus""".stripMargin
+
+  private def qCondAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(qCondAggSql)
+  }
+
+  // --------------------------------------------------------- q_string_agg
+  /** Deterministic string aggregation (LISTAGG): sorted-distinct
+    * statuses joined per priority. Sorting inside the aggregate makes
+    * the result independent of partition/arrival order — the only
+    * listagg that is stable on a cluster.
+    */
+  private def qStringAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+
+  private val qStringAggSql: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list(DISTINCT o_orderstatus
+      |                       ORDER BY o_orderstatus), ',') AS statuses,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------ q_union_by_name
+  /** Schema-evolution union: unionByName(allowMissingColumns) aligns on
+    * column NAMES and null-fills the gaps — how heterogeneous shards of
+    * an evolving 100 TB table are unioned without positional bugs.
+    */
+  private def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val su = Tables.supplier(s, d).filter(col("s_suppkey") < 100)
+      .select(col("s_suppkey").as("key"), col("s_acctbal").as("acct"))
+    c.unionByName(su, allowMissingColumns = true)
+  }
+
+  private val qUnionByNameSql: String =
+    """SELECT c_custkey AS key, c_name AS name
+      |FROM customer WHERE c_custkey < 100
+      |UNION ALL BY NAME
+      |SELECT s_suppkey AS key, s_acctbal AS acct
+      |FROM supplier WHERE s_suppkey < 100""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1001,7 +1125,12 @@ object RelationalQueries {
     "q_stats"      -> qStats _,
     "q_range_join" -> qRangeJoin _,
     "q_regex"      -> qRegex _,
-    "q_hash_sample" -> qHashSample _
+    "q_hash_sample" -> qHashSample _,
+    "q_map_fns"    -> qMapFns _,
+    "q_null_fns"   -> qNullFns _,
+    "q_cond_agg"   -> qCondAgg _,
+    "q_string_agg" -> qStringAgg _,
+    "q_union_by_name" -> qUnionByName _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1037,6 +1166,11 @@ object RelationalQueries {
     "q_stats"      -> qStatsSql,
     "q_range_join" -> qRangeJoinSql,
     "q_regex"      -> qRegexSql,
-    "q_hash_sample" -> qHashSampleSql
+    "q_hash_sample" -> qHashSampleSql,
+    "q_map_fns"    -> qMapFnsSql,
+    "q_null_fns"   -> qNullFnsSql,
+    "q_cond_agg"   -> qCondAggSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_union_by_name" -> qUnionByNameSql
   )
 }
