@@ -153,17 +153,60 @@ object TextAnalysis {
       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q_chunk
+  /** Fixed-size context chunking: split each document into 64-char
+    * chunks with position index and per-chunk md5 — the map-only
+    * pre-processing step that feeds context windows to a trainer.
+    * The chunk array is built lazily per row (sequence + substr inside
+    * codegen) and exploded; no shuffle, output size ≈ corpus size.
+    */
+  private val CHUNK = 64
+
+  private def qChunk(s: SparkSession, d: String): DataFrame = {
+    val nc = greatest(
+      expr(s"(length(text) - 1) div $CHUNK") + 1, lit(1))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nc - 1),
+          i => col("text").substr(i * CHUNK + 1, lit(CHUNK))))
+          .as(Seq("pos", "chunk")))
+      .select(
+        col("doc_id"), col("pos"),
+        length(col("chunk")).cast(IntegerType).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
+  private val qChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    greatest((length(text) - 1) // $CHUNK + 1, 1) AS nc
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(nc)) AS INTEGER) AS pos,
+       |    unnest(list_transform(range(nc),
+       |      i -> substring(text, CAST(i * $CHUNK + 1 AS INTEGER), $CHUNK)))
+       |      AS chunk
+       |  FROM t)
+       |SELECT doc_id, pos,
+       |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+       |  md5(chunk) AS chunk_md5
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_token_count" -> qTokenCount _,
-    "q_fingerprint" -> qFingerprint _
+    "q_fingerprint" -> qFingerprint _,
+    "q_chunk"       -> qChunk _
   )
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
-    "q_fingerprint" -> qFingerprintSql
+    "q_fingerprint" -> qFingerprintSql,
+    "q_chunk"       -> qChunkSql
   )
 }

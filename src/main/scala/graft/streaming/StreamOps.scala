@@ -66,4 +66,24 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-stream equi join bounded by an event-time interval:
+    * right rows join left rows of the same key within
+    * `[tsL - bound, tsL + bound]`. The time constraint plus the two
+    * watermarks let Spark prune join state on both sides — without it
+    * a stream-stream join buffers forever (the unbounded-state trap
+    * the reference's GlobalWindow variant actually has,
+    * `...WithEventCorrelation.java:81-83`).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      tsL: String, tsR: String,
+      bound: String = "10 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    left.withWatermark(tsL, watermarkDelay)
+      .join(
+        right.withWatermark(tsR, watermarkDelay),
+        expr(s"""$leftKey = $rightKey
+                |AND $tsR >= $tsL - INTERVAL $bound
+                |AND $tsR <= $tsL + INTERVAL $bound""".stripMargin))
 }

@@ -73,6 +73,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only rows within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user"),
+      buys.toDF().toDF("b_ts", "b_user"),
+      "c_user", "b_user", "c_ts", "b_ts", bound = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // user 1: buy 5 min after click → within bound, joins.
+      // user 2: click at 10:00, buy at 10:45 → outside ±10 min, dropped.
+      clicks.addData((ts(0), 1L), (ts(0), 2L))
+      buys.addData((ts(5), 1L), (ts(45), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ivj").as[(Timestamp, Long, Timestamp, Long)]
+        .collect()
+      assert(rows.map(_._2).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("session window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
