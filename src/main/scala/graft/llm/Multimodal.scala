@@ -76,6 +76,67 @@ object Multimodal {
     }
   }
 
+  /** A resized media row (decode → scale → re-encode pipeline stage). */
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      payload: Array[Byte])
+
+  /** One sampled frame of a video payload. */
+  case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      n_bytes: Int,
+      checksum: Long)
+
+  /** STUB — a real implementation decodes, scales to (w, h), and
+    * re-encodes. Deterministic fake: stride-sample the bytes so output
+    * size tracks the scale factor and tests are reproducible. The
+    * signature (bytes in, bytes out, no Spark types) is the adapter
+    * contract.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val stride = math.max(1, payload.length / math.max(1, w * h / 64))
+    payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+  }
+
+  /** Per-partition resize — same mapPartitions batch shape as
+    * [[extractFeatures]]; scaler state would be initialized once per
+    * partition. Map-only: no shuffle, blobs never pass the driver.
+    */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val out = resizeStub(m.payload, w, h)
+        ResizedMedia(m.media_id, m.kind, w, h, out.length, out)
+      }
+    }
+  }
+
+  /** Frame sampling: split the payload into fixed-size pseudo-frames
+    * and keep every `everyNth` one — the flatMap row-expansion shape of
+    * real video frame extraction (one input row → k frame rows, still
+    * map-only). Frames carry byte-level facts so specs can assert
+    * exact values without a codec.
+    */
+  def frameSample(items: Dataset[MediaItem], frameBytes: Int,
+      everyNth: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, idx) if idx % everyNth == 0 =>
+          val checksum =
+            bytes.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) %
+              1000000007L)
+          Frame(m.media_id, idx, bytes.length, checksum)
+      }
+    }
+  }
+
   /** Build a media table from `documents` (text bytes stand in for the
     * blob payload; kind assigned round-robin).
     */

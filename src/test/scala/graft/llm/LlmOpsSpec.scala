@@ -101,6 +101,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(img.forall(m => m.width < 1920 && m.height < 1080))
   }
 
+  test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
+    val items = Multimodal.mediaFromDocuments(spark, sf())
+    val one = items.filter(col("media_id") === 1).collect().head
+
+    val resized = Multimodal.resize(items, 64, 64)
+      .filter(col("media_id") === 1).collect().head
+    assert(resized.width == 64 && resized.height == 64)
+    assert(resized.n_bytes > 0 && resized.n_bytes <= one.payload.length)
+    // deterministic: same input → same bytes
+    assert(resized.payload.toSeq ==
+      Multimodal.resizeStub(one.payload, 64, 64).toSeq)
+
+    val frames = Multimodal.frameSample(items, frameBytes = 32, everyNth = 2)
+      .filter(col("media_id") === 1).collect().sortBy(_.frame_idx)
+    val expected = (one.payload.length + 31) / 32
+    assert(frames.length == (expected + 1) / 2) // every 2nd frame kept
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.init.forall(_.n_bytes == 32)) // all full but maybe last
+  }
+
   test("ann-lsh buckets partition the corpus completely") {
     val total = graft.Tables.embeddings(spark, sf()).count()
     val buckets = SparkEntryHelpers.annLsh(spark, sf())
