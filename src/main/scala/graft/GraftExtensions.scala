@@ -16,13 +16,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Expression, so plans and results are the same.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }
 
 object GraftExtensions {

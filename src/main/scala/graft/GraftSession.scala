@@ -20,6 +20,9 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(master)
       .appName("graft")
+      // the engine's own extensions: custom codegen functions in SQL +
+      // the Levenshtein threshold-pushdown optimizer rule
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -36,6 +36,22 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.PolyHash.hash("b c")))
       // plane 0 = (1,0) → dot 1 >= 0 → bit 0; plane 1 = (0,1) → dot -1 → no bit
       assert(row.getLong(3) == 1L)
+
+      // optimizer rule: levenshtein(a,b) <= k rewritten to the banded
+      // threshold form levenshtein(a,b,k) >= 0 (parquet-backed source —
+      // a LocalRelation would be constant-folded before we could look)
+      import org.apache.spark.sql.functions._
+      val part = Tables.part(ext, sf())
+      val filtered = part
+        .filter(levenshtein(col("p_name"), lit("small ring")) <= 3)
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Some(3)) >= 0"), s"threshold not pushed:\n$opt")
+      // and semantics are unchanged vs the un-optimized base session
+      val expected = Tables.part(base, sf())
+        .filter(levenshtein(col("p_name"), lit("small ring")) <= 3)
+        .select("p_partkey").collect().map(_.getLong(0)).toSet
+      assert(filtered.select("p_partkey").collect().map(_.getLong(0)).toSet
+        == expected && expected.nonEmpty)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
