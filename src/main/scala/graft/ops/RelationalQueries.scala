@@ -1090,6 +1090,38 @@ object RelationalQueries {
       |SELECT s_suppkey AS key, s_acctbal AS acct
       |FROM supplier WHERE s_suppkey < 100""".stripMargin
 
+  // ------------------------------------------------------------ q_topk_agg
+  /** Per-group top-k via the custom typed Aggregator
+    * ([[graft.functions.TopKAggregate]]) — a bounded mergeable buffer
+    * (k doubles per partition partial) instead of the window-function
+    * formulation's full per-group sort. The oracle reproduces the same
+    * three values with a ranked conditional aggregation.
+    */
+  private def qTopkAgg(s: SparkSession, d: String): DataFrame = {
+    val top3 = graft.functions.TopKAggregate.top_k(col("l_extendedprice"), 3)
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(top3.as("arr"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("arr"), 1).as("top1"),
+        element_at(col("arr"), 2).as("top2"),
+        element_at(col("arr"), 3).as("top3"))
+  }
+
+  private val qTopkAggSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice DESC) AS rn
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rn = 1 THEN l_extendedprice END) AS top1,
+      |  max(CASE WHEN rn = 2 THEN l_extendedprice END) AS top2,
+      |  max(CASE WHEN rn = 3 THEN l_extendedprice END) AS top3
+      |FROM r GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1130,7 +1162,8 @@ object RelationalQueries {
     "q_null_fns"   -> qNullFns _,
     "q_cond_agg"   -> qCondAgg _,
     "q_string_agg" -> qStringAgg _,
-    "q_union_by_name" -> qUnionByName _
+    "q_union_by_name" -> qUnionByName _,
+    "q_topk_agg"   -> qTopkAgg _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1171,6 +1204,7 @@ object RelationalQueries {
     "q_null_fns"   -> qNullFnsSql,
     "q_cond_agg"   -> qCondAggSql,
     "q_string_agg" -> qStringAggSql,
-    "q_union_by_name" -> qUnionByNameSql
+    "q_union_by_name" -> qUnionByNameSql,
+    "q_topk_agg"   -> qTopkAggSql
   )
 }
