@@ -111,4 +111,50 @@ class StreamingReconstructionSpec extends SparkSpec {
     ), "s5")
     assert(recs.map(_.transactionId) == Seq("b"))
   }
+
+  test("processing-time TTL evicts never-ended state across checkpoint restarts") {
+    // The reference leaks state forever for transactions that never see
+    // END (`DebeziumTransactionReconstructor.java:138`, no timer). With
+    // ttl=Some(...) the timeout branch removes the buffer; a later END
+    // then finds nothing and emits nothing. Driven with Trigger.Once
+    // (exactly one micro-batch per run) + a shared checkpoint:
+    // ProcessingTimeTimeout schedules timeout-check batches FOREVER
+    // under both processAllAvailable and Trigger.AvailableNow, so a
+    // bounded-batch trigger is the only way to test it. This also
+    // exercises the reference's operational envelope: checkpointed
+    // restart (O1/O2).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{ChangeEvent, TxnEvent}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val changes = MemoryStream[ChangeEvent]
+    val txns = MemoryStream[TxnEvent]
+    val out = StreamingReconstruction.reconstruct(
+      changes.toDS(), txns.toDS(),
+      ttl = Some(java.time.Duration.ofMillis(300)))
+
+    def runOnce(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+
+    changes.addData(ChangeEvent("t1", "c", 1L, None, None))
+    runOnce()                       // t1 buffered, timer armed
+    Thread.sleep(800)               // let t1's TTL expire
+    changes.addData(ChangeEvent("t2", "c", 2L, None, None))
+    runOnce()                       // batch runs → t1's timer fires → state dropped
+    // Both ENDs arrive in ONE batch: t1's buffer is gone (TTL) → no
+    // emit; t2 has data in this batch, so its group is processed as
+    // data (expired timers are superseded by input) → emits complete.
+    txns.addData(TxnEvent("t1", "END", Some(1L)),
+      TxnEvent("t2", "END", Some(1L)))
+    runOnce()
+    val after = spark.read.parquet(s"$tmp/out")
+    assert(after.count() == 1L)
+    assert(after.select("transactionId").collect().head.getString(0) == "t2")
+  }
 }
