@@ -67,6 +67,18 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment join: every micro-batch joins against
+    * the static dimension frame — broadcast, stateless, and always
+    * up-to-date with the dimension's source (contrast with the
+    * stream-stream joins, which buffer both sides in the state store).
+    * This is the right operator when the enrichment side is a table,
+    * not a stream — the case the reference's `EventCorrelator` cache
+    * (`...WithEventCorrelation.java:128-165`) approximates by hand.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinKeys, "left_outer")
+
   /** Stream-stream equi join bounded by an event-time interval:
     * right rows join left rows of the same key within
     * `[tsL - bound, tsL + bound]`. The time constraint plus the two

@@ -73,6 +73,23 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val dim = graft.Tables.nation(spark, sf())
+    val out = StreamOps.staticEnrich(
+      input.toDF().toDF("n_nationkey"), dim, Seq("n_nationkey"))
+    val q = out.writeStream.format("memory").queryName("senrich")
+      .outputMode("append").start()
+    try {
+      input.addData(0L, 1L, 9999L) // 9999 has no dim row → null name
+      q.processAllAvailable()
+      val rows = spark.table("senrich").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(0L).isDefined && rows(1L).isDefined && rows(9999L).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches only rows within the bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
