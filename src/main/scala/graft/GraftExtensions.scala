@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    ext.injectPlannerStrategy(_ => graft.plans.PartitionedTopKStrategy)
   }
 }
 

@@ -1122,6 +1122,31 @@ object RelationalQueries {
       |  max(CASE WHEN rn = 3 THEN l_extendedprice END) AS top3
       |FROM r GROUP BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------- q_topk_per_key
+  /** Per-customer 3 largest orders through the custom whole-operator
+    * plan ([[graft.plans.PartitionedTopK]]): same single Exchange +
+    * Sort as the window formulation, but rows stream out after k per
+    * key with no rank column materialized. The oracle is the window
+    * formulation — results must be identical.
+    */
+  private def qTopkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.PartitionedTopK.topKPerKey(
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+
+  private val qTopkPerKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |      AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1163,7 +1188,8 @@ object RelationalQueries {
     "q_cond_agg"   -> qCondAgg _,
     "q_string_agg" -> qStringAgg _,
     "q_union_by_name" -> qUnionByName _,
-    "q_topk_agg"   -> qTopkAgg _
+    "q_topk_agg"   -> qTopkAgg _,
+    "q_topk_per_key" -> qTopkPerKey _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1205,6 +1231,7 @@ object RelationalQueries {
     "q_cond_agg"   -> qCondAggSql,
     "q_string_agg" -> qStringAggSql,
     "q_union_by_name" -> qUnionByNameSql,
-    "q_topk_agg"   -> qTopkAggSql
+    "q_topk_agg"   -> qTopkAggSql,
+    "q_topk_per_key" -> qTopkPerKeySql
   )
 }
