@@ -1147,6 +1147,37 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  // --------------------------------------------------------------- q_cross
+  /** Explicit cartesian product of two constant-size dimensions —
+    * the one join type where BroadcastNestedLoopJoin with no condition
+    * is the correct plan. Never valid between fact tables; both sides
+    * here are O(1) rows at any scale factor.
+    */
+  private def qCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+
+  private val qCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin
+
+  // ------------------------------------------------------------- q_lateral
+  /** LATERAL correlated subquery join — the per-row-subquery syntax
+    * Catalyst decorrelates into an aggregate + join (DomainJoin
+    * rewrite), so execution is one shuffle per side, not a subquery
+    * per row. Same SQL text runs on both engines.
+    */
+  private val qLateralSql: String =
+    """SELECT c_custkey, t.max_price
+      |FROM customer c,
+      |  LATERAL (SELECT max(o_totalprice) AS max_price
+      |           FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE c_acctbal > 9000""".stripMargin
+
+  private def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(qLateralSql)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1189,7 +1220,9 @@ object RelationalQueries {
     "q_string_agg" -> qStringAgg _,
     "q_union_by_name" -> qUnionByName _,
     "q_topk_agg"   -> qTopkAgg _,
-    "q_topk_per_key" -> qTopkPerKey _
+    "q_topk_per_key" -> qTopkPerKey _,
+    "q_cross"      -> qCross _,
+    "q_lateral"    -> qLateral _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1232,6 +1265,8 @@ object RelationalQueries {
     "q_string_agg" -> qStringAggSql,
     "q_union_by_name" -> qUnionByNameSql,
     "q_topk_agg"   -> qTopkAggSql,
-    "q_topk_per_key" -> qTopkPerKeySql
+    "q_topk_per_key" -> qTopkPerKeySql,
+    "q_cross"      -> qCrossSql,
+    "q_lateral"    -> qLateralSql
   )
 }
