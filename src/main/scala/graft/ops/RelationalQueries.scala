@@ -716,6 +716,13 @@ object RelationalQueries {
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("approx_p50"),
+        // Apache DataSketches HLL: mergeable binary sketch + estimate —
+        // the cross-cluster form (sketches union across partitions/days)
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("hll_parts"),
+        // count-min: mergeable frequency sketch over the suppkey stream
+        expr("hex(substring(count_min_sketch(l_suppkey, 0.01d, 0.95d, 1), 1, 8))")
+          .as("cms_prefix"),
         count(lit(1)).as("n_rows")
       )
 
