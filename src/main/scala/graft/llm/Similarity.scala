@@ -253,17 +253,88 @@ object Similarity {
        |                               ORDER BY cos DESC, neighbor_id) AS rnk
        |  FROM pairs) WHERE rnk <= 3""".stripMargin
 
+  // --------------------------------------------------------- q_kmeans_step
+  /** One Lloyd (k-means) update step — the training half that
+    * [[qIvfAnn]]'s deterministic centroids stand in for: assign every
+    * vector to its max-cosine centroid, then recompute each centroid
+    * dimension as the mean of its members.
+    *
+    * Scale: assignment is map-only against broadcast centroids; the
+    * update is one hash aggregation keyed by (centroid, dim) — K·dim
+    * groups regardless of corpus size, with map-side partial sums. The
+    * per-dimension numerators are exact integer sums of
+    * floor(x·10⁶) (floor of identical doubles is engine-independent;
+    * a double mean would be partition-order dependent), so the step is
+    * bit-reproducible on any cluster.
+    */
+  private def qKmeansStep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = emb.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("centroid_id").asc)
+    val assign = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("acos",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+    assign
+      .select(col("centroid_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(
+        sum(floor(col("x") * 1000000).cast("long")).as("num"),
+        count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("dim"), col("num"), col("n"),
+        (col("num").cast("double") / col("n")).as("mean_scaled"))
+  }
+
+  private val qKmeansStepSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $IVF_K),
+       |scored_assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.ce")} AS acos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored_assign) WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.centroid_id,
+       |    CAST(unnest(range(len(e.embedding))) AS INTEGER) AS dim,
+       |    unnest(CAST(e.embedding AS DOUBLE[])) AS x
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id)
+       |SELECT centroid_id, dim,
+       |  CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS num,
+       |  count(*) AS n,
+       |  CAST(CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+       |       AS DOUBLE) / count(*) AS mean_scaled
+       |FROM dims
+       |GROUP BY centroid_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
     "q_ann_lsh"      -> qAnnLsh _,
-    "q_ivf_ann"      -> qIvfAnn _
+    "q_ivf_ann"      -> qIvfAnn _,
+    "q_kmeans_step"  -> qKmeansStep _
   )
 
   val oracles: Map[String, String] = Map(
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,
     "q_ann_lsh"      -> qAnnLshSql,
-    "q_ivf_ann"      -> qIvfAnnSql
+    "q_ivf_ann"      -> qIvfAnnSql,
+    "q_kmeans_step"  -> qKmeansStepSql
   )
 }
