@@ -1,0 +1,94 @@
+package graft.cdc
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Transaction reconstruction on Spark 4's arbitrary-state API v2
+  * (`transformWithState` / `StatefulProcessor`) — the modern successor
+  * to [[StreamingReconstruction]]'s `flatMapGroupsWithState`, with the
+  * same observable semantics (same fixture outputs, see
+  * `StreamingReconstructionSpec`).
+  *
+  * What v2 buys at scale, vs the single-blob `GroupState`:
+  *  - **Typed composite state**: the event buffer is a native
+  *    `ListState` (RocksDB-backed appends — no read-modify-write of
+  *    the whole buffer per event) and the END marker a separate
+  *    `ValueState`, so appending to a large transaction no longer
+  *    deserializes/reserializes its entire event list.
+  *  - **Declarative TTL**: `TTLConfig` evicts never-ended
+  *    transactions in the state store itself (the reference's state
+  *    leak, `DebeziumTransactionReconstructor.java:138`, fixed without
+  *    hand-rolled timers).
+  *
+  * Requires the RocksDB state store provider (Spark's requirement for
+  * transformWithState), which is the 100 TB configuration anyway
+  * (`GraftSession(rocksDbState = true)`).
+  */
+object StreamingReconstructionV2 {
+
+  private class TxnProcessor(countGated: Boolean, ttl: TTLConfig)
+      extends StatefulProcessor[String, UnionEvent, TransactionRecord] {
+
+    @transient private var events: ListState[ChangeEvent] = _
+    @transient private var endMarker: ValueState[TxnEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      events = getHandle.getListState[ChangeEvent](
+        "events", Encoders.product[ChangeEvent], ttl)
+      endMarker = getHandle.getValueState[TxnEvent](
+        "end", Encoders.product[TxnEvent], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[UnionEvent],
+        timers: TimerValues): Iterator[TransactionRecord] = {
+      // Same deterministic choice as V1: change events (in event-time
+      // order) before boundary markers within a batch.
+      val (changes, markers) = rows.toList.partition(_.isChange)
+      changes
+        .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
+          u.tsMs.getOrElse(0L), u.before, u.after))
+        .sortBy(_.tsMs)
+        .foreach(events.appendValue)
+      markers.find(_.status.contains("END")).foreach { m =>
+        endMarker.update(TxnEvent(m.transactionId, "END", m.eventCount))
+      }
+
+      if (!endMarker.exists()) Iterator.empty
+      else {
+        val end = endMarker.get()
+        val buffered = events.get().toList
+        val complete = !countGated ||
+          end.eventCount.forall(_ <= buffered.size)
+        if (buffered.isEmpty && !countGated) {
+          // Parity: END with nothing buffered → no emit (`:159-163`).
+          events.clear(); endMarker.clear()
+          Iterator.empty
+        } else if (complete) {
+          events.clear(); endMarker.clear()
+          Iterator.single(TransactionRecord(
+            key, buffered.sortBy(_.tsMs), "END", end.eventCount))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Same contract as [[StreamingReconstruction.reconstruct]]. */
+  def reconstruct(
+      changes: Dataset[ChangeEvent],
+      txns: Dataset[TxnEvent],
+      countGated: Boolean = false,
+      ttl: Option[java.time.Duration] = None): Dataset[TransactionRecord] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    // TTLConfig requires TimeMode.ProcessingTime
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime()
+                   else TimeMode.None()
+    changes.map(UnionEvent.fromChange)
+      .union(txns.map(UnionEvent.fromTxn))
+      .groupByKey(_.transactionId)
+      .transformWithState(new TxnProcessor(countGated, ttlConf),
+        timeMode, OutputMode.Append())
+  }
+}
