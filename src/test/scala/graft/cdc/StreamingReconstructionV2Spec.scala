@@ -44,6 +44,49 @@ class StreamingReconstructionV2Spec extends SparkSpec {
     }
   }
 
+  test("v2 matches v1 on a 50-txn shuffled corpus") {
+    val rnd = new scala.util.Random(7)
+    val txns = (0 until 50).map(i => s"x$i" -> (1 + rnd.nextInt(4)))
+    val events = txns.flatMap { case (id, n) =>
+      (0 until n).map(k =>
+        ChangeEvent(id, "u", 1000L * (k + 1) + rnd.nextInt(999), None, None))
+    }
+    val ends = txns.map { case (id, n) => TxnEvent(id, "END", Some(n.toLong)) }
+    val evBatches = rnd.shuffle(events).grouped(events.size / 3 + 1).toSeq
+    val endBatches = rnd.shuffle(ends).grouped(ends.size / 3 + 1).toSeq
+
+    def run(v2: Boolean, name: String): Map[String, TransactionRecord] =
+      withRocks {
+        implicit val sqlCtx = spark.sqlContext
+        val c = MemoryStream[ChangeEvent]
+        val t = MemoryStream[TxnEvent]
+        val out =
+          if (v2) StreamingReconstructionV2.reconstruct(c.toDS(), t.toDS(),
+            countGated = true)
+          else StreamingReconstruction.reconstruct(c.toDS(), t.toDS(),
+            countGated = true)
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          evBatches.zipAll(endBatches, Nil, Nil).foreach { case (ev, en) =>
+            if (ev.nonEmpty) c.addData(ev)
+            if (en.nonEmpty) t.addData(en)
+            q.processAllAvailable()
+          }
+          spark.table(name).as[TransactionRecord].collect()
+            .map(r => r.transactionId -> r).toMap
+        } finally q.stop()
+      }
+
+    val v1 = run(v2 = false, "eq_v1")
+    val v2 = run(v2 = true, "eq_v2")
+    assert(v1.keySet == v2.keySet && v1.size == 50)
+    v1.foreach { case (id, r1) =>
+      assert(v2(id).events.map(_.tsMs) == r1.events.map(_.tsMs))
+      assert(v2(id).eventCount == r1.eventCount)
+    }
+  }
+
   test("v2 countGated: holds until event_count met, either arrival order") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext
