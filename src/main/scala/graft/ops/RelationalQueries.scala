@@ -1185,6 +1185,26 @@ object RelationalQueries {
     s.sql(qLateralSql)
   }
 
+  // ------------------------------------------------------------- q_bit_agg
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — integer-exact,
+    * order-independent, map-side combinable. */
+  private def qBitAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        bit_and(col("l_linenumber")).as("ba"),
+        bit_or(col("l_linenumber")).as("bo"),
+        bit_xor(col("l_linenumber")).as("bx"))
+
+  private val qBitAggSql: String =
+    """SELECT l_orderkey,
+      |  bit_and(l_linenumber) AS ba,
+      |  bit_or(l_linenumber) AS bo,
+      |  bit_xor(l_linenumber) AS bx
+      |FROM lineitem
+      |GROUP BY l_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1229,7 +1249,8 @@ object RelationalQueries {
     "q_topk_agg"   -> qTopkAgg _,
     "q_topk_per_key" -> qTopkPerKey _,
     "q_cross"      -> qCross _,
-    "q_lateral"    -> qLateral _
+    "q_lateral"    -> qLateral _,
+    "q_bit_agg"    -> qBitAgg _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1274,6 +1295,7 @@ object RelationalQueries {
     "q_topk_agg"   -> qTopkAggSql,
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_cross"      -> qCrossSql,
-    "q_lateral"    -> qLateralSql
+    "q_lateral"    -> qLateralSql,
+    "q_bit_agg"    -> qBitAggSql
   )
 }

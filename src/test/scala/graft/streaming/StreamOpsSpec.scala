@@ -112,6 +112,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: incremental-batch catchup then stop") {
+    // The "run as a batch job over whatever is new" operating mode —
+    // processes all available source data, commits, terminates.
+    val events = graft.Tables.events(spark, sf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avnow")
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val q = StreamOps.tumblingCounts(stream, "ts",
+        watermarkDelay = "1 minute", windowLen = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // self-terminates once caught up
+    // append output holds only watermark-closed windows; all but the
+    // final in-flight window must have been flushed
+    val flushed = spark.read.parquet(s"$tmp/out")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()
+      .head.getLong(0)
+    assert(flushed > 0 && flushed <= events.count())
+  }
+
   test("session window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
