@@ -194,12 +194,59 @@ object TextAnalysis {
        |  md5(chunk) AS chunk_md5
        |FROM c""".stripMargin
 
+  // -------------------------------------------------------------- q_curate
+  /** End-to-end corpus curation pass — the composition a training-data
+    * pipeline actually runs: exact-dedup to one canonical copy per
+    * fingerprint, then quality-gate on token count and stopword ratio.
+    * Plan: two map-only passes + one fingerprint aggregation + a
+    * semi-join back — at 100 TB the dedup aggregation is the only
+    * shuffle and it carries (fp, min_id) pairs, not documents.
+    */
+  private def qCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canonical = docs
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val t = tokens(col("text"))
+    docs
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(t).cast(IntegerType).as("n_tokens"),
+        (size(filter(t, x => x.isInCollection(stopwords))).cast("double")
+          / size(t)).as("stopword_ratio"))
+      .filter(col("n_tokens").between(10, 2000) &&
+        col("stopword_ratio") < 0.5)
+  }
+
+  private val qCurateSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH canonical AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+       |scored AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |                         x -> x IN ($sw))) AS DOUBLE)
+       |      / len(string_split(lower(text), ' ')) AS stopword_ratio
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM canonical))
+       |SELECT doc_id, lang, source, n_tokens, stopword_ratio
+       |FROM scored
+       |WHERE n_tokens BETWEEN 10 AND 2000 AND stopword_ratio < 0.5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
-    "q_chunk"       -> qChunk _
+    "q_chunk"       -> qChunk _,
+    "q_curate"      -> qCurate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +254,7 @@ object TextAnalysis {
     "q_lang_id"     -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
-    "q_chunk"       -> qChunkSql
+    "q_chunk"       -> qChunkSql,
+    "q_curate"      -> qCurateSql
   )
 }
