@@ -87,15 +87,22 @@ object StreamOps {
     * the reference's GlobalWindow variant actually has,
     * `...WithEventCorrelation.java:81-83`).
     */
+  /** `joinType` "inner" (default) or "left_outer": outer emits the
+    * null-padded left row once the watermark proves no match can still
+    * arrive — late-but-bounded completeness, impossible without the
+    * interval constraint.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       tsL: String, tsR: String,
       bound: String = "10 minutes",
-      watermarkDelay: String = "1 minute"): DataFrame =
+      watermarkDelay: String = "1 minute",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(tsL, watermarkDelay)
       .join(
         right.withWatermark(tsR, watermarkDelay),
         expr(s"""$leftKey = $rightKey
                 |AND $tsR >= $tsL - INTERVAL $bound
-                |AND $tsR <= $tsL + INTERVAL $bound""".stripMargin))
+                |AND $tsR <= $tsL + INTERVAL $bound""".stripMargin),
+        joinType)
 }

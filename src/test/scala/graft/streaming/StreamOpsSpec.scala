@@ -136,6 +136,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(flushed > 0 && flushed <= events.count())
   }
 
+  test("left-outer interval join null-pads once the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user"),
+      buys.toDF().toDF("b_ts", "b_user"),
+      "c_user", "b_user", "c_ts", "b_ts",
+      bound = "10 minutes", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ivj_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(0), 2L)) // u1 will match, u2 won't
+      buys.addData((ts(5), 1L))
+      q.processAllAvailable()
+      // push both watermarks far past u2's join window
+      clicks.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 777L))
+      buys.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 888L))
+      q.processAllAvailable()
+      val byUser = spark.table("ivj_outer")
+        .as[(Timestamp, Long, Option[Timestamp], Option[Long])]
+        .collect().map(r => r._2 -> r._4).toMap
+      assert(byUser(1L).contains(1L))  // matched within bound
+      assert(byUser(2L).isEmpty)       // emitted null-padded after close
+    } finally q.stop()
+  }
+
   test("session window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
