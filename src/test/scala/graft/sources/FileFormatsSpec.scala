@@ -28,6 +28,23 @@ class FileFormatsSpec extends SparkSpec {
       o.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("range-clustered write yields disjoint per-file key ranges") {
+    val tmp = Files.createTempDirectory("graft-cluster").toString
+    val o = Tables.orders(spark, sf())
+    Layout.writeClustered(o, col("o_custkey"), s"$tmp/orders", files = 4)
+    // every output file must cover a non-overlapping o_custkey range —
+    // the property parquet min/max stats need for file-level skipping
+    val ranges = spark.read.parquet(s"$tmp/orders")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("lo"), max(col("o_custkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+    }
+    assert(spark.read.parquet(s"$tmp/orders").count() == o.count())
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val tmp = Files.createTempDirectory("graft-fmt").toString
     val n = Tables.nation(spark, sf())
