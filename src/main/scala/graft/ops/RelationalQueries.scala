@@ -1205,6 +1205,39 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY l_orderkey""".stripMargin
 
+  // --------------------------------------------------------- q_date_series
+  /** Generated calendar dimension + gap-filling left join: one row per
+    * day of 1995-01 whether or not orders exist. The series is
+    * generated in the plan (sequence + explode, no source table); the
+    * per-day counts come from a pre-aggregated (31-row) join side.
+    */
+  private def qDateSeries(s: SparkSession, d: String): DataFrame = {
+    val days = s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1995-01-31").cast("date"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val perDay = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1995-02-01")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    days.join(perDay, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  private val qDateSeriesSql: String =
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS day),
+      |per_day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT d.day, coalesce(p.cnt, 0) AS n
+      |FROM days d LEFT JOIN per_day p ON p.day = d.day""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1250,7 +1283,8 @@ object RelationalQueries {
     "q_topk_per_key" -> qTopkPerKey _,
     "q_cross"      -> qCross _,
     "q_lateral"    -> qLateral _,
-    "q_bit_agg"    -> qBitAgg _
+    "q_bit_agg"    -> qBitAgg _,
+    "q_date_series" -> qDateSeries _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1296,6 +1330,7 @@ object RelationalQueries {
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_cross"      -> qCrossSql,
     "q_lateral"    -> qLateralSql,
-    "q_bit_agg"    -> qBitAggSql
+    "q_bit_agg"    -> qBitAggSql,
+    "q_date_series" -> qDateSeriesSql
   )
 }
