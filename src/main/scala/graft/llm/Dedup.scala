@@ -3,10 +3,11 @@ package graft.llm
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.IntegerType
 
-/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
-  * Jaccard.
+/** Deduplication operators: exact, MinHash+LSH, SimHash, and the
+  * chained fuzzy pipeline (band → candidates → exact verify →
+  * canonical pick).
   *
   * All hash arithmetic is explicit (polynomial char hash mod 1e9+7)
   * rather than engine-native murmur/xxhash, so the DuckDB oracle can
@@ -17,8 +18,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    agg) → band keys → self-join *only within band buckets* (the
   *    candidate set is the join output, never the full cross product);
   *  - SimHash: map-only signature, pairable by prefix buckets;
-  *  - n-gram Jaccard: blocked pairwise compare (here blocked by `lang`;
-  *    at 100 TB the block key would be an LSH band).
+  *  - fuzzy dedup & Jaccard verify: every pairwise stage is blocked on
+  *    the MinHash band buckets, so the candidate count scales with the
+  *    number of genuinely similar documents — not with a fixed natural
+  *    key's block sizes (which would go quadratic at 100×);
+  *  - Levenshtein verify: pairwise work runs on DISTINCT values
+  *    (names), band-blocked by char-shingle MinHash — row count only
+  *    enters through one aggregation and one broadcastable join back.
   */
 object Dedup {
 
@@ -59,12 +65,9 @@ object Dedup {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
-  // ------------------------------------------------------- q_minhash_lsh
-  /** MinHash signatures + LSH banding: candidate near-dup pairs are
-    * docs sharing at least one band bucket.
-    *
-    * K = 8 hash functions h_i(x) = ((2i+1)·x + 12345·i) mod P over the
-    * token hash; 4 bands × 2 rows. Output: distinct candidate pairs.
+  // ---------------------------------------------------- MinHash machinery
+  /** K hash functions h_i(x) = ((2i+1)·x + 12345·i) mod P over the
+    * shingle hash; K/ROWS_PER_BAND bands.
     */
   private val K = 8
   private val ROWS_PER_BAND = 2
@@ -118,28 +121,44 @@ object Dedup {
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, d))
-    val bandStructs = (0 until K / ROWS_PER_BAND).map { b =>
+  /** (id, band, key) rows from a signature frame: band key = the
+    * concatenated signature rows of that band. Docs sharing a (band,
+    * key) are LSH candidates.
+    */
+  private def bandKeys(sigs: DataFrame, idCol: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until ROWS_PER_BAND)
-          .map(r => col(s"sig${b * ROWS_PER_BAND + r}")): _*).as("key"))
+        concat_ws(",", (0 until rowsPerBand)
+          .map(r => col(s"sig${b * rowsPerBand + r}")): _*).as("key"))
     }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+    sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band
+    * bucket. The self-join runs only within buckets — the 100 TB-safe
+    * replacement for any fixed-cardinality natural block key.
+    */
+  def bandCandidates(sigs: DataFrame, idCol: String, k: Int = K,
+      rowsPerBand: Int = ROWS_PER_BAND): DataFrame = {
+    val bands = bandKeys(sigs, idCol, k, rowsPerBand)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
 
-  private val qMinhashLshSql: String =
-    s"""WITH tok AS (
-       |  ${shingleSql("documents")}),
+  /** SQL CTE chain `tok/th/mh/bands/cand` over the doc table `src`
+    * (candidates as (doc_a, doc_b)) — the oracle twin of
+    * [[minhashSignatures]] + [[bandCandidates]].
+    */
+  private def candSqlCtes(src: String): String =
+    s"""tok AS (
+       |  ${shingleSql(src)}),
        |th AS (
        |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
        |mh AS (
@@ -150,11 +169,25 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, i // $ROWS_PER_BAND AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
-       |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a
-       |JOIN bands b ON a.band = b.band AND a.key = b.key
-       |            AND a.doc_id < b.doc_id""".stripMargin
+       |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+
+  // ------------------------------------------------------- q_minhash_lsh
+  /** MinHash signatures + LSH banding: candidate near-dup pairs are
+    * docs sharing at least one band bucket (K = 8 hashes, 4 bands × 2
+    * rows).
+    */
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    bandCandidates(minhashSignatures(Tables.documents(s, d)), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+
+  private val qMinhashLshSql: String =
+    s"""WITH ${candSqlCtes("documents")}
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
 
   // ----------------------------------------------------------- q_simhash
   /** 16-bit SimHash per document from token hashes: bit b is the sign
@@ -201,23 +234,24 @@ object Dedup {
   }
 
   // ----------------------------------------------------- q_ngram_jaccard
-  /** Blocked pairwise token-set Jaccard: probe docs (doc_id % 50 == 0)
-    * against all same-lang docs. The block key bounds the pair count —
-    * the same structure as LSH-bucketed verification at scale.
+  /** Exact n-gram (unigram token set) Jaccard over the LSH band
+    * candidates — the verify stage of the fuzzy pipeline as its own
+    * operator. The pair set comes from [[bandCandidates]], so the
+    * quadratic term scales with the number of similar documents, not
+    * with a natural key's fixed block count.
     */
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(split(lower(col("text")), " ")).as("toks"))
-    val probes = docs.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("doc_a"), col("lang"),
-        col("toks").as("toks_a"))
-    probes
-      .join(docs.select(col("doc_id").as("doc_b"), col("lang"),
-        col("toks").as("toks_b")), Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(lower(col("text")), " ")).as("toks"))
+    bandCandidates(minhashSignatures(docs), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
       .select(
-        col("lang"), col("doc_a"), col("doc_b"),
+        col("doc_a"), col("doc_b"),
         size(array_intersect(col("toks_a"), col("toks_b")))
           .cast(IntegerType).as("n_common"),
         (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
@@ -228,60 +262,221 @@ object Dedup {
   }
 
   private val qNgramJaccardSql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(string_split(lower(text), ' ')) AS toks
-      |  FROM documents)
-      |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
-      |       AS INTEGER) AS n_common,
-      |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
-      |       AS DOUBLE)
-      |    / (len(a.toks) + len(b.toks)
-      |       - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
-      |    AS jaccard
-      |FROM docs a
-      |JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE a.doc_id % 50 = 0""".stripMargin
+    s"""WITH ${candSqlCtes("documents")},
+       |docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split(lower(text), ' ')) AS toks
+       |  FROM documents)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+       |       AS INTEGER) AS n_common,
+       |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+       |       AS DOUBLE)
+       |    / (len(a.toks) + len(b.toks)
+       |       - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+       |    AS jaccard
+       |FROM cand c
+       |JOIN docs a ON a.doc_id = c.doc_a
+       |JOIN docs b ON b.doc_id = c.doc_b""".stripMargin
+
+  // ------------------------------------------------------- q_dedup_fuzzy
+  /** End-to-end fuzzy dedup — the composed pipeline a corpus-curation
+    * job actually runs:
+    *  1. MinHash band candidates ([[bandCandidates]]);
+    *  2. exact shingle-hash Jaccard verify (≥ [[JACCARD_T]]);
+    *  3. canonical pick: two unrolled min-propagation passes over the
+    *     verified-pair graph (pointer jumping — each doc first takes
+    *     the min id of itself and its verified neighbors, then jumps
+    *     to its target's target). These are the first iterations of
+    *     the standard iterative connected-components construction;
+    *     two passes resolve stars and short chains, and the pattern
+    *     extends to a fixpoint loop for adversarial topologies.
+    *
+    * Output: every document with its canonical id (self if no
+    * near-dup). Shuffles carry (id, id) pairs and K-long signatures —
+    * never document text — so the composition holds at 100 TB.
+    */
+  private val JACCARD_T = 0.5
+
+  /** (doc_id, hset): distinct shingle-hash set per document — the
+    * exact sets the verify stage intersects. Dedup on the hash value
+    * in BOTH engines, so a hash collision cannot cause a cross-engine
+    * mismatch.
+    */
+  def shingleHashSets(docs: DataFrame): DataFrame = {
+    graft.functions.ShinglePolyHash.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      array_distinct(graft.functions.ShinglePolyHash.shingle_hashes(
+        split(lower(col("text")), " "), lit(3))).as("hset"))
+  }
+
+  /** Verified near-dup pairs: band candidates whose exact shingle-set
+    * Jaccard meets `threshold`.
+    */
+  def verifiedPairs(docs: DataFrame, threshold: Double = JACCARD_T)
+      : DataFrame = {
+    val hs = shingleHashSets(docs)
+    val common = size(array_intersect(col("ha"), col("hb")))
+    bandCandidates(minhashSignatures(docs), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
+        Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        common.cast("double") / (size(col("ha")) + size(col("hb")) - common))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Canonical pick from an undirected pair list: two unrolled
+    * min-propagation passes (pointer jumping). `ids` must contain every
+    * id that can appear in `pairs`.
+    */
+  def canonicalFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val ver = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = ver.union(
+      ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val minN = edges.groupBy(col("doc_a")).agg(min(col("doc_b")).as("mn"))
+    val c1 = ids.select(col("doc_id"))
+      .join(minN, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("c1"))
+    c1.alias("x")
+      .join(c1.alias("y"), col("x.c1") === col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.c1").as("canonical_id"))
+  }
+
+  /** (doc_id, canonical_id) for every document in `docs` — the
+    * two-pass min-propagation over [[verifiedPairs]].
+    */
+  def canonicalMap(docs: DataFrame): DataFrame =
+    canonicalFromPairs(docs, verifiedPairs(docs))
+
+  /** SQL CTE chain `hs/ver/edges/minn/c1/canon` over the doc table
+    * `src`, continuing from [[candSqlCtes]] — canon = (doc_id,
+    * canonical_id) for every doc in `src`.
+    */
+  private def canonSqlCtes(src: String): String =
+    s"""${candSqlCtes(src)},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b
+       |  WHERE CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x)))
+       |             AS DOUBLE)
+       |      / (len(a.hset) + len(b.hset)
+       |         - len(list_filter(a.hset, x -> list_contains(b.hset, x))))
+       |      >= $JACCARD_T),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM ver
+       |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
+       |minn AS (
+       |  SELECT doc_a, min(doc_b) AS mn FROM edges GROUP BY doc_a),
+       |c1 AS (
+       |  SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id)) AS c1
+       |  FROM $src d LEFT JOIN minn m ON m.doc_a = d.doc_id),
+       |canon AS (
+       |  SELECT x.doc_id, y.c1 AS canonical_id
+       |  FROM c1 x JOIN c1 y ON x.c1 = y.doc_id)""".stripMargin
+
+  private def qDedupFuzzy(s: SparkSession, d: String): DataFrame =
+    canonicalMap(Tables.documents(s, d))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+
+  private val qDedupFuzzySql: String =
+    s"""WITH ${canonSqlCtes("documents")}
+       |SELECT doc_id, canonical_id,
+       |  doc_id <> canonical_id AS is_dup
+       |FROM canon""".stripMargin
+
+  /** Oracle twin of [[canonicalMap]] for composition into other
+    * oracles (q_curate): full WITH-chain ending in `canon`.
+    */
+  private[llm] def canonicalSqlWith(src: String): String = canonSqlCtes(src)
 
   // ----------------------------------------------------- q_levenshtein
-  /** Edit-distance near-dup detection, blocked pairwise: probe parts
-    * (p_partkey % 10 == 0) against same-(p_type, p_size)-block parts,
-    * then exact Levenshtein ≤ 6 confirms. The block key bounds the
-    * quadratic term — the same role LSH bands play for MinHash; at
-    * 100 TB the block would be an LSH bucket and this the verify stage.
+  /** Edit-distance near-dup detection with content-scaled blocking:
+    * pairwise work runs on DISTINCT part names (the classic
+    * dedupe-then-verify trick — row count only enters through one
+    * aggregation), and the distinct names are band-blocked by MinHash
+    * over character 4-grams, so candidate pairs are bounded by genuine
+    * name similarity rather than a natural key's fixed block sizes.
+    * Exact Levenshtein ≤ 4 confirms; counts tie the verdicts back to
+    * part rows.
     */
+  private val K_NAME = 4
+  private val LEV_T = 4
+
   private def qLevenshtein(s: SparkSession, d: String): DataFrame = {
-    val pr = Tables.part(s, d)
-      .select(col("p_partkey"), col("p_type"), col("p_size"), col("p_name"))
-    pr.filter(col("p_partkey") % 10 === 0).alias("a")
-      .join(pr.alias("b"),
-        col("a.p_type") === col("b.p_type") &&
-          col("a.p_size") === col("b.p_size") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("rep_key"), count(lit(1)).as("n_parts"))
+    // Char 4-gram shingle hashes → K=4 minhash in one agg pass.
+    val grams = names.select(col("p_name"),
+      explode(array_distinct(transform(
+        sequence(lit(0), length(col("p_name")) - 4),
+        i => col("p_name").substr(i + 1, lit(4))))).as("g"))
+      .select(col("p_name"), tokenHash(col("g")).as("h"))
+    val aggs = (0 until K_NAME).map(i =>
+      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+    val sigs = grams.groupBy(col("p_name")).agg(aggs.head, aggs.tail: _*)
+    val cand = bandCandidates(sigs, "p_name", K_NAME, ROWS_PER_BAND)
+      .select(col("id_a").as("name_a"), col("id_b").as("name_b"))
+    cand
       .withColumn("dist",
-        levenshtein(col("a.p_name"), col("b.p_name")).cast(IntegerType))
-      .filter(col("dist") <= 6)
-      .select(col("a.p_type").as("p_type"), col("a.p_size").as("p_size"),
-        col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
-        col("dist"))
+        levenshtein(col("name_a"), col("name_b")).cast(IntegerType))
+      .filter(col("dist") <= LEV_T)
+      .join(names.select(col("p_name").as("name_a"),
+        col("n_parts").as("n_parts_a")), Seq("name_a"))
+      .join(names.select(col("p_name").as("name_b"),
+        col("n_parts").as("n_parts_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
   }
 
   private val qLevenshteinSql: String =
-    """SELECT a.p_type AS p_type, a.p_size AS p_size,
-      |  a.p_partkey AS part_a, b.p_partkey AS part_b,
-      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-      |FROM part a
-      |JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size
-      |           AND a.p_partkey < b.p_partkey
-      |WHERE a.p_partkey % 10 = 0
-      |  AND levenshtein(a.p_name, b.p_name) <= 6""".stripMargin
+    s"""WITH names AS (
+       |  SELECT p_name, min(p_partkey) AS rep_key, count(*) AS n_parts
+       |  FROM part GROUP BY p_name),
+       |tok AS (
+       |  SELECT p_name, unnest(list_distinct(list_transform(
+       |      range(length(p_name) - 3),
+       |      i -> substring(p_name, CAST(i + 1 AS INTEGER), 4)))) AS g
+       |  FROM names),
+       |th AS (SELECT p_name, ${tokHashSql("g")} AS h FROM tok),
+       |mh AS (
+       |  SELECT p_name, i,
+       |    min((h * (i * 2 + 1) + i * 12345) % 1000000007) AS sig
+       |  FROM th, range($K_NAME) r(i) GROUP BY p_name, i),
+       |bands AS (
+       |  SELECT p_name, i // $ROWS_PER_BAND AS band,
+       |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM mh GROUP BY p_name, i // $ROWS_PER_BAND),
+       |cand AS (
+       |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |              AND a.p_name < b.p_name)
+       |SELECT c.name_a, c.name_b,
+       |  CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
+       |  na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+       |FROM cand c
+       |JOIN names na ON na.p_name = c.name_a
+       |JOIN names nb ON nb.p_name = c.name_b
+       |WHERE levenshtein(c.name_a, c.name_b) <= $LEV_T""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"   -> qDedupExact _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_levenshtein"   -> qLevenshtein _
   )
 
@@ -290,6 +485,7 @@ object Dedup {
     "q_minhash_lsh"   -> qMinhashLshSql,
     "q_simhash"       -> qSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_levenshtein"   -> qLevenshteinSql
   )
 }

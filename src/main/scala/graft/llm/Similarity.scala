@@ -94,30 +94,44 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5""".stripMargin
 
   // --------------------------------------------------------- q_cosine_pairs
-  /** Blocked near-dup scan: all same-label pairs with cosine above a
-    * threshold (label plays the LSH-bucket role at this scale).
+  /** Embedding near-dup scan, blocked on the hyperplane-LSH bucket
+    * (the same signature [[qAnnLsh]] histograms): candidate pairs
+    * share an 8-bit bucket, exact cosine > 0.3 confirms. The bucket
+    * count is a tunable (more planes → exponentially more buckets), so
+    * the within-block quadratic term shrinks with plane count as data
+    * grows — unlike a fixed-cardinality natural key, which pins the
+    * block count while block sizes grow linearly.
     */
   private def qCosinePairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
+    graft.functions.LshBucket.register(s)
+    val planes = typedlit((0 until PLANES).flatMap(planeLit))
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes))
     emb.alias("a")
       .join(emb.alias("b"),
-        col("a.label") === col("b.label") &&
+        col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") > 0.3)
-      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+      .select(col("a.bucket").as("bucket"), col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"), col("cos"))
   }
 
-  private val qCosinePairsSql: String =
-    s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+  // lazy: refers to bucketSql/PLANES declared below (file order follows
+  // the operator narrative); evaluated only when `oracles` builds.
+  private lazy val qCosinePairsSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST(${bucketSql} AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${cosSql("a.embedding", "b.embedding")} AS cos
-       |FROM embeddings a
-       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM b a
+       |JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3""".stripMargin
 
   // ------------------------------------------------------------- q_ann_lsh
@@ -154,20 +168,25 @@ object Similarity {
         min(col("vec_id")).as("min_vec_id"))
   }
 
-  private val qAnnLshSql: String = {
-    def planeSql(j: Int): String =
-      s"""list_dot_product(CAST(embedding AS DOUBLE[]),
-         |    list_transform(range(0, 64),
-         |      i -> CAST((i + 1) * ${j + 1} * 2654435761 % 1000003
-         |           AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin
-    val bucket = (0 until PLANES)
+  private def planeSql(j: Int): String =
+    s"""list_dot_product(CAST(embedding AS DOUBLE[]),
+       |    list_transform(range(0, 64),
+       |      i -> CAST((i + 1) * ${j + 1} * 2654435761 % 1000003
+       |           AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin
+
+  /** The 8-bit bucket as a SQL expression over `embedding` — shared by
+    * the q_ann_lsh histogram and the q_cosine_pairs blocking.
+    */
+  private def bucketSql: String =
+    (0 until PLANES)
       .map(j => s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""SELECT CAST($bucket AS BIGINT) AS bucket,
+
+  private lazy val qAnnLshSql: String =
+    s"""SELECT CAST($bucketSql AS BIGINT) AS bucket,
        |  count(*) AS n_vectors, min(vec_id) AS min_vec_id
        |FROM embeddings
        |GROUP BY 1""".stripMargin
-  }
 
   // ------------------------------------------------------------- q_ivf_ann
   /** IVF (inverted-file) approximate nearest neighbor, nprobe=1:

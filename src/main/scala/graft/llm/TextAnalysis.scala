@@ -196,21 +196,31 @@ object TextAnalysis {
 
   // -------------------------------------------------------------- q_curate
   /** End-to-end corpus curation pass — the composition a training-data
-    * pipeline actually runs: exact-dedup to one canonical copy per
-    * fingerprint, then quality-gate on token count and stopword ratio.
-    * Plan: two map-only passes + one fingerprint aggregation + a
-    * semi-join back — at 100 TB the dedup aggregation is the only
-    * shuffle and it carries (fp, min_id) pairs, not documents.
+    * pipeline actually runs:
+    *  1. exact dedup to one canonical copy per fingerprint (cheap, so
+    *     it runs first and shrinks the fuzzy stage's input);
+    *  2. MinHash near-dup removal over the survivors — band-blocked
+    *     candidates, exact shingle-Jaccard verify, keep only cluster
+    *     canonicals ([[graft.llm.Dedup.canonicalMap]]);
+    *  3. quality gates on token count and stopword ratio.
+    * Plan: the exact-dedup aggregation carries (fp, min_id), the fuzzy
+    * stage carries (id, id) pairs and K-long signatures — no shuffle
+    * ever carries document text, which is what keeps the composition
+    * viable at 100 TB.
     */
   private def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val canonical = docs
+    val exactCanonical = docs
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    val survivors = docs.join(exactCanonical, Seq("doc_id"), "left_semi")
+    val fuzzyCanonical = Dedup.canonicalMap(survivors)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
     val t = tokens(col("text"))
     docs
-      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(fuzzyCanonical, Seq("doc_id"), "left_semi")
       .select(
         col("doc_id"), col("lang"), col("source"),
         size(t).cast(IntegerType).as("n_tokens"),
@@ -220,13 +230,17 @@ object TextAnalysis {
         col("stopword_ratio") < 0.5)
   }
 
-  private val qCurateSql: String = {
+  private lazy val qCurateSql: String = {
     val sw = stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH canonical AS (
+    s"""WITH exact_canonical AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM documents
        |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+       |survivors AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM exact_canonical)),
+       |${Dedup.canonicalSqlWith("survivors")},
        |scored AS (
        |  SELECT doc_id, lang, source,
        |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
@@ -234,7 +248,8 @@ object TextAnalysis {
        |                         x -> x IN ($sw))) AS DOUBLE)
        |      / len(string_split(lower(text), ' ')) AS stopword_ratio
        |  FROM documents
-       |  WHERE doc_id IN (SELECT doc_id FROM canonical))
+       |  WHERE doc_id IN (SELECT doc_id FROM canon
+       |                   WHERE doc_id = canonical_id))
        |SELECT doc_id, lang, source, n_tokens, stopword_ratio
        |FROM scored
        |WHERE n_tokens BETWEEN 10 AND 2000 AND stopword_ratio < 0.5""".stripMargin

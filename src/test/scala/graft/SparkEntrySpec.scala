@@ -34,7 +34,7 @@ class SparkEntrySpec extends SparkSpec {
     // legitimately be empty at tiny SF; everything else must produce rows.
     assert(
       empty.forall(Set("q_anti", "q_cosine_pairs", "q_minhash_lsh",
-        "q_setops")),
+        "q_ngram_jaccard", "q_setops")),
       s"unexpectedly empty: $empty")
   }
 }

@@ -121,6 +121,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.init.forall(_.n_bytes == 32)) // all full but maybe last
   }
 
+  test("fuzzy dedup: near-identical cluster collapses to one canonical") {
+    // 1, 2, 3 are copies with one-token edits (shingle Jaccard ≈ 0.9);
+    // 4 is unrelated. Identical-ish docs share bands deterministically.
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),
+      (3L, base.replace("tok12", "tok12x")),
+      (4L, (1 to 14).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val canon = Dedup.canonicalMap(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("canonical pick: second pass resolves chains (pointer jumping)") {
+    // pairs 1-2, 2-3 but NOT 1-3: one min pass leaves 3 → 2; the
+    // unrolled second pass jumps 3 → canonical(2) = 1.
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val canon = Dedup.canonicalFromPairs(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("ann-lsh buckets partition the corpus completely") {
     val total = graft.Tables.embeddings(spark, sf()).count()
     val buckets = SparkEntryHelpers.annLsh(spark, sf())
