@@ -47,6 +47,54 @@ object StreamingReconstruction {
     val empty: TxnBuf = TxnBuf(Nil, endSeen = false, None, None)
   }
 
+  /** One micro-batch of one key applied to state: buffer changes,
+    * record END, emit when complete. Shared by the processing-time and
+    * event-time variants; the caller arms the timeout afterwards if
+    * `state.exists` (still buffering).
+    */
+  private def applyBatch(
+      txnId: String,
+      batch: Iterator[UnionEvent],
+      state: GroupState[TxnBuf],
+      countGated: Boolean): Iterator[TransactionRecord] = {
+    // Within a micro-batch, apply change events (in event-time order)
+    // before boundary markers — a deterministic choice where the
+    // reference depends on thread arrival order.
+    val (changeEvts, txnEvts) = batch.toList.partition(_.isChange)
+    var buf = state.getOption.getOrElse(TxnBuf.empty)
+    val newEvents = changeEvts
+      .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
+        u.tsMs.getOrElse(0L), u.before, u.after))
+      .sortBy(_.tsMs)
+    buf = buf.copy(events = buf.events ++ newEvents)
+
+    val endNow = txnEvts.find(_.status.contains("END"))
+    if (endNow.isDefined)
+      buf = buf.copy(endSeen = true, endStatus = Some("END"),
+        eventCount = endNow.flatMap(_.eventCount))
+    // BEGIN markers are no-ops, as in the reference (`:165-168`).
+
+    def complete: Boolean = buf.endSeen && (
+      !countGated ||
+        buf.eventCount.forall(_ <= buf.events.size))
+
+    if (buf.endSeen && buf.events.isEmpty && !countGated) {
+      // Parity: END with nothing buffered → no emit (`:159-163`).
+      state.remove()
+      Iterator.empty
+    } else if (complete) {
+      state.remove()
+      Iterator.single(TransactionRecord(
+        txnId,
+        buf.events.sortBy(_.tsMs),
+        buf.endStatus.getOrElse("END"),
+        buf.eventCount))
+    } else {
+      state.update(buf)
+      Iterator.empty
+    }
+  }
+
   /** Reconstruct from the two typed streams.
     *
     * @param countGated if true, an END marker with a known
@@ -57,9 +105,11 @@ object StreamingReconstruction {
     *        (`:156-169`), and END with an empty buffer emits nothing
     *        (`:159-163`).
     * @param ttl processing-time state TTL for never-ended transactions.
-    *        `Some(d)` arms the leak fix (production default); `None`
-    *        disables timeouts entirely — required when driving the
-    *        query with `processAllAvailable()` in tests, because
+    *        `Some(d)` arms the leak fix (live-ingest default; for
+    *        replay/backfill use [[reconstructEventTime]], whose
+    *        eviction clock is event time); `None` disables timeouts
+    *        entirely — required when driving the query with
+    *        `processAllAvailable()` in tests, because
     *        ProcessingTimeTimeout makes Spark schedule timeout-check
     *        micro-batches continuously and the query never quiesces.
     */
@@ -90,43 +140,85 @@ object StreamingReconstruction {
             state.remove()
             Iterator.empty
           } else {
-            // Within a micro-batch, apply change events (in event-time
-            // order) before boundary markers — a deterministic choice
-            // where the reference depends on thread arrival order.
-            val (changeEvts, txnEvts) = batch.toList.partition(_.isChange)
-            var buf = state.getOption.getOrElse(TxnBuf.empty)
-            val newEvents = changeEvts
-              .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
-                u.tsMs.getOrElse(0L), u.before, u.after))
-              .sortBy(_.tsMs)
-            buf = buf.copy(events = buf.events ++ newEvents)
-
-            val endNow = txnEvts.find(_.status.contains("END"))
-            if (endNow.isDefined)
-              buf = buf.copy(endSeen = true, endStatus = Some("END"),
-                eventCount = endNow.flatMap(_.eventCount))
-            // BEGIN markers are no-ops, as in the reference (`:165-168`).
-
-            def complete: Boolean = buf.endSeen && (
-              !countGated ||
-                buf.eventCount.forall(_ <= buf.events.size))
-
-            if (buf.endSeen && buf.events.isEmpty && !countGated) {
-              // Parity: END with nothing buffered → no emit (`:159-163`).
-              state.remove()
-              Iterator.empty
-            } else if (complete) {
-              state.remove()
-              Iterator.single(TransactionRecord(
-                txnId,
-                buf.events.sortBy(_.tsMs),
-                buf.endStatus.getOrElse("END"),
-                buf.eventCount))
-            } else {
-              state.update(buf)
+            val out = applyBatch(txnId, batch, state, countGated)
+            if (state.exists)
               ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
-              Iterator.empty
+            out
+          }
+      }
+  }
+
+  /** Event-time eviction variant — the semantically faithful leak fix
+    * for replay/backfill, where a processing-time TTL would evict
+    * in-flight transactions at replay speed rather than stream speed.
+    * A transaction that never sees END is dropped once the event-time
+    * watermark passes its newest buffered event by `evictionHorizon`.
+    *
+    * The watermark source matches the reference, which assigns its
+    * watermark on the change-event stream
+    * (`DebeziumTransactionReconstructor.java:57-61`, `ts_ms` minus a
+    * 1-minute bound) — and unlike the reference, the bound is
+    * ENFORCED: change events arriving later than `watermarkDelay`
+    * behind the stream are dropped as late. **Design decision (txn
+    * markers carry no timestamp):** boundary markers ride through the
+    * union with a NULL event time — a null never advances the
+    * watermark (the max ignores it) and never matches the late-row
+    * predicate (null comparison → false), so markers are exempt from
+    * both late-dropping and watermark generation; the eviction clock
+    * is driven solely by change events. A marker-only transaction
+    * (END for events that never arrive) times out `evictionHorizon`
+    * past the watermark at its arrival.
+    */
+  def reconstructEventTime(
+      changes: Dataset[ChangeEvent],
+      txns: Dataset[TxnEvent],
+      countGated: Boolean = false,
+      watermarkDelay: java.time.Duration = java.time.Duration.ofMinutes(1),
+      evictionHorizon: java.time.Duration = java.time.Duration.ofMinutes(5))
+      : Dataset[TransactionRecord] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+
+    // The watermark-tagged attribute must survive into the stateful
+    // operator's input (the analyzer rejects EventTimeTimeout when a
+    // typed map projects it away), so the event-time column rides
+    // through the union NEXT TO the UnionEvent fields and the
+    // watermark is declared on the unioned frame.
+    val changeDf = changes.map(UnionEvent.fromChange).toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+    val txnDf = txns.map(UnionEvent.fromTxn).toDF()
+      .withColumn("eventTime",
+        lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    val unioned = changeDf.unionByName(txnDf)
+      .withWatermark("eventTime",
+        s"${watermarkDelay.toMillis} milliseconds")
+      .as[UnionEvent]
+    val horizonMs = evictionHorizon.toMillis
+
+    unioned
+      .groupByKey(_.transactionId)
+      .flatMapGroupsWithState[TxnBuf, TransactionRecord](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (txnId: String, batch: Iterator[UnionEvent],
+         state: GroupState[TxnBuf]) =>
+          if (state.hasTimedOut) {
+            // Replay-safe leak fix: watermark passed newest event +
+            // horizon and END never came — drop the buffer.
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = applyBatch(txnId, batch, state, countGated)
+            if (state.exists) {
+              // Timeout at (newest buffered event + horizon), clamped
+              // above the current watermark (Spark requires it).
+              val wm = state.getCurrentWatermarkMs()
+              val maxTs = state.get.events
+                .foldLeft(0L)((m, e) => math.max(m, e.tsMs))
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs, wm + 1))
             }
+            out
           }
       }
   }

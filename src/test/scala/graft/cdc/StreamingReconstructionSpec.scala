@@ -112,6 +112,46 @@ class StreamingReconstructionSpec extends SparkSpec {
     assert(recs.map(_.transactionId) == Seq("b"))
   }
 
+  test("event-time horizon evicts never-ended state as the watermark advances") {
+    // Replay-safe leak fix: eviction is driven by EVENT time (the
+    // change-stream watermark), not wall clock — no sleeps anywhere in
+    // this test. t1 buffers events but never ENDs; later traffic on
+    // other keys advances the watermark past t1's newest event +
+    // horizon, the timer fires, and a late END for t1 then finds no
+    // state (emits nothing). t3, which ENDs within the horizon, emits.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{ChangeEvent, TxnEvent}
+    val changes = MemoryStream[ChangeEvent]
+    val txns = MemoryStream[TxnEvent]
+    val out = StreamingReconstruction.reconstructEventTime(
+      changes.toDS(), txns.toDS(),
+      watermarkDelay = java.time.Duration.ofMillis(500),
+      evictionHorizon = java.time.Duration.ofSeconds(2))
+    val q = out.writeStream.format("memory").queryName("s_evict")
+      .outputMode("append").start()
+    try {
+      // batch 1: t1 buffers at ts 1000/1200; t3 buffers at ts 1100
+      changes.addData(ChangeEvent("t1", "c", 1000L, None, None),
+        ChangeEvent("t1", "u", 1200L, None, None),
+        ChangeEvent("t3", "c", 1100L, None, None))
+      q.processAllAvailable()
+      // batch 2: t3 ENDs inside the horizon → emits (positive control);
+      // unrelated t2 traffic at ts 60_000 advances the watermark
+      changes.addData(ChangeEvent("t2", "c", 60000L, None, None))
+      txns.addData(TxnEvent("t3", "END", Some(1L)))
+      q.processAllAvailable()
+      // batch 3: watermark entering this batch is 59_500 > t1's
+      // 1200 + 2000 → t1's timer fires, state dropped
+      changes.addData(ChangeEvent("t2", "u", 61000L, None, None))
+      q.processAllAvailable()
+      // batch 4: late END for t1 finds no state → nothing emitted
+      txns.addData(TxnEvent("t1", "END", Some(2L)))
+      q.processAllAvailable()
+      val recs = spark.table("s_evict").as[TransactionRecord].collect()
+      assert(recs.map(_.transactionId).toSeq == Seq("t3"))
+    } finally q.stop()
+  }
+
   test("processing-time TTL evicts never-ended state across checkpoint restarts") {
     // The reference leaks state forever for transactions that never see
     // END (`DebeziumTransactionReconstructor.java:138`, no timer). With
