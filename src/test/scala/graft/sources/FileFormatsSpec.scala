@@ -45,6 +45,47 @@ class FileFormatsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/orders").count() == o.count())
   }
 
+  test("z-ordered write prunes files on BOTH clustering columns") {
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    val o = Tables.orders(spark, sf())
+    Layout.writeZOrdered(o, col("o_custkey"), col("o_totalprice"),
+      s"$tmp/z", files = 16)
+    // single-column control: clustered on custkey only
+    Layout.writeClustered(o, col("o_custkey"), s"$tmp/c", files = 16)
+
+    // per-file [min,max] envelopes for both columns
+    def envelopes(path: String, c: String): Array[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col(c).cast("double")).as("lo"),
+          max(col(c).cast("double")).as("hi"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    // fraction of files a point predicate must read, averaged over the
+    // files' own midpoints (≈ how well min/max stats skip files)
+    def matchFraction(env: Array[(Double, Double)]): Double = {
+      val probes = env.map { case (lo, hi) => (lo + hi) / 2 }
+      probes.map(p =>
+        env.count { case (lo, hi) => lo <= p && p <= hi }.toDouble
+          / env.length).sum / probes.length
+    }
+
+    val za = matchFraction(envelopes(s"$tmp/z", "o_custkey"))
+    val zb = matchFraction(envelopes(s"$tmp/z", "o_totalprice"))
+    val ca = matchFraction(envelopes(s"$tmp/c", "o_custkey"))
+    val cb = matchFraction(envelopes(s"$tmp/c", "o_totalprice"))
+
+    // z-order: a point predicate on EITHER column skips most files
+    assert(za < 0.7, s"z-order custkey fraction $za")
+    assert(zb < 0.7, s"z-order totalprice fraction $zb")
+    // control: single-column clustering prunes its key but leaves the
+    // second column unprunable (every file spans ~the full range)
+    assert(ca < zb, s"control custkey $ca should beat z-order")
+    assert(cb > 0.9, s"control totalprice fraction $cb should be ~1")
+    // and the data itself round-trips
+    assert(spark.read.parquet(s"$tmp/z").count() == o.count())
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val tmp = Files.createTempDirectory("graft-fmt").toString
     val n = Tables.nation(spark, sf())
