@@ -54,28 +54,57 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   // ----------------------------------------------------------- q_ann_brute
-  /** Brute-force exact top-5 cosine neighbors for probe vectors
-    * (vec_id < 10). Probe side broadcast; corpus side scanned once.
+  /** Exact top-k scan: probe side broadcast against the streamed
+    * corpus, one fold per pair, per-probe top-k window. Correct for
+    * ANY probe count, but the work is |probes|·|corpus| — callers with
+    * large probe sets must go through [[topKNeighbors]], which guards
+    * the broadcast threshold and reroutes to the IVF index.
     */
-  private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecDot.register(s)
-    // Norms precomputed once per vector (not once per pair): the pair
-    // scoring then does a single fold per pair.
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("q"),
-        col("nrm").as("qnrm"))
+  private def bruteTopK(emb: DataFrame, probes: DataFrame, k: Int)
+      : DataFrame = {
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
       .join(emb, col("query_id") =!= col("vec_id"))
       .withColumn("cos", dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(byQuery))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos"), col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private def probeSet(emb: DataFrame, probePred: Column): DataFrame =
+    emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"))
+
+  /** Guarded neighbor search — the user-facing entry. Probe sets up to
+    * `maxBroadcastProbes` take the exact brute-force path (a broadcast
+    * that stays a broadcast); anything larger is routed to the IVF
+    * path, whose per-probe work is ~N/K instead of N, rather than
+    * letting the broadcast join silently degrade toward a cross
+    * product. The one probe-side `count()` is metadata-scale work
+    * compared to either search. Default threshold: 1024 probes ≈ a
+    * few hundred KB broadcast at dim 64.
+    */
+  def topKNeighbors(s: SparkSession, d: String, probePred: Column,
+      k: Int, maxBroadcastProbes: Long = 1024): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embWithNorm(s, d)
+    val probes = probeSet(emb, probePred)
+    if (probes.count() <= maxBroadcastProbes) bruteTopK(emb, probes, k)
+    else ivfTopK(emb, probePred, k)
+  }
+
+  /** Brute-force exact top-5 cosine neighbors for probe vectors
+    * (vec_id < 10 — a fixture-sized probe set, well under the
+    * broadcast guard). Norms precomputed once per vector (not once
+    * per pair): the pair scoring then does a single fold per pair.
+    */
+  private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embWithNorm(s, d)
+    bruteTopK(emb, probeSet(emb, col("vec_id") < 10), 5)
   }
 
   private val qAnnBruteSql: String =
@@ -205,11 +234,11 @@ object Similarity {
     */
   private val IVF_K = 8
 
-  private def qIvfAnn(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecDot.register(s)
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+  /** IVF search path: assign corpus to broadcast centroids, then each
+    * probe searches only its own centroid's bucket (~N/K candidates).
+    */
+  private def ivfTopK(emb: DataFrame, probePred: Column, k: Int)
+      : DataFrame = {
     val cents = emb.filter(col("vec_id") < IVF_K)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
@@ -222,7 +251,7 @@ object Similarity {
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
-    val probes = assign.filter(col("vec_id") % 97 === 0)
+    val probes = assign.filter(probePred)
       .select(col("vec_id").as("query_id"),
         col("centroid_id").as("probe_centroid"),
         col("v").as("q"), col("nrm").as("qnrm"))
@@ -236,9 +265,14 @@ object Similarity {
         dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("neighbor_id", col("vec_id"))
       .withColumn("rnk", row_number().over(byQuery))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private def qIvfAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    ivfTopK(embWithNorm(s, d), col("vec_id") % 97 === 0, 3)
   }
 
   private val qIvfAnnSql: String =
@@ -286,23 +320,27 @@ object Similarity {
     * a double mean would be partition-order dependent), so the step is
     * bit-reproducible on any cluster.
     */
-  private def qKmeansStep(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecDot.register(s)
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val cents = emb.filter(col("vec_id") < IVF_K)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+  /** Map-only assignment of every vector to its max-cosine centroid
+    * (tie → lowest centroid id) against a broadcast centroid frame
+    * (centroid_id, cv, cnrm).
+    */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("centroid_id").asc)
-    val assign = emb
+    emb
       .crossJoin(broadcast(cents))
       .withColumn("acos",
         dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+
+  /** Lloyd update: per-(centroid, dim) exact integer numerators of
+    * floor(x·10⁶) plus member counts — K·dim groups regardless of
+    * corpus size, bit-reproducible on any cluster.
+    */
+  private def kmeansUpdate(assign: DataFrame): DataFrame =
     assign
       .select(col("centroid_id"),
         posexplode(col("v")).as(Seq("dim", "x")))
@@ -312,6 +350,21 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("centroid_id"), col("dim"), col("num"), col("n"),
         (col("num").cast("double") / col("n")).as("mean_scaled"))
+
+  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def seedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+  private def qKmeansStep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embWithNorm(s, d)
+    kmeansUpdate(assignTo(emb, seedCentroids(emb)))
   }
 
   private val qKmeansStepSql: String =
@@ -341,12 +394,98 @@ object Similarity {
        |FROM dims
        |GROUP BY centroid_id, dim""".stripMargin
 
+  // --------------------------------------------------------- q_kmeans_iter
+  /** TWO Lloyd iterations — the iterative-refinement pattern, not just
+    * one step: the first update's centroids (exact num/n doubles) are
+    * reassembled into vectors, every vector is re-assigned against
+    * them, and a second update runs. Each iteration is the same
+    * map-only assign (broadcast centroids) + one K·dim-group hash
+    * aggregation; iterating adds NO new shuffle shape, which is the
+    * point — a k-means driver at 100 TB just repeats this plan.
+    *
+    * Determinism across engines: centroid components are num/n (exact
+    * BIGINT division in double), cosine is the same sequential fold,
+    * ties break on centroid_id — so the second iteration is as
+    * bit-reproducible as the first.
+    */
+  private def qKmeansIter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embWithNorm(s, d)
+    val upd1 = kmeansUpdate(assignTo(emb, seedCentroids(emb)))
+    // Reassemble (centroid_id, dim, mean) rows into centroid vectors;
+    // cosine is scale-invariant, so the 10⁶-scaled means serve as-is.
+    val cents2 = upd1
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_scaled")))),
+        e => e.getField("mean_scaled")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+      .select(col("centroid_id"), col("cv"), col("cnrm"))
+    kmeansUpdate(assignTo(emb, cents2))
+  }
+
+  private val qKmeansIterSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $IVF_K),
+       |scored_assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.ce")} AS acos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored_assign) WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.centroid_id,
+       |    CAST(unnest(range(len(e.embedding))) AS INTEGER) AS dim,
+       |    unnest(CAST(e.embedding AS DOUBLE[])) AS x
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |upd1 AS (
+       |  SELECT centroid_id, dim,
+       |    CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+       |      AS num,
+       |    count(*) AS n
+       |  FROM dims GROUP BY centroid_id, dim),
+       |cents2 AS (
+       |  SELECT centroid_id,
+       |    list(CAST(num AS DOUBLE) / n ORDER BY dim) AS cv
+       |  FROM upd1 GROUP BY centroid_id),
+       |scored2 AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+       |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(e.embedding AS DOUBLE[])))
+       |       * sqrt(list_dot_product(c.cv, c.cv))) AS acos
+       |  FROM embeddings e CROSS JOIN cents2 c),
+       |assign2 AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored2) WHERE rn = 1),
+       |dims2 AS (
+       |  SELECT a.centroid_id,
+       |    CAST(unnest(range(len(e.embedding))) AS INTEGER) AS dim,
+       |    unnest(CAST(e.embedding AS DOUBLE[])) AS x
+       |  FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id)
+       |SELECT centroid_id, dim,
+       |  CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS num,
+       |  count(*) AS n,
+       |  CAST(CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+       |       AS DOUBLE) / count(*) AS mean_scaled
+       |FROM dims2
+       |GROUP BY centroid_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
     "q_ann_lsh"      -> qAnnLsh _,
     "q_ivf_ann"      -> qIvfAnn _,
-    "q_kmeans_step"  -> qKmeansStep _
+    "q_kmeans_step"  -> qKmeansStep _,
+    "q_kmeans_iter"  -> qKmeansIter _
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +493,7 @@ object Similarity {
     "q_cosine_pairs" -> qCosinePairsSql,
     "q_ann_lsh"      -> qAnnLshSql,
     "q_ivf_ann"      -> qIvfAnnSql,
-    "q_kmeans_step"  -> qKmeansStepSql
+    "q_kmeans_step"  -> qKmeansStepSql,
+    "q_kmeans_iter"  -> qKmeansIterSql
   )
 }

@@ -146,6 +146,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("topKNeighbors guard: small probe sets brute-exact, large route to IVF") {
+    // under the threshold → identical to the exact brute-force query
+    val brute = Similarity.topKNeighbors(spark, sf(), col("vec_id") < 10, 5)
+    val expectedBrute = graft.SparkEntry.queries("q_ann_brute")(spark, sf())
+    assert(brute.collect().toSet == expectedBrute.collect().toSet)
+    // over the threshold (forced with 0) → rerouted to the IVF path
+    val routed = Similarity.topKNeighbors(spark, sf(),
+      col("vec_id") % 97 === 0, 3, maxBroadcastProbes = 0)
+    val expectedIvf = graft.SparkEntry.queries("q_ivf_ann")(spark, sf())
+    assert(routed.collect().toSet == expectedIvf.collect().toSet)
+  }
+
   test("ann-lsh buckets partition the corpus completely") {
     val total = graft.Tables.embeddings(spark, sf()).count()
     val buckets = SparkEntryHelpers.annLsh(spark, sf())
