@@ -29,11 +29,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Wrap a builder with arity validation: a SQL call with the wrong
+    * argument count fails analysis with a clear message instead of an
+    * IndexOutOfBoundsException from the builder body.
+    */
+  private def withArity(name: String, n: Int)(
+      b: Seq[Expression] => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { e =>
+      if (e.length != n)
+        throw org.apache.spark.sql.GraftSqlShims.analysisException(
+          s"Invalid number of arguments for function $name: " +
+            s"expected $n, found ${e.length}")
+      b(e)
+    }
+
   /** Name → builder for every custom expression the engine ships. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash"      -> (e => PolyHash(e.head)),
-    "shingle_hashes" -> (e => ShinglePolyHash(e(0), e(1))),
-    "vec_dot"        -> (e => VecDot(e(0), e(1))),
-    "lsh_bucket"     -> (e => LshBucket(e(0), e(1)))
+    withArity("poly_hash", 1)(e => PolyHash(e.head)),
+    withArity("shingle_hashes", 2)(e => ShinglePolyHash(e(0), e(1))),
+    withArity("vec_dot", 2)(e => VecDot(e(0), e(1))),
+    withArity("lsh_bucket", 2)(e => LshBucket(e(0), e(1)))
   )
 }

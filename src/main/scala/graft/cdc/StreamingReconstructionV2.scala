@@ -27,7 +27,8 @@ import org.apache.spark.sql.streaming._
   */
 object StreamingReconstructionV2 {
 
-  private class TxnProcessor(countGated: Boolean, ttl: TTLConfig)
+  private class TxnProcessor(countGated: Boolean, ttl: TTLConfig,
+      ttlArmed: Boolean)
       extends StatefulProcessor[String, UnionEvent, TransactionRecord] {
 
     @transient private var events: ListState[ChangeEvent] = _
@@ -45,11 +46,26 @@ object StreamingReconstructionV2 {
       // Same deterministic choice as V1: change events (in event-time
       // order) before boundary markers within a batch.
       val (changes, markers) = rows.toList.partition(_.isChange)
-      changes
+      val newEvents = changes
         .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
           u.tsMs.getOrElse(0L), u.before, u.after))
         .sortBy(_.tsMs)
-        .foreach(events.appendValue)
+      if (ttlArmed) {
+        // TTLConfig expires each ListState element from its own last
+        // write, whereas V1's timeout resets on ANY activity and drops
+        // the whole buffer atomically. Re-arm on every input by
+        // rewriting the surviving list (and re-writing the END marker),
+        // so the transaction expires as a unit from its last activity —
+        // V1 semantics, at the cost of the append-only write path
+        // (only paid when a TTL is armed).
+        val kept = events.get().toList
+        events.clear()
+        (kept ++ newEvents).foreach(events.appendValue)
+        if (markers.isEmpty && endMarker.exists())
+          endMarker.update(endMarker.get())
+      } else {
+        newEvents.foreach(events.appendValue)
+      }
       markers.find(_.status.contains("END")).foreach { m =>
         endMarker.update(TxnEvent(m.transactionId, "END", m.eventCount))
       }
@@ -88,7 +104,8 @@ object StreamingReconstructionV2 {
     changes.map(UnionEvent.fromChange)
       .union(txns.map(UnionEvent.fromTxn))
       .groupByKey(_.transactionId)
-      .transformWithState(new TxnProcessor(countGated, ttlConf),
+      .transformWithState(
+        new TxnProcessor(countGated, ttlConf, ttlArmed = ttl.isDefined),
         timeMode, OutputMode.Append())
   }
 }

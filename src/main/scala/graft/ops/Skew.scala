@@ -22,8 +22,15 @@ object Skew {
     */
   def saltedSum(df: DataFrame, key: Column, value: Column,
       buckets: Int): DataFrame = {
+    // Salt must be uncorrelated with the data: a hot key whose rows
+    // share one value would hash to a single salt and still serialize
+    // onto one task. A per-row unique id spreads even identical rows
+    // (projected first — nondeterministic expressions can't sit in a
+    // grouping expression).
     val partial = df
-      .groupBy(key.as("k"), pmod(hash(value), lit(buckets)).as("_salt"))
+      .withColumn("_salt",
+        pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      .groupBy(key.as("k"), col("_salt"))
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pcnt"))
     partial
       .groupBy(col("k"))

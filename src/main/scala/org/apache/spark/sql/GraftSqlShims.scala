@@ -20,4 +20,13 @@ object GraftSqlShims {
     */
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** A plain-message AnalysisException (the message-only constructor is
+    * `private[sql]`) — for function builders that must fail analysis
+    * cleanly, e.g. on wrong argument counts.
+    */
+  def analysisException(message: String): AnalysisException =
+    new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> message))
 }

@@ -52,6 +52,15 @@ class GraftExtensionsSpec extends SparkSpec {
         .select("p_partkey").collect().map(_.getLong(0)).toSet
       assert(filtered.select("p_partkey").collect().map(_.getLong(0)).toSet
         == expected && expected.nonEmpty)
+
+      // wrong arity fails analysis with a clear message, not an
+      // IndexOutOfBoundsException from the builder body
+      val err = intercept[Exception] {
+        ext.sql("SELECT vec_dot(array(1.0d)) AS bad").collect()
+      }
+      assert(err.getMessage.contains("Invalid number of arguments"),
+        s"unexpected error: ${err.getMessage}")
+      assert(err.getMessage.contains("vec_dot"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -87,6 +87,76 @@ class StreamingReconstructionV2Spec extends SparkSpec {
     }
   }
 
+  /** TTL drive helper: TimeMode.ProcessingTime schedules batches
+    * continuously (processAllAvailable never returns — same trap as
+    * V1's ProcessingTimeTimeout), so TTL tests run bounded
+    * Trigger.Once batches against a shared checkpoint, like the V1
+    * TTL spec.
+    */
+  private def runOnce(out: org.apache.spark.sql.Dataset[TransactionRecord],
+      tmp: String): Unit = {
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("v2 TTL: expired buffer is gone; fresh same-batch txn still emits") {
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("v2-ttl").toString
+      val changes = MemoryStream[ChangeEvent]
+      val txns = MemoryStream[TxnEvent]
+      val out = StreamingReconstructionV2.reconstruct(
+        changes.toDS(), txns.toDS(),
+        ttl = Some(java.time.Duration.ofSeconds(1)))
+      changes.addData(ChangeEvent("t1", "c", 1L, None, None))
+      runOnce(out, tmp)               // t1 buffered, TTL armed
+      Thread.sleep(2000)              // let t1's buffer expire
+      changes.addData(ChangeEvent("t2", "c", 2L, None, None))
+      txns.addData(TxnEvent("t1", "END", Some(1L)),
+        TxnEvent("t2", "END", Some(1L)))
+      runOnce(out, tmp)
+      val recs = spark.read.parquet(s"$tmp/out")
+        .as[TransactionRecord].collect()
+      // t1's list state expired → END finds nothing → parity no-emit;
+      // t2 is written in this same batch → alive → emits
+      assert(recs.map(_.transactionId).toSeq == Seq("t2"))
+    }
+  }
+
+  test("v2 TTL re-arms the WHOLE buffer on any activity (V1 semantics)") {
+    // Without rewrite-on-touch, TTLConfig expires each list element
+    // from its own write: a slow transaction spanning the TTL loses its
+    // OLDER events and emits truncated. The re-arm rewrites the list on
+    // every input, so expiry is from last activity, atomically.
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("v2-rearm").toString
+      val changes = MemoryStream[ChangeEvent]
+      val txns = MemoryStream[TxnEvent]
+      val out = StreamingReconstructionV2.reconstruct(
+        changes.toDS(), txns.toDS(),
+        ttl = Some(java.time.Duration.ofSeconds(6)))
+      changes.addData(ChangeEvent("t1", "c", 100L, None, None))
+      runOnce(out, tmp)               // e1 written at ~T0, expiry T0+6
+      Thread.sleep(3500)
+      changes.addData(ChangeEvent("t1", "u", 200L, None, None))
+      runOnce(out, tmp)               // e2 + REWRITE of e1 → expiry reset
+      Thread.sleep(3500)              // now ~T0+7: past e1's ORIGINAL expiry
+      txns.addData(TxnEvent("t1", "END", Some(2L)))
+      runOnce(out, tmp)
+      val recs = spark.read.parquet(s"$tmp/out")
+        .as[TransactionRecord].collect()
+      assert(recs.map(_.transactionId).toSeq == Seq("t1"))
+      // the older event survived because the touch re-armed it
+      assert(recs.head.events.map(_.tsMs) == Seq(100L, 200L))
+    }
+  }
+
   test("v2 countGated: holds until event_count met, either arrival order") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext
