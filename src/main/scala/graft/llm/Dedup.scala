@@ -310,14 +310,26 @@ object Dedup {
         split(lower(col("text")), " "), lit(3))).as("hset"))
   }
 
-  /** Verified near-dup pairs: band candidates whose exact shingle-set
-    * Jaccard meets `threshold`.
+  /** MinHash signatures derived from the (distinct) shingle-hash sets:
+    * min() is insensitive to duplicates, so the sigs are identical to
+    * [[minhashSignatures]] — but computing them off an already-built
+    * `hs` frame lets the whole fuzzy pipeline share ONE scan +
+    * shingle-hash pass when `hs` is persisted.
     */
-  def verifiedPairs(docs: DataFrame, threshold: Double = JACCARD_T)
+  private def sigsFromSets(hs: DataFrame): DataFrame = {
+    val tok = hs.select(col("doc_id"), explode(col("hset")).as("h"))
+    val aggs = (0 until K).map(i =>
+      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band candidates + exact Jaccard verify over a shingle-hash-set
+    * frame (doc_id, hset).
+    */
+  private def verifiedPairsFromSets(hs: DataFrame, threshold: Double)
       : DataFrame = {
-    val hs = shingleHashSets(docs)
     val common = size(array_intersect(col("ha"), col("hb")))
-    bandCandidates(minhashSignatures(docs), "doc_id")
+    bandCandidates(sigsFromSets(hs), "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
         Seq("doc_a"))
@@ -328,6 +340,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Verified near-dup pairs: band candidates whose exact shingle-set
+    * Jaccard meets `threshold`.
+    */
+  def verifiedPairs(docs: DataFrame, threshold: Double = JACCARD_T)
+      : DataFrame =
+    verifiedPairsFromSets(shingleHashSets(docs), threshold)
 
   /** Canonical pick from an undirected pair list: two unrolled
     * min-propagation passes (pointer jumping). `ids` must contain every
@@ -349,9 +368,20 @@ object Dedup {
 
   /** (doc_id, canonical_id) for every document in `docs` — the
     * two-pass min-propagation over [[verifiedPairs]].
+    *
+    * The shingle-hash-set frame feeds four consumers (signatures, both
+    * pair-join sides, the id universe), so it is persisted — the same
+    * materialize-between-stages move a production curation pipeline
+    * makes; at 100 TB this is a disk-backed intermediate dataset, here
+    * MEMORY_AND_DISK. Without it, Spark re-executes the scan + hash
+    * pass (and any upstream dedup aggregation) once per consumer.
     */
-  def canonicalMap(docs: DataFrame): DataFrame =
-    canonicalFromPairs(docs, verifiedPairs(docs))
+  def canonicalMap(docs: DataFrame): DataFrame = {
+    val hs = shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    canonicalFromPairs(hs.select(col("doc_id")),
+      verifiedPairsFromSets(hs, JACCARD_T))
+  }
 
   /** SQL CTE chain `hs/ver/edges/minn/c1/canon` over the doc table
     * `src`, continuing from [[candSqlCtes]] — canon = (doc_id,
