@@ -233,6 +233,93 @@ object Dedup {
        |SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  // ------------------------------------------------------ q_simhash_pairs
+  /** SimHash near-dup pairs: 30-bit signatures (the usable width of
+    * the mod-1e9+7 shingle hash), banded into two 15-bit halves —
+    * pairs sharing either half are candidates (hamming ≤ 1 guaranteed
+    * by pigeonhole, ≤ 3 with high recall), exact popcount of the XOR
+    * verifies. The third member of the near-dup family next to MinHash
+    * (set overlap) and cosine (embedding distance): one map-side
+    * signature, band-bucketed self-join, O(1) verify per pair.
+    * At larger corpora, widen the signature (fold two independent
+    * hashes) and add bands — band-key width is the collision dial.
+    */
+  private val SIM_BITS = 30
+  private val HAM_T = 3
+
+  private def simhashWide(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ShinglePolyHash.register(s)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShinglePolyHash
+          .shingle_hashes(split(lower(col("text")), " "), lit(3))))
+          .as("h"))
+    val bitCols = (0 until SIM_BITS).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
+    }
+    val sim = (0 until SIM_BITS)
+      .map(b => when(col(s"s$b") >= 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashWide(s, d)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"),
+          shiftright(col("simhash"), 15).as("key")),
+        struct(lit(1).as("band"),
+          (col("simhash") % 32768).as("key")))).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+      .filter(col("hamming") <= HAM_T)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private val qSimhashPairsSql: String = {
+    val bitSums = (0 until SIM_BITS)
+      .map(b => s"SUM((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
+    val sim = (0 until SIM_BITS)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  ${shingleAllSql("documents")}),
+       |th AS (
+       |  SELECT DISTINCT doc_id, ${tokHashSql("t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash >> 15 AS key FROM sh
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1 AS band, simhash % 32768 AS key FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= $HAM_T""".stripMargin
+  }
+
   // ----------------------------------------------------- q_ngram_jaccard
   /** Exact n-gram (unigram token set) Jaccard over the LSH band
     * candidates — the verify stage of the fuzzy pipeline as its own
@@ -505,6 +592,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExact _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
+    "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_levenshtein"   -> qLevenshtein _
@@ -514,6 +602,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExactSql,
     "q_minhash_lsh"   -> qMinhashLshSql,
     "q_simhash"       -> qSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_levenshtein"   -> qLevenshteinSql

@@ -255,13 +255,92 @@ object TextAnalysis {
        |WHERE n_tokens BETWEEN 10 AND 2000 AND stopword_ratio < 0.5""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_split
+  /** Deterministic train/val/test carve by content-independent hash:
+    * md5 of the doc id mod 100 → 80/10/10. Stable across engines,
+    * partitionings, reruns and data growth (a doc never changes split
+    * when the corpus around it does) — the reproducible way to carve
+    * held-out shards; rand()/TABLESAMPLE are neither. Map-only.
+    */
+  private def qSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  private val qSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |            AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |            AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q_pack
+  /** Token-budget packing: fill context windows of `PACK_BUDGET`
+    * whitespace tokens by running a prefix sum over a deterministic
+    * doc order and cutting a new bin each time the budget is crossed
+    * (streaming fill — the standard approximation of bin packing a
+    * trainer's data loader uses).
+    *
+    * Scale: the window partition key is (lang, shard) with shard =
+    * hash mod [[PACK_SHARDS]] — NOT bare lang, whose fixed cardinality
+    * would put a whole language's running sum on one task at 100 TB.
+    * Shard count scales with the cluster; each window partition stays
+    * bounded.
+    */
+  private val PACK_BUDGET = 2048
+  private val PACK_SHARDS = 4
+
+  private def qPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % PACK_SHARDS
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), shard.as("shard"),
+        size(tokens(col("text"))).cast(IntegerType).as("n_tokens"))
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prefix_tokens div $PACK_BUDGET"))
+  }
+
+  private val qPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |         AS BIGINT) % $PACK_SHARDS AS shard,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+       |      AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS prefix_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $PACK_BUDGET AS BIGINT) AS bin
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_chunk"       -> qChunk _,
-    "q_curate"      -> qCurate _
+    "q_curate"      -> qCurate _,
+    "q_split"       -> qSplit _,
+    "q_pack"        -> qPack _
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,6 +349,8 @@ object TextAnalysis {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_chunk"       -> qChunkSql,
-    "q_curate"      -> qCurateSql
+    "q_curate"      -> qCurateSql,
+    "q_split"       -> qSplitSql,
+    "q_pack"        -> qPackSql
   )
 }
