@@ -453,6 +453,46 @@ object Dedup {
       .select(col("x.doc_id").as("doc_id"), col("y.c1").as("canonical_id"))
   }
 
+  /** Iterative connected-components canonical pick: edge-wise min
+    * propagation `c(d) ← min(c(d), min over neighbors of c(n))` until
+    * fixpoint (or `maxIter`). Converges in ≤ diameter rounds — for
+    * near-dup graphs (stars and short chains) that is 2-3; the
+    * unrolled [[canonicalFromPairs]] is exactly the first two rounds'
+    * worth and is what the oracle-gated queries use. This is the loop
+    * a 100 TB canonicalization job runs: each round is one edge join +
+    * one min aggregation, shuffling only (id, id) pairs, with a
+    * driver-side convergence check (a scalar count, not data).
+    */
+  def canonicalFixpoint(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val ver = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = ver.union(
+      ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var cur = ids.select(col("doc_id"),
+      col("doc_id").as("canonical_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // neighbor minima of the CURRENT labels, then fold into own label
+      val viaEdges = edges
+        .join(cur.select(col("doc_id").as("doc_b"),
+          col("canonical_id").as("nc")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("nc")).as("mn"))
+      val next = cur
+        .join(viaEdges, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("mn"), col("canonical_id"))).as("canonical_id"))
+      changed = next.alias("n")
+        .join(cur.alias("c"), Seq("doc_id"))
+        .filter(col("n.canonical_id") =!= col("c.canonical_id"))
+        .count()
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
   /** (doc_id, canonical_id) for every document in `docs` — the
     * two-pass min-propagation over [[verifiedPairs]].
     *

@@ -146,6 +146,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("canonical fixpoint: chains and min-pointing-away stars converge") {
+    // chain 1-2-...-8: needs diameter rounds, far beyond the unrolled
+    // two passes
+    val chainIds = (1L to 8L).toDF("doc_id")
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c1 = Dedup.canonicalFixpoint(chainIds, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1.values.toSet == Set(1L))
+    // star with a high-id hub: 9-{3,4}, 1-2, 2-9. Node 3's min neighbor
+    // is 9 (greater than itself) — min propagation must flow THROUGH
+    // the hub from 1, which pointer jumping alone cannot do.
+    val starIds = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val star = Seq((9L, 3L), (9L, 4L), (1L, 2L), (2L, 9L))
+      .toDF("doc_a", "doc_b")
+    val c2 = Dedup.canonicalFixpoint(starIds, star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet == Set(1L))
+  }
+
   test("topKNeighbors guard: small probe sets brute-exact, large route to IVF") {
     // under the threshold → identical to the exact brute-force query
     val brute = Similarity.topKNeighbors(spark, sf(), col("vec_id") < 10, 5)

@@ -86,18 +86,26 @@ class FileFormatsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/z").count() == o.count())
   }
 
-  test("csv and json round-trip with explicit schemas") {
+  test("csv, json and orc round-trip with explicit schemas") {
     val tmp = Files.createTempDirectory("graft-fmt").toString
     val n = Tables.nation(spark, sf())
     n.write.option("header", "true").csv(s"$tmp/nation_csv")
     n.write.json(s"$tmp/nation_json")
+    n.write.orc(s"$tmp/nation_orc")
 
     val fromCsv = spark.read.option("header", "true").schema(n.schema)
       .csv(s"$tmp/nation_csv")
     val fromJson = spark.read.schema(n.schema).json(s"$tmp/nation_json")
+    val fromOrc = spark.read.orc(s"$tmp/nation_orc")
 
     val expected = n.collect().map(_.toSeq).toSet
     assert(fromCsv.collect().map(_.toSeq).toSet == expected)
     assert(fromJson.collect().map(_.toSeq).toSet == expected)
+    assert(fromOrc.collect().map(_.toSeq).toSet == expected)
+    // ORC, like parquet, is a pushdown-capable columnar source
+    val pushed = fromOrc.filter(col("n_regionkey") === 1).select("n_name")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"))
+    assert(pushed.count() == n.filter(col("n_regionkey") === 1).count())
   }
 }
