@@ -70,23 +70,125 @@ object StreamingReconstructionV2 {
         endMarker.update(TxnEvent(m.transactionId, "END", m.eventCount))
       }
 
-      if (!endMarker.exists()) Iterator.empty
-      else {
-        val end = endMarker.get()
-        val buffered = events.get().toList
-        val complete = !countGated ||
-          end.eventCount.forall(_ <= buffered.size)
-        if (buffered.isEmpty && !countGated) {
-          // Parity: END with nothing buffered → no emit (`:159-163`).
-          events.clear(); endMarker.clear()
-          Iterator.empty
-        } else if (complete) {
-          events.clear(); endMarker.clear()
-          Iterator.single(TransactionRecord(
-            key, buffered.sortBy(_.tsMs), "END", end.eventCount))
-        } else Iterator.empty
-      }
+      StreamingReconstructionV2.emitIfComplete(
+        key, events, endMarker, countGated)
     }
+  }
+
+  /** V2 on event-time timers — the transformWithState counterpart of
+    * [[StreamingReconstruction.reconstructEventTime]]: a never-ended
+    * transaction's state is dropped by an explicit timer at (newest
+    * buffered event + horizon), driven by the change-stream watermark.
+    * Same watermark/union construction and the same txn-marker design
+    * decision (NULL event time) as V1. One timer per key: re-arming
+    * deletes the previous registration.
+    */
+  private class TxnProcessorEventTime(countGated: Boolean, horizonMs: Long)
+      extends StatefulProcessor[String, UnionEvent, TransactionRecord] {
+
+    @transient private var events: ListState[ChangeEvent] = _
+    @transient private var endMarker: ValueState[TxnEvent] = _
+    @transient private var armedTimer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      events = getHandle.getListState[ChangeEvent](
+        "events", Encoders.product[ChangeEvent], TTLConfig.NONE)
+      endMarker = getHandle.getValueState[TxnEvent](
+        "end", Encoders.product[TxnEvent], TTLConfig.NONE)
+      armedTimer = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def disarm(): Unit = {
+      if (armedTimer.exists()) getHandle.deleteTimer(armedTimer.get())
+      armedTimer.clear()
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[UnionEvent],
+        timers: TimerValues): Iterator[TransactionRecord] = {
+      val (changes, markers) = rows.toList.partition(_.isChange)
+      changes
+        .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
+          u.tsMs.getOrElse(0L), u.before, u.after))
+        .sortBy(_.tsMs)
+        .foreach(events.appendValue)
+      markers.find(_.status.contains("END")).foreach { m =>
+        endMarker.update(TxnEvent(m.transactionId, "END", m.eventCount))
+      }
+      val out = StreamingReconstructionV2.emitIfComplete(
+        key, events, endMarker, countGated)
+      disarm()
+      if (events.exists() || endMarker.exists()) {
+        // still buffering: evict at newest event + horizon, clamped
+        // above the watermark (marker-only keys have no event ts)
+        val maxTs = events.get().foldLeft(0L)((m, e) => math.max(m, e.tsMs))
+        val at = math.max(maxTs + horizonMs,
+          timers.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(at)
+        armedTimer.update(at)
+      }
+      out
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TransactionRecord] = {
+      // Replay-safe leak fix: watermark passed the horizon, END never
+      // came — drop the whole buffer.
+      events.clear(); endMarker.clear(); armedTimer.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Shared emit decision: END + complete buffer → emit and clear.
+    * Used by both the TTL and the event-time-timer processors.
+    */
+  private def emitIfComplete(
+      key: String,
+      events: ListState[ChangeEvent],
+      endMarker: ValueState[TxnEvent],
+      countGated: Boolean): Iterator[TransactionRecord] = {
+    if (!endMarker.exists()) Iterator.empty
+    else {
+      val end = endMarker.get()
+      val buffered = events.get().toList
+      val complete = !countGated ||
+        end.eventCount.forall(_ <= buffered.size)
+      if (buffered.isEmpty && !countGated) {
+        // Parity: END with nothing buffered → no emit (`:159-163`).
+        events.clear(); endMarker.clear()
+        Iterator.empty
+      } else if (complete) {
+        events.clear(); endMarker.clear()
+        Iterator.single(TransactionRecord(
+          key, buffered.sortBy(_.tsMs), "END", end.eventCount))
+      } else Iterator.empty
+    }
+  }
+
+  /** Event-time variant — see [[TxnProcessorEventTime]]. */
+  def reconstructEventTime(
+      changes: Dataset[ChangeEvent],
+      txns: Dataset[TxnEvent],
+      countGated: Boolean = false,
+      watermarkDelay: java.time.Duration = java.time.Duration.ofMinutes(1),
+      evictionHorizon: java.time.Duration = java.time.Duration.ofMinutes(5))
+      : Dataset[TransactionRecord] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val changeDf = changes.map(UnionEvent.fromChange).toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+    val txnDf = txns.map(UnionEvent.fromTxn).toDF()
+      .withColumn("eventTime",
+        lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    changeDf.unionByName(txnDf)
+      .withWatermark("eventTime",
+        s"${watermarkDelay.toMillis} milliseconds")
+      .as[UnionEvent]
+      .groupByKey(_.transactionId)
+      .transformWithState(
+        new TxnProcessorEventTime(countGated, evictionHorizon.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Same contract as [[StreamingReconstruction.reconstruct]]. */

@@ -157,6 +157,37 @@ class StreamingReconstructionV2Spec extends SparkSpec {
     }
   }
 
+  test("v2 event-time timers evict never-ended state as the watermark advances") {
+    // transformWithState counterpart of the V1 event-time spec: no
+    // sleeps — eviction driven purely by the change-stream watermark.
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val changes = MemoryStream[ChangeEvent]
+      val txns = MemoryStream[TxnEvent]
+      val out = StreamingReconstructionV2.reconstructEventTime(
+        changes.toDS(), txns.toDS(),
+        watermarkDelay = java.time.Duration.ofMillis(500),
+        evictionHorizon = java.time.Duration.ofSeconds(2))
+      val q = out.writeStream.format("memory").queryName("v2_evict")
+        .outputMode("append").start()
+      try {
+        changes.addData(ChangeEvent("t1", "c", 1000L, None, None),
+          ChangeEvent("t1", "u", 1200L, None, None),
+          ChangeEvent("t3", "c", 1100L, None, None))
+        q.processAllAvailable()
+        changes.addData(ChangeEvent("t2", "c", 60000L, None, None))
+        txns.addData(TxnEvent("t3", "END", Some(1L)))
+        q.processAllAvailable()        // t3 emits; watermark → 59_500
+        changes.addData(ChangeEvent("t2", "u", 61000L, None, None))
+        q.processAllAvailable()        // t1's timer (3200) fires → dropped
+        txns.addData(TxnEvent("t1", "END", Some(2L)))
+        q.processAllAvailable()        // late END finds nothing
+        val recs = spark.table("v2_evict").as[TransactionRecord].collect()
+        assert(recs.map(_.transactionId).toSeq == Seq("t3"))
+      } finally q.stop()
+    }
+  }
+
   test("v2 countGated: holds until event_count met, either arrival order") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext
