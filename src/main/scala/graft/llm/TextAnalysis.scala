@@ -210,11 +210,16 @@ object TextAnalysis {
     */
   private def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exactCanonical = docs
+    // Exact dedup as ONE min_by aggregation: the smallest-id document
+    // per fingerprint, whole row carried in the aggregation buffer.
+    // Equivalent to groupBy(fp).agg(min(doc_id)) + semi-join back, but
+    // with a single shuffle — the semi-join variant ships a
+    // corpus-sized build side through a second exchange at 100 TB.
+    val survivors = docs
       .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val survivors = docs.join(exactCanonical, Seq("doc_id"), "left_semi")
+      .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
+        col("doc_id")).as("s"))
+      .select(col("s.*"))
     val fuzzyCanonical = Dedup.canonicalMap(survivors)
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
