@@ -465,11 +465,18 @@ object Dedup {
     */
   def canonicalFixpoint(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val ver = pairs.select(col("doc_a"), col("doc_b"))
+    // Standard iterative-algorithm hygiene: cache the loop-invariant
+    // edge frame and each iteration's labels, unpersist the previous
+    // generation once the next is materialized — otherwise iteration k
+    // re-executes the whole k-deep lineage (O(iter²) total work).
     val edges = ver.union(
       ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = ids.select(col("doc_id"),
       col("doc_id").as("canonical_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -483,13 +490,16 @@ object Dedup {
         .select(col("doc_id"),
           least(col("canonical_id"),
             coalesce(col("mn"), col("canonical_id"))).as("canonical_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.alias("n")
         .join(cur.alias("c"), Seq("doc_id"))
         .filter(col("n.canonical_id") =!= col("c.canonical_id"))
-        .count()
+        .count()                       // also materializes `next`
+      cur.unpersist(false)
       cur = next
       i += 1
     }
+    edges.unpersist(false)
     cur
   }
 
@@ -510,11 +520,10 @@ object Dedup {
       verifiedPairsFromSets(hs, JACCARD_T))
   }
 
-  /** SQL CTE chain `hs/ver/edges/minn/c1/canon` over the doc table
-    * `src`, continuing from [[candSqlCtes]] — canon = (doc_id,
-    * canonical_id) for every doc in `src`.
+  /** SQL CTE chain `hs/ver` over the doc table `src`, continuing from
+    * [[candSqlCtes]] — ver = verified near-dup pairs.
     */
-  private def canonSqlCtes(src: String): String =
+  private def verSqlCtes(src: String): String =
     s"""${candSqlCtes(src)},
        |hs AS (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
@@ -528,7 +537,13 @@ object Dedup {
        |             AS DOUBLE)
        |      / (len(a.hset) + len(b.hset)
        |         - len(list_filter(a.hset, x -> list_contains(b.hset, x))))
-       |      >= $JACCARD_T),
+       |      >= $JACCARD_T)""".stripMargin
+
+  /** Continuation: `edges/minn/c1/canon` — canon = (doc_id,
+    * canonical_id) for every doc in `src` via two min passes.
+    */
+  private def canonSqlCtes(src: String): String =
+    s"""${verSqlCtes(src)},
        |edges AS (
        |  SELECT doc_a, doc_b FROM ver
        |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
@@ -556,6 +571,32 @@ object Dedup {
     * oracles (q_curate): full WITH-chain ending in `canon`.
     */
   private[llm] def canonicalSqlWith(src: String): String = canonSqlCtes(src)
+
+  // ---------------------------------------------------------- q_dedup_cc
+  /** TRUE connected-components canonicalization via the iterative
+    * [[canonicalFixpoint]] loop — the fixpoint big sibling of
+    * [[qDedupFuzzy]]'s unrolled two passes. Oracle: an INDEPENDENT
+    * construction (DuckDB recursive transitive closure + min), so the
+    * iterative Spark loop is checked against closed-form reachability,
+    * not against its own algorithm.
+    */
+  private def qDedupCc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    canonicalFixpoint(docs.select(col("doc_id")), verifiedPairs(docs))
+  }
+
+  private val qDedupCcSql: String =
+    s"""WITH RECURSIVE ${verSqlCtes("documents")},
+       |edges2 AS (
+       |  SELECT doc_a, doc_b FROM ver
+       |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT edges2.doc_a, reach.r
+       |  FROM edges2 JOIN reach ON reach.doc_id = edges2.doc_b)
+       |SELECT doc_id, min(r) AS canonical_id
+       |FROM reach GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------- q_levenshtein
   /** Edit-distance near-dup detection with content-scaled blocking:
@@ -635,6 +676,7 @@ object Dedup {
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
+    "q_dedup_cc"      -> qDedupCc _,
     "q_levenshtein"   -> qLevenshtein _
   )
 
@@ -645,6 +687,7 @@ object Dedup {
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
+    "q_dedup_cc"      -> qDedupCcSql,
     "q_levenshtein"   -> qLevenshteinSql
   )
 }
