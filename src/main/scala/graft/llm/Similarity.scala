@@ -479,7 +479,39 @@ object Similarity {
        |FROM dims2
        |GROUP BY centroid_id, dim""".stripMargin
 
+  // ------------------------------------------------------------ q_quantize
+  /** Per-vector int8 (0..255) min/max quantization — the embedding-
+    * compression step before an ANN index ships to disk: 4× smaller
+    * than float32, map-only, no shuffle at all. The quantized codes
+    * are emitted pipe-joined (the driver gate cannot hash array
+    * columns); floor() of identical double arithmetic is engine-
+    * independent, so the codes are bit-stable.
+    */
+  private def qQuantize(s: SparkSession, d: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val lo = array_min(v)
+    val hi = array_max(v)
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"), lo.as("lo"), hi.as("hi"),
+        array_join(transform(v,
+          x => floor((x - lo) * 255 / (hi - lo)).cast("long")
+            .cast("string")), "|").as("q"))
+  }
+
+  private val qQuantizeSql: String =
+    """SELECT vec_id,
+      |  list_min(CAST(embedding AS DOUBLE[])) AS lo,
+      |  list_max(CAST(embedding AS DOUBLE[])) AS hi,
+      |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor((x - list_min(CAST(embedding AS DOUBLE[]))) * 255
+      |         / (list_max(CAST(embedding AS DOUBLE[]))
+      |            - list_min(CAST(embedding AS DOUBLE[])))) AS BIGINT)),
+      |    '|') AS q
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantize"     -> qQuantize _,
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
     "q_ann_lsh"      -> qAnnLsh _,
@@ -489,6 +521,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantize"     -> qQuantizeSql,
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,
     "q_ann_lsh"      -> qAnnLshSql,

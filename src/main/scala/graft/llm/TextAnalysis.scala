@@ -337,7 +337,35 @@ object TextAnalysis {
        |    // $PACK_BUDGET AS BIGINT) AS bin
        |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- q_vocab
+  /** Vocabulary extraction: top-50 corpus tokens by term frequency
+    * with document frequency — the tokenizer-training precursor.
+    * Plan: explode → one hash aggregation (map-side partials carry
+    * (token, count) pairs, never documents) → TakeOrderedAndProject
+    * for the top-k (no global sort). Ties break on the token itself
+    * for cross-engine determinism.
+    */
+  private val VOCAB_K = 50
+
+  private def qVocab(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(VOCAB_K)
+
+  private val qVocabSql: String =
+    s"""SELECT t AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |      FROM documents)
+       |GROUP BY t
+       |ORDER BY tf DESC, t
+       |LIMIT $VOCAB_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab"       -> qVocab _,
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_token_count" -> qTokenCount _,
@@ -349,6 +377,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab"       -> qVocabSql,
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
