@@ -56,8 +56,25 @@ object BatchReconstruction {
       .withColumn("event_ids",
         array_join(transform(col("event_ids"), _.cast("string")), "|"))
 
+  /** Downstream analytics OVER the reconstruction — the integration a
+    * reference user runs next: distribution of transaction sizes with
+    * value totals and wall-clock spans. Composes [[reconstructRaw]]
+    * with the relational surface in one plan (reconstruction shuffle →
+    * n_events hash agg; the second aggregation's partials carry one
+    * row per (n_events) group).
+    */
+  def txnStats(spark: SparkSession, dir: String): DataFrame =
+    reconstructRaw(spark, dir)
+      .groupBy(col("n_events"))
+      .agg(
+        count(lit(1)).as("n_txns"),
+        Det.dsum(col("total_value")).as("sum_value"),
+        sum(unix_millis(col("last_ts")) - unix_millis(col("first_ts")))
+          .as("total_span_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_reconstruct" -> reconstruct
+    "cdc_reconstruct" -> reconstruct,
+    "q_txn_stats"     -> txnStats
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +89,23 @@ object BatchReconstruction {
          |FROM events
          |GROUP BY user_id
          |HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
-         |""".stripMargin
+         |""".stripMargin,
+    "q_txn_stats" ->
+      s"""WITH txns AS (
+         |  SELECT user_id AS transaction_id,
+         |         count(*) AS n_events,
+         |         min(ts) AS first_ts,
+         |         max(ts) AS last_ts,
+         |         ${Det.dsumSql("value")} AS total_value
+         |  FROM events
+         |  GROUP BY user_id
+         |  HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |         = 1)
+         |SELECT n_events, count(*) AS n_txns,
+         |  ${Det.dsumSql("total_value")} AS sum_value,
+         |  CAST(SUM(epoch_ms(last_ts) - epoch_ms(first_ts)) AS BIGINT)
+         |    AS total_span_ms
+         |FROM txns
+         |GROUP BY n_events""".stripMargin
   )
 }
