@@ -20,7 +20,12 @@ object Bench {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // drop persisted intermediates (fuzzy-dedup pipelines cache
+          // their shared scan) so per-query timings are self-contained
+          // and storage memory doesn't accumulate across 70+ queries
+          spark.catalog.clearCache()
+          name -> t
       }
     def fmt(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -169,6 +169,33 @@ object StreamingReconstruction {
     * (END for events that never arrive) times out `evictionHorizon`
     * past the watermark at its arrival.
     */
+  /** Union the two typed streams with a watermarked event-time column.
+    * The watermark-tagged attribute must survive into the stateful
+    * operator's input (the analyzer rejects event-time timeouts when a
+    * typed map projects it away), so the event-time column rides
+    * through the union NEXT TO the UnionEvent fields and the watermark
+    * is declared on the unioned frame; txn markers carry NULL event
+    * time (never advance the watermark, never dropped as late). Shared
+    * by this module's event-time variant and the state-API-v2 one.
+    */
+  private[cdc] def unionWithEventTime(
+      changes: Dataset[ChangeEvent],
+      txns: Dataset[TxnEvent],
+      watermarkDelay: java.time.Duration): Dataset[UnionEvent] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val changeDf = changes.map(UnionEvent.fromChange).toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+    val txnDf = txns.map(UnionEvent.fromTxn).toDF()
+      .withColumn("eventTime",
+        lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    changeDf.unionByName(txnDf)
+      .withWatermark("eventTime",
+        s"${watermarkDelay.toMillis} milliseconds")
+      .as[UnionEvent]
+  }
+
   def reconstructEventTime(
       changes: Dataset[ChangeEvent],
       txns: Dataset[TxnEvent],
@@ -178,22 +205,8 @@ object StreamingReconstruction {
       : Dataset[TransactionRecord] = {
     val spark = changes.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
 
-    // The watermark-tagged attribute must survive into the stateful
-    // operator's input (the analyzer rejects EventTimeTimeout when a
-    // typed map projects it away), so the event-time column rides
-    // through the union NEXT TO the UnionEvent fields and the
-    // watermark is declared on the unioned frame.
-    val changeDf = changes.map(UnionEvent.fromChange).toDF()
-      .withColumn("eventTime", timestamp_millis(col("tsMs")))
-    val txnDf = txns.map(UnionEvent.fromTxn).toDF()
-      .withColumn("eventTime",
-        lit(null).cast(org.apache.spark.sql.types.TimestampType))
-    val unioned = changeDf.unionByName(txnDf)
-      .withWatermark("eventTime",
-        s"${watermarkDelay.toMillis} milliseconds")
-      .as[UnionEvent]
+    val unioned = unionWithEventTime(changes, txns, watermarkDelay)
     val horizonMs = evictionHorizon.toMillis
 
     unioned
@@ -210,13 +223,20 @@ object StreamingReconstruction {
           } else {
             val out = applyBatch(txnId, batch, state, countGated)
             if (state.exists) {
-              // Timeout at (newest buffered event + horizon), clamped
-              // above the current watermark (Spark requires it).
+              // Timeout at (newest buffered event + horizon). A buffer
+              // holding only markers has no event time — it gets the
+              // full horizon from the CURRENT watermark (not wm + 1,
+              // which would evict an END-first transaction on the very
+              // next watermark advance). Clamped above the watermark
+              // (Spark requires it) for overdue buffers.
               val wm = state.getCurrentWatermarkMs()
-              val maxTs = state.get.events
-                .foldLeft(0L)((m, e) => math.max(m, e.tsMs))
-              state.setTimeoutTimestamp(
-                math.max(maxTs + horizonMs, wm + 1))
+              val evts = state.get.events
+              val base =
+                if (evts.nonEmpty)
+                  evts.foldLeft(0L)((m, e) => math.max(m, e.tsMs)) +
+                    horizonMs
+                else wm + horizonMs
+              state.setTimeoutTimestamp(math.max(base, wm + 1))
             }
             out
           }

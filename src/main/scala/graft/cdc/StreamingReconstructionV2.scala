@@ -50,23 +50,25 @@ object StreamingReconstructionV2 {
         .map(u => ChangeEvent(u.transactionId, u.operation.getOrElse(""),
           u.tsMs.getOrElse(0L), u.before, u.after))
         .sortBy(_.tsMs)
+      val endNow = markers.find(_.status.contains("END"))
       if (ttlArmed) {
         // TTLConfig expires each ListState element from its own last
         // write, whereas V1's timeout resets on ANY activity and drops
         // the whole buffer atomically. Re-arm on every input by
-        // rewriting the surviving list (and re-writing the END marker),
-        // so the transaction expires as a unit from its last activity —
-        // V1 semantics, at the cost of the append-only write path
-        // (only paid when a TTL is armed).
+        // rewriting the surviving list (and re-writing the END marker
+        // unless this batch supplies a fresh one — a BEGIN-only batch
+        // must still re-arm it), so the transaction expires as a unit
+        // from its last activity — V1 semantics, at the cost of the
+        // append-only write path (only paid when a TTL is armed).
         val kept = events.get().toList
         events.clear()
         (kept ++ newEvents).foreach(events.appendValue)
-        if (markers.isEmpty && endMarker.exists())
+        if (endNow.isEmpty && endMarker.exists())
           endMarker.update(endMarker.get())
       } else {
         newEvents.foreach(events.appendValue)
       }
-      markers.find(_.status.contains("END")).foreach { m =>
+      endNow.foreach { m =>
         endMarker.update(TxnEvent(m.transactionId, "END", m.eventCount))
       }
 
@@ -119,11 +121,17 @@ object StreamingReconstructionV2 {
         key, events, endMarker, countGated)
       disarm()
       if (events.exists() || endMarker.exists()) {
-        // still buffering: evict at newest event + horizon, clamped
-        // above the watermark (marker-only keys have no event ts)
-        val maxTs = events.get().foldLeft(0L)((m, e) => math.max(m, e.tsMs))
-        val at = math.max(maxTs + horizonMs,
-          timers.getCurrentWatermarkInMs() + 1)
+        // still buffering: evict at newest event + horizon; a
+        // marker-only buffer has no event time and gets the full
+        // horizon from the current watermark (wm + 1 would evict an
+        // END-first transaction on the next watermark advance)
+        val wm = timers.getCurrentWatermarkInMs()
+        val buffered = events.get().toList
+        val base =
+          if (buffered.nonEmpty)
+            buffered.foldLeft(0L)((m, e) => math.max(m, e.tsMs)) + horizonMs
+          else wm + horizonMs
+        val at = math.max(base, wm + 1)
         getHandle.registerTimer(at)
         armedTimer.update(at)
       }
@@ -175,16 +183,8 @@ object StreamingReconstructionV2 {
       : Dataset[TransactionRecord] = {
     val spark = changes.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
-    val changeDf = changes.map(UnionEvent.fromChange).toDF()
-      .withColumn("eventTime", timestamp_millis(col("tsMs")))
-    val txnDf = txns.map(UnionEvent.fromTxn).toDF()
-      .withColumn("eventTime",
-        lit(null).cast(org.apache.spark.sql.types.TimestampType))
-    changeDf.unionByName(txnDf)
-      .withWatermark("eventTime",
-        s"${watermarkDelay.toMillis} milliseconds")
-      .as[UnionEvent]
+    StreamingReconstruction
+      .unionWithEventTime(changes, txns, watermarkDelay)
       .groupByKey(_.transactionId)
       .transformWithState(
         new TxnProcessorEventTime(countGated, evictionHorizon.toMillis),

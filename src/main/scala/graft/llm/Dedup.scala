@@ -30,8 +30,16 @@ object Dedup {
 
   /** Deterministic polynomial hash of a token:
     * fold(7, (acc, ch) => (acc * 31 + codepoint(ch)) mod 1e9+7).
+    * P/K/ROWS_PER_BAND and [[minhashFn]]/[[bandStructCols]] are shared
+    * with the streaming pipeline (`graft.streaming.StreamingDedup`) so
+    * batch and streaming candidates stay value-identical by
+    * construction.
     */
-  private val P = 1000000007L
+  private[graft] val P = 1000000007L
+
+  /** The i-th MinHash function over a shingle hash. */
+  private[graft] def minhashFn(h: Column, i: Int): Column =
+    (h * (i * 2 + 1) + i * 12345L) % P
 
   def tokenHash(t: Column): Column =
     aggregate(
@@ -69,8 +77,8 @@ object Dedup {
   /** K hash functions h_i(x) = ((2i+1)·x + 12345·i) mod P over the
     * shingle hash; K/ROWS_PER_BAND bands.
     */
-  private val K = 8
-  private val ROWS_PER_BAND = 2
+  private[graft] val K = 8
+  private[graft] val ROWS_PER_BAND = 2
 
   /** Word n-gram shingles (distinct, lowercased). MinHash over
     * *shingles*, not unigram token sets: with a small vocabulary every
@@ -116,26 +124,31 @@ object Dedup {
     val tok = docs.select(col("doc_id"),
       explode(graft.functions.ShinglePolyHash.shingle_hashes(
         split(lower(col("text")), " "), lit(3))).as("h"))
-    val aggs = (0 until K).map(i =>
-      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+    val aggs = (0 until K).map(i => min(minhashFn(col("h"), i)).as(s"sig$i"))
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** (band, key) struct columns over signature columns sig0..sig{k-1} —
+    * the band-key construction shared by batch and streaming.
+    */
+  private[graft] def bandStructCols(k: Int = K,
+      rowsPerBand: Int = ROWS_PER_BAND): Seq[Column] =
+    (0 until k / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand)
+          .map(r => col(s"sig${b * rowsPerBand + r}")): _*).as("key"))
+    }
 
   /** (id, band, key) rows from a signature frame: band key = the
     * concatenated signature rows of that band. Docs sharing a (band,
     * key) are LSH candidates.
     */
   private def bandKeys(sigs: DataFrame, idCol: String, k: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bandStructs = (0 until k / rowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rowsPerBand)
-          .map(r => col(s"sig${b * rowsPerBand + r}")): _*).as("key"))
-    }
+      rowsPerBand: Int): DataFrame =
     sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol),
+        explode(array(bandStructCols(k, rowsPerBand): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
 
   /** Distinct candidate pairs (id_a < id_b) sharing at least one band
     * bucket. The self-join runs only within buckets — the 100 TB-safe
@@ -406,7 +419,7 @@ object Dedup {
   private def sigsFromSets(hs: DataFrame): DataFrame = {
     val tok = hs.select(col("doc_id"), explode(col("hset")).as("h"))
     val aggs = (0 until K).map(i =>
-      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+      min(minhashFn(col("h"), i)).as(s"sig$i"))
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -582,7 +595,12 @@ object Dedup {
     */
   private def qDedupCc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    canonicalFixpoint(docs.select(col("doc_id")), verifiedPairs(docs))
+    // Same shared-scan shape as canonicalMap: the hash-set frame feeds
+    // the signatures, both pair-join sides and the id universe.
+    val hs = shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    canonicalFixpoint(hs.select(col("doc_id")),
+      verifiedPairsFromSets(hs, JACCARD_T))
   }
 
   private val qDedupCcSql: String =
@@ -615,14 +633,19 @@ object Dedup {
     val names = Tables.part(s, d)
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("rep_key"), count(lit(1)).as("n_parts"))
-    // Char 4-gram shingle hashes → K=4 minhash in one agg pass.
+    // Char 4-gram shingle hashes → K=4 minhash in one agg pass. Names
+    // shorter than 4 chars get NO grams (guarded like shingles() —
+    // an unguarded sequence(0, len-4) turns negative-descending and
+    // substr wraps, diverging from the oracle's empty range(len-3)).
     val grams = names.select(col("p_name"),
-      explode(array_distinct(transform(
-        sequence(lit(0), length(col("p_name")) - 4),
-        i => col("p_name").substr(i + 1, lit(4))))).as("g"))
+      explode(when(length(col("p_name")) >= 4,
+        array_distinct(transform(
+          sequence(lit(0), length(col("p_name")) - 4),
+          i => col("p_name").substr(i + 1, lit(4)))))
+        .otherwise(typedlit(Seq.empty[String]))).as("g"))
       .select(col("p_name"), tokenHash(col("g")).as("h"))
     val aggs = (0 until K_NAME).map(i =>
-      min((col("h") * (i * 2 + 1) + i * 12345L) % P).as(s"sig$i"))
+      min(minhashFn(col("h"), i)).as(s"sig$i"))
     val sigs = grams.groupBy(col("p_name")).agg(aggs.head, aggs.tail: _*)
     val cand = bandCandidates(sigs, "p_name", K_NAME, ROWS_PER_BAND)
       .select(col("id_a").as("name_a"), col("id_b").as("name_b"))

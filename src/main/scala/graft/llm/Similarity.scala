@@ -90,7 +90,10 @@ object Similarity {
   def topKNeighbors(s: SparkSession, d: String, probePred: Column,
       k: Int, maxBroadcastProbes: Long = 1024): DataFrame = {
     graft.functions.VecDot.register(s)
+    // Persisted: the guard's count and the chosen path's probe+corpus
+    // sides otherwise each re-scan and re-normalize the corpus.
     val emb = embWithNorm(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = probeSet(emb, probePred)
     if (probes.count() <= maxBroadcastProbes) bruteTopK(emb, probes, k)
     else ivfTopK(emb, probePred, k)
@@ -491,12 +494,16 @@ object Similarity {
     val v = asDouble(col("embedding"))
     val lo = array_min(v)
     val hi = array_max(v)
+    // hi == lo (constant vector) would divide 0/0 → NaN, which Spark
+    // silently casts to 0 but the oracle's BIGINT cast rejects — both
+    // engines take the explicit 0 branch instead.
+    val code = (x: Column) =>
+      when(hi > lo, floor((x - lo) * 255 / (hi - lo)).cast("long"))
+        .otherwise(lit(0L))
     Tables.embeddings(s, d)
       .select(
         col("vec_id"), lo.as("lo"), hi.as("hi"),
-        array_join(transform(v,
-          x => floor((x - lo) * 255 / (hi - lo)).cast("long")
-            .cast("string")), "|").as("q"))
+        array_join(transform(v, x => code(x).cast("string")), "|").as("q"))
   }
 
   private val qQuantizeSql: String =
@@ -504,9 +511,14 @@ object Similarity {
       |  list_min(CAST(embedding AS DOUBLE[])) AS lo,
       |  list_max(CAST(embedding AS DOUBLE[])) AS hi,
       |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
-      |    x -> CAST(floor((x - list_min(CAST(embedding AS DOUBLE[]))) * 255
-      |         / (list_max(CAST(embedding AS DOUBLE[]))
-      |            - list_min(CAST(embedding AS DOUBLE[])))) AS BIGINT)),
+      |    x -> CASE WHEN list_max(CAST(embedding AS DOUBLE[]))
+      |               > list_min(CAST(embedding AS DOUBLE[]))
+      |         THEN CAST(floor(
+      |           (x - list_min(CAST(embedding AS DOUBLE[]))) * 255
+      |           / (list_max(CAST(embedding AS DOUBLE[]))
+      |              - list_min(CAST(embedding AS DOUBLE[]))))
+      |           AS BIGINT)
+      |         ELSE 0 END),
       |    '|') AS q
       |FROM embeddings""".stripMargin
 

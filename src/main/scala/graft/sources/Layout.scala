@@ -69,6 +69,11 @@ object Layout {
     val r = df.agg(
       min(a.cast("double")), max(a.cast("double")),
       min(b.cast("double")), max(b.cast("double"))).head()
+    if (r.isNullAt(0)) {
+      // empty input: nothing to cluster, write the empty frame as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zValue(
       gridCoord(a, r.getDouble(0), r.getDouble(1)),
       gridCoord(b, r.getDouble(2), r.getDouble(3)))

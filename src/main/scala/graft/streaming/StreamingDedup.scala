@@ -33,9 +33,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  private val P = 1000000007L
-  private val K = 8
-  private val ROWS_PER_BAND = 2
+  // Hash family, K, and band construction come from the batch module —
+  // batch/streaming candidate parity holds by construction, not by
+  // keeping two copies in sync (StreamingDedupSpec asserts it anyway).
+  import graft.llm.Dedup.{bandStructCols, minhashFn, K, ROWS_PER_BAND}
 
   /** Candidate pair: doc_b arrived while doc_a was already in the
     * bucket (doc_a < doc_b after normalization).
@@ -55,8 +56,7 @@ object StreamingDedup {
     val hashes = graft.functions.ShinglePolyHash.shingle_hashes(
       split(lower(text), " "), lit(3))
     (0 until K).map(i =>
-      array_min(transform(hashes, h => (h * (i * 2 + 1) + i * 12345L) % P))
-        .as(s"sig$i"))
+      array_min(transform(hashes, h => minhashFn(h, i))).as(s"sig$i"))
   }
 
   /** Streaming candidate pairs from a (doc_id, text) stream. */
@@ -68,15 +68,11 @@ object StreamingDedup {
 
     val sigs = docs.select(
       (col("doc_id") +: signatureCols(col("text"))): _*)
-    val bandStructs = (0 until K / ROWS_PER_BAND).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until ROWS_PER_BAND)
-          .map(r => col(s"sig${b * ROWS_PER_BAND + r}")): _*).as("key"))
-    }
     val hits = sigs
       // docs with no shingles have Long.MaxValue-free null mins; drop
       .filter(col("sig0").isNotNull)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"),
+        explode(array(bandStructCols(K, ROWS_PER_BAND): _*)).as("bk"))
       .select(concat_ws("|", col("bk.band"), col("bk.key")).as("bucket"),
         col("bk.band").as("band"), col("doc_id").as("docId"))
       .as[BandHit]

@@ -152,6 +152,40 @@ class StreamingReconstructionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time: END-first countGated txn survives until events arrive (epoch ts)") {
+    // Regression: a marker-only buffer has no event time; its timeout
+    // was clamped to watermark+1 (maxTs=0 << realistic watermarks), so
+    // a buffered END was evicted on the very next watermark advance.
+    // Fixed: marker-only buffers get the full horizon from the current
+    // watermark.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{ChangeEvent, TxnEvent}
+    val T = 1700000000000L // realistic epoch millis
+    val changes = MemoryStream[ChangeEvent]
+    val txns = MemoryStream[TxnEvent]
+    val out = StreamingReconstruction.reconstructEventTime(
+      changes.toDS(), txns.toDS(), countGated = true,
+      watermarkDelay = java.time.Duration.ofMillis(500),
+      evictionHorizon = java.time.Duration.ofSeconds(60))
+    val q = out.writeStream.format("memory").queryName("s_endfirst")
+      .outputMode("append").start()
+    try {
+      changes.addData(ChangeEvent("w", "c", T, None, None))
+      q.processAllAvailable()                    // watermark ≈ T - 500
+      txns.addData(TxnEvent("t1", "END", Some(2L)))
+      changes.addData(ChangeEvent("w", "u", T + 1000, None, None))
+      q.processAllAvailable()                    // t1 buffers END only
+      changes.addData(ChangeEvent("w", "u", T + 2000, None, None))
+      q.processAllAvailable()                    // watermark advances — t1 must survive
+      changes.addData(ChangeEvent("t1", "c", T + 3000, None, None),
+        ChangeEvent("t1", "u", T + 3100, None, None))
+      q.processAllAvailable()                    // 2 of 2 → emit
+      val recs = spark.table("s_endfirst").as[TransactionRecord].collect()
+      assert(recs.map(_.transactionId).toSeq == Seq("t1"))
+      assert(recs.head.events.map(_.tsMs) == Seq(T + 3000, T + 3100))
+    } finally q.stop()
+  }
+
   test("processing-time TTL evicts never-ended state across checkpoint restarts") {
     // The reference leaks state forever for transactions that never see
     // END (`DebeziumTransactionReconstructor.java:138`, no timer). With

@@ -188,6 +188,65 @@ class StreamingReconstructionV2Spec extends SparkSpec {
     }
   }
 
+  test("v2 event-time: END-first countGated txn survives the watermark (epoch ts)") {
+    // Same regression as V1: marker-only buffers must get the full
+    // horizon from the watermark, not watermark+1.
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val T = 1700000000000L
+      val changes = MemoryStream[ChangeEvent]
+      val txns = MemoryStream[TxnEvent]
+      val out = StreamingReconstructionV2.reconstructEventTime(
+        changes.toDS(), txns.toDS(), countGated = true,
+        watermarkDelay = java.time.Duration.ofMillis(500),
+        evictionHorizon = java.time.Duration.ofSeconds(60))
+      val q = out.writeStream.format("memory").queryName("v2_endfirst")
+        .outputMode("append").start()
+      try {
+        changes.addData(ChangeEvent("w", "c", T, None, None))
+        q.processAllAvailable()
+        txns.addData(TxnEvent("t1", "END", Some(2L)))
+        changes.addData(ChangeEvent("w", "u", T + 1000, None, None))
+        q.processAllAvailable()
+        changes.addData(ChangeEvent("w", "u", T + 2000, None, None))
+        q.processAllAvailable()
+        changes.addData(ChangeEvent("t1", "c", T + 3000, None, None),
+          ChangeEvent("t1", "u", T + 3100, None, None))
+        q.processAllAvailable()
+        val recs = spark.table("v2_endfirst").as[TransactionRecord].collect()
+        assert(recs.map(_.transactionId).toSeq == Seq("t1"))
+      } finally q.stop()
+    }
+  }
+
+  test("v2 TTL: a BEGIN-only batch re-arms the END marker too") {
+    // Regression: the re-arm condition skipped the END marker whenever
+    // the batch contained any marker, so a BEGIN no-op let the END
+    // expire mid-transaction and the final event found no marker.
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("v2-begin").toString
+      val changes = MemoryStream[ChangeEvent]
+      val txns = MemoryStream[TxnEvent]
+      val out = StreamingReconstructionV2.reconstruct(
+        changes.toDS(), txns.toDS(), countGated = true,
+        ttl = Some(java.time.Duration.ofSeconds(6)))
+      changes.addData(ChangeEvent("t1", "c", 100L, None, None))
+      txns.addData(TxnEvent("t1", "END", Some(2L)))
+      runOnce(out, tmp)               // 1 of 2 → held; END stored ~T0
+      Thread.sleep(3500)
+      txns.addData(TxnEvent("t1", "BEGIN", None))
+      runOnce(out, tmp)               // BEGIN no-op must re-arm END too
+      Thread.sleep(3500)              // ~T0+7: past END's ORIGINAL expiry
+      changes.addData(ChangeEvent("t1", "u", 200L, None, None))
+      runOnce(out, tmp)               // 2 of 2 → emit
+      val recs = spark.read.parquet(s"$tmp/out")
+        .as[TransactionRecord].collect()
+      assert(recs.map(_.transactionId).toSeq == Seq("t1"))
+      assert(recs.head.events.map(_.tsMs) == Seq(100L, 200L))
+    }
+  }
+
   test("v2 countGated: holds until event_count met, either arrival order") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext
