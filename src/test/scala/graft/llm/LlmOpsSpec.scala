@@ -146,6 +146,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("levenshtein blocking skips names shorter than the gram width") {
+    // Latent with TPC-H fixtures (names are 7+ chars): an unguarded
+    // sequence(0, len-4) goes negative-descending and substr wraps,
+    // inventing grams the oracle's empty range() never produces.
+    val tmp = java.nio.file.Files.createTempDirectory("lev-short").toString
+    Seq((1L, "abc", "T", 1), (2L, "ab", "T", 1),
+      (3L, "gold ring", "T", 1), (4L, "bold ring", "T", 1))
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+      .write.parquet(s"$tmp/part.parquet")
+    val out = graft.SparkEntry.queries("q_levenshtein")(spark, tmp)
+      .collect()
+    // short names never appear; the two long similar names do pair
+    assert(out.forall(r => r.getString(0).length >= 4 &&
+      r.getString(1).length >= 4))
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("bold ring", "gold ring")))
+  }
+
+  test("quantize emits zero codes for constant vectors (no NaN)") {
+    val tmp = java.nio.file.Files.createTempDirectory("quant-const").toString
+    Seq((1L, "a", Array(2.5f, 2.5f, 2.5f)),
+      (2L, "a", Array(0.0f, 1.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = graft.SparkEntry.queries("q_quantize")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rows(1L) == "0|0|0")     // constant vector → explicit 0 branch
+    assert(rows(2L) == "0|127|255") // normal min/max scaling
+  }
+
   test("canonical fixpoint: chains and min-pointing-away stars converge") {
     // chain 1-2-...-8: needs diameter rounds, far beyond the unrolled
     // two passes
