@@ -30,18 +30,26 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
+    // Millisecond precision keeps the printed line short: the driver
+    // captures only the tail of stdout, and round 3's full-precision
+    // cold+warm per-query maps overflowed that buffer (the line was
+    // truncated and never parsed). Cold per-query + warm total fit.
     def fmt(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + v }
+      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     // Cold pass first (the historical numbers — keys unchanged), then a
     // warm pass: cold minus warm ≈ per-query codegen/JIT one-time cost,
-    // warm ≈ steady-state throughput. Additive keys only; the driver
-    // stores the raw line.
+    // warm ≈ steady-state throughput. Per-query warm times go to a local
+    // file for profiling; stdout carries only the aggregate.
     val results = pass()
     val warm = pass()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${fmt(warm)}}""")
+    try {
+      val w = new java.io.PrintWriter("target/bench_warm.json")
+      try w.println(fmt(warm)) finally w.close()
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)}%s,"sf":"$sfDir%s","warm_total":$warmTotal%.3f}""")
     spark.stop()
   }
 }
