@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (cdc.BatchReconstruction.queries, cdc.BatchReconstruction.oracles),
+    (cdc.Scd.queries, cdc.Scd.oracles),
     (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),

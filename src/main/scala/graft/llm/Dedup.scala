@@ -487,9 +487,10 @@ object Dedup {
     val edges = ver.union(
       ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cur = ids.select(col("doc_id"),
+    var cached = ids.select(col("doc_id"),
       col("doc_id").as("canonical_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -498,18 +499,21 @@ object Dedup {
         .join(cur.select(col("doc_id").as("doc_b"),
           col("canonical_id").as("nc")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nc")).as("mn"))
-      val next = cur
+      // Carry the previous label alongside the new one so convergence
+      // is a filter over this frame — not a separate next⋈cur join
+      // (which would re-shuffle both generations every round).
+      val step = cur
         .join(viaEdges, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("canonical_id").as("_prev"),
           least(col("canonical_id"),
             coalesce(col("mn"), col("canonical_id"))).as("canonical_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.alias("n")
-        .join(cur.alias("c"), Seq("doc_id"))
-        .filter(col("n.canonical_id") =!= col("c.canonical_id"))
-        .count()                       // also materializes `next`
-      cur.unpersist(false)
-      cur = next
+      changed = step
+        .filter(col("canonical_id") =!= col("_prev"))
+        .count()                       // also materializes `step`
+      cached.unpersist(false)
+      cached = step
+      cur = step.drop("_prev")
       i += 1
     }
     edges.unpersist(false)

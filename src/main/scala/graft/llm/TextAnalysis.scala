@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -364,6 +365,153 @@ object TextAnalysis {
        |ORDER BY tf DESC, t
        |LIMIT $VOCAB_K""".stripMargin
 
+  // ------------------------------------------------------- q_contamination
+  /** Benchmark decontamination — the train/test overlap check every
+    * training-data pipeline runs before shipping a corpus: flag corpus
+    * documents sharing word 3-grams with a held-out benchmark set
+    * (here: `doc_id % 50 == 0`, the deterministic stand-in for an eval
+    * suite).
+    *
+    * Scale: grams are md5-prefix-hashed to BIGINT before any shuffle
+    * (8 bytes, not text), deduped per document, and the benchmark gram
+    * set — small by construction, an eval suite is MBs while the corpus
+    * is TBs — is '''broadcast''' into a left join, so the corpus side
+    * streams map-only: one exchange total (the per-doc count agg).
+    * Collision note: dedup and membership are both on the hash, on both
+    * engines, so a collision changes both sides identically.
+    */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val n = 3
+    val docs = Tables.documents(s, d)
+    val dg = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $n), " +
+          s"i -> array_join(slice(tk, i + 1, $n), ' '))")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("gh"))
+      .distinct()
+    val bench = dg.filter(col("doc_id") % 50 === 0)
+      .select(col("gh")).distinct()
+    dg.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams"))
+          .as("contamination_rate"),
+        (col("n_hit") * 2 >= col("n_grams")).as("contaminated"))
+  }
+
+  private val qContaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS gh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(tk) - 2),
+      |        i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS g
+      |    FROM tok WHERE len(tk) >= 3)),
+      |dg AS (SELECT DISTINCT doc_id, gh FROM grams),
+      |bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT doc_id, gh FROM dg WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(b.gh) AS BIGINT) AS n_hit
+      |  FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
+      |  GROUP BY 1)
+      |SELECT doc_id, n_grams, n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_grams AS contamination_rate,
+      |  (n_hit * 2 >= n_grams) AS contaminated
+      |FROM hits""".stripMargin
+
+  // --------------------------------------------------------- q_stratified
+  /** Deterministic stratified sampling: exactly ⌊n/10⌋ documents per
+    * language stratum, picked by content-independent hash order
+    * (md5 of the id) — reproducible across engines, partitionings and
+    * reruns, unlike rand()/TABLESAMPLE, and exact per-stratum counts
+    * unlike Spark's Bernoulli `sampleBy`. The `rn * 10 <= n` integer
+    * guard avoids any float fraction. Scale: one exchange on the
+    * stratum key; both window passes share it.
+    */
+  private def qStratified(s: SparkSession, d: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rn") * 10 <= col("n"))
+      .select(col("doc_id"), col("lang"), col("rn").cast(IntegerType).as("rn"))
+  }
+
+  private val qStratifiedSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn * 10 <= n""".stripMargin
+
+  // -------------------------------------------------------------- q_tfidf
+  /** Top-3 characteristic terms per document by an integer-exact
+    * tf·idf: score = tf · (N·10⁶ div df). Integer arithmetic
+    * throughout — `ln`-based idf differs in the last ulp across
+    * engines (see q_split's scaladoc for the same reasoning on pow),
+    * and the scaled integer ratio preserves the idf ordering.
+    *
+    * Scale: tf is one (doc, term) hash agg of the exploded tokens; df
+    * is a second agg over tf's output (vocabulary-sized, far smaller);
+    * N is a scalar. The df side of the join is vocabulary-sized →
+    * '''broadcast'''. The final top-3 is a per-doc window over the tf
+    * partitioning.
+    */
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM rk WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab"       -> qVocab _,
     "q_text_stats"  -> qTextStats _,
@@ -373,7 +521,10 @@ object TextAnalysis {
     "q_chunk"       -> qChunk _,
     "q_curate"      -> qCurate _,
     "q_split"       -> qSplit _,
-    "q_pack"        -> qPack _
+    "q_pack"        -> qPack _,
+    "q_contamination" -> qContamination _,
+    "q_stratified"  -> qStratified _,
+    "q_tfidf"       -> qTfidf _
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,6 +536,9 @@ object TextAnalysis {
     "q_chunk"       -> qChunkSql,
     "q_curate"      -> qCurateSql,
     "q_split"       -> qSplitSql,
-    "q_pack"        -> qPackSql
+    "q_pack"        -> qPackSql,
+    "q_contamination" -> qContaminationSql,
+    "q_stratified"  -> qStratifiedSql,
+    "q_tfidf"       -> qTfidfSql
   )
 }

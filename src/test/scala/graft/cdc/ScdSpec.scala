@@ -1,0 +1,63 @@
+package graft.cdc
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the SCD2 / latest-state CDC materializations
+  * (the oracle gate checks cross-engine equality; these check meaning
+  * on a hand-built change history).
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  // A controlled event log written as an `events` table: user 1 runs
+  // A, A, B (the repeat must collapse), user 2 has a single C.
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("scd-spec").toString
+    Seq(
+      (10L, ts(1), 1L, "A", 1.0, "{}"),
+      (11L, ts(2), 1L, "A", 2.0, "{}"),
+      (12L, ts(3), 1L, "B", 3.0, "{}"),
+      (20L, ts(5), 2L, "C", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("scd2: consecutive same-type events collapse into one interval") {
+    val rows = Scd.queries("q_scd2")(spark, dir)
+      .orderBy("user_id", "valid_from")
+      .collect()
+    assert(rows.length == 3)
+    val u1 = rows.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B"))
+    // A's interval is closed by B's start, not by the second A event
+    assert(u1(0).getTimestamp(3) == ts(3))
+    assert(!u1(0).getBoolean(4)) // A is history
+    assert(u1(1).getTimestamp(3) == null && u1(1).getBoolean(4)) // B current
+  }
+
+  test("scd2: intervals tile — every change point starts where the previous ended") {
+    val df = Scd.queries("q_scd2")(spark, sf())
+    // No interval may end before it starts, and per user exactly one
+    // current row with NULL valid_to.
+    assert(df.filter(col("valid_to") < col("valid_from")).count() == 0)
+    val cur = df.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+      .filter(col("n") =!= 1)
+    assert(cur.count() == 0)
+  }
+
+  test("latest state: one row per user, the max (ts, event_id) event") {
+    val rows = Scd.queries("q_latest_state")(spark, dir)
+      .orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 12L && rows(0).getString(3) == "B")
+    assert(rows(1).getLong(1) == 20L && rows(1).getString(3) == "C")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-4 curation operators: contamination
+  * flagging, stratified sampling, tf-idf ranking.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = Files.createTempDirectory("curation-spec").toString
+    rows.map { case (id, text, lang) => (id, text, lang, "test", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("contamination: a benchmark copy is flagged, disjoint text is clean") {
+    // doc 0 is the benchmark (doc_id % 50 == 0); doc 1 copies it, doc 2
+    // shares nothing, doc 3 shares exactly one 3-gram window.
+    val dir = writeDocs(Seq(
+      (0L, "alpha beta gamma delta epsilon", "en"),
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "one two three four five", "en"),
+      (3L, "alpha beta gamma unrelated tail here", "en")))
+    val r = TextAnalysis.queries("q_contamination")(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(4))).toMap
+    assert(r(1L)._2 == r(1L)._1 && r(1L)._3)       // full overlap, flagged
+    assert(r(2L)._2 == 0L && !r(2L)._3)            // no overlap
+    assert(r(3L)._2 == 1L && !r(3L)._3)            // one shared gram only
+  }
+
+  test("stratified: exactly floor(n/10) per stratum, deterministic picks") {
+    val dir = writeDocs(
+      (1L to 25L).map(i => (i, s"text $i", "en")) ++
+        (26L to 30L).map(i => (i, s"text $i", "fr")))
+    val out = TextAnalysis.queries("q_stratified")(spark, dir)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.get("en").contains(2L)) // floor(25/10)
+    assert(!perLang.contains("fr"))        // floor(5/10) = 0
+    // Deterministic: two runs pick the same ids.
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.queries("q_stratified")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("tfidf: a term unique to one doc outranks corpus-wide terms") {
+    val dir = writeDocs(Seq(
+      (1L, "common words here plus zyzzyva", "en"),
+      (2L, "common words here plus filler", "en"),
+      (3L, "common words here plus filler", "en")))
+    val top1 = TextAnalysis.queries("q_tfidf")(spark, dir)
+      .filter(col("doc_id") === 1L && col("rnk") === 1)
+      .collect().head
+    assert(top1.getString(1) == "zyzzyva") // df=1 dominates df=3 terms
+  }
+}
