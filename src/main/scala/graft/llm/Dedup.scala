@@ -165,11 +165,10 @@ object Dedup {
       .distinct()
   }
 
-  /** SQL CTE chain `tok/th/mh/bands/cand` over the doc table `src`
-    * (candidates as (doc_a, doc_b)) — the oracle twin of
-    * [[minhashSignatures]] + [[bandCandidates]].
+  /** SQL CTE chain `tok/th/mh/bands` over the doc table `src` — the
+    * oracle twin of [[minhashSignatures]] + band-key construction.
     */
-  private def candSqlCtes(src: String): String =
+  private def bandsSqlCtes(src: String): String =
     s"""tok AS (
        |  ${shingleSql(src)}),
        |th AS (
@@ -182,7 +181,13 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, i // $ROWS_PER_BAND AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
-       |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND),
+       |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND)""".stripMargin
+
+  /** Continuation adding `cand` (candidates as (doc_a, doc_b)) — the
+    * oracle twin of [[bandCandidates]].
+    */
+  private def candSqlCtes(src: String): String =
+    s"""${bandsSqlCtes(src)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a
@@ -620,6 +625,80 @@ object Dedup {
        |SELECT doc_id, min(r) AS canonical_id
        |FROM reach GROUP BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- q_dedup_delta
+  /** Incremental (delta) dedup — dedupe a NEW shard (`doc_id % 5 == 4`,
+    * the deterministic stand-in for "this week's crawl") against the
+    * already-ingested corpus WITHOUT re-pairing the existing corpus
+    * against itself: only the new shard's band keys probe the bucket
+    * index, so the candidate set is new×(old ∪ new) — never old×old,
+    * which is the quadratic bulk a full re-dedup would redo. At 100 TB
+    * the bands of the existing corpus are a stored index maintained at
+    * ingest; a delta pass then costs O(|delta| + matches), not
+    * O(|corpus|²/buckets).
+    *
+    * Each new doc takes the min verified neighbor as canonical (one
+    * min-propagation pass; new→new→new chains resolve on the next full
+    * [[canonicalFixpoint]] pass — the standard incremental
+    * approximation).
+    */
+  private def qDedupDelta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hs = shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(sigsFromSets(hs), "doc_id", K, ROWS_PER_BAND)
+    val cand = bands.filter(col("doc_id") % 5 === 4).alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_other"))
+      .distinct()
+    val common = size(array_intersect(col("ha"), col("hb")))
+    val matched = cand
+      .join(hs.select(col("doc_id").as("doc_new"), col("hset").as("ha")),
+        Seq("doc_new"))
+      .join(hs.select(col("doc_id").as("doc_other"), col("hset").as("hb")),
+        Seq("doc_other"))
+      .filter(common.cast("double") /
+        (size(col("ha")) + size(col("hb")) - common) >= JACCARD_T)
+      .groupBy(col("doc_new"))
+      .agg(min(col("doc_other")).as("mn"), count(lit(1)).as("nm"))
+    docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))
+      .join(matched, col("doc_id") === col("doc_new"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+          .as("canonical_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"))
+  }
+
+  private val qDedupDeltaSql: String =
+    s"""WITH ${bandsSqlCtes("documents")},
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 5 = 4),
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |matched AS (
+       |  SELECT c.doc_new, min(c.doc_other) AS mn,
+       |    CAST(count(*) AS BIGINT) AS nm
+       |  FROM cand2 c
+       |  JOIN hs a ON a.doc_id = c.doc_new
+       |  JOIN hs b ON b.doc_id = c.doc_other
+       |  WHERE CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x)))
+       |             AS DOUBLE)
+       |      / (len(a.hset) + len(b.hset)
+       |         - len(list_filter(a.hset, x -> list_contains(b.hset, x))))
+       |      >= $JACCARD_T
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS canonical_id,
+       |  coalesce(m.nm, 0) AS n_matches
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN matched m ON m.doc_new = d.doc_id""".stripMargin
+
   // ----------------------------------------------------- q_levenshtein
   /** Edit-distance near-dup detection with content-scaled blocking:
     * pairwise work runs on DISTINCT part names (the classic
@@ -704,6 +783,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_dedup_cc"      -> qDedupCc _,
+    "q_dedup_delta"   -> qDedupDelta _,
     "q_levenshtein"   -> qLevenshtein _
   )
 
@@ -715,6 +795,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_dedup_cc"      -> qDedupCcSql,
+    "q_dedup_delta"   -> qDedupDeltaSql,
     "q_levenshtein"   -> qLevenshteinSql
   )
 }

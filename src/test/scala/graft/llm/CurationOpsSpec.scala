@@ -51,6 +51,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("delta dedup: new docs attach to existing near-dups, never old×old") {
+    // new shard = doc_id % 5 == 4. Doc 4 copies existing doc 1; doc 9
+    // is brand new with no match; docs 1 and 2 are near-identical OLD
+    // docs — an old×old pair the delta pass must NOT report.
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon eta", "en"),
+      (4L, "alpha beta gamma delta epsilon zeta", "en"),
+      (9L, "completely different words over here now", "en")))
+    val r = Dedup.queries("q_dedup_delta")(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(4L, 9L))       // only the new shard is output
+    assert(r(4L)._1 == 1L && r(4L)._2 >= 1L) // attached to the old canonical
+    assert(r(9L) == (9L, 0L))             // no match → self-canonical
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val dir = writeDocs(Seq(
       (1L, "common words here plus zyzzyva", "en"),
