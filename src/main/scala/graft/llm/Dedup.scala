@@ -699,6 +699,28 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN matched m ON m.doc_new = d.doc_id""".stripMargin
 
+  // ----------------------------------------------------- q_cluster_stats
+  /** Near-dup cluster-size distribution — the corpus-health dashboard
+    * number a curation team watches (how much of the corpus is
+    * duplicated, and in how big clumps). Composition over
+    * [[canonicalMap]]: two small aggregations after the fuzzy
+    * pipeline; the second groups a cluster-count-sized frame.
+    */
+  private def qClusterStats(s: SparkSession, d: String): DataFrame =
+    canonicalMap(Tables.documents(s, d))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  private val qClusterStatsSql: String =
+    s"""WITH ${canonSqlCtes("documents")},
+       |cs AS (
+       |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM canon GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------- q_levenshtein
   /** Edit-distance near-dup detection with content-scaled blocking:
     * pairwise work runs on DISTINCT part names (the classic
@@ -784,6 +806,7 @@ object Dedup {
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_dedup_cc"      -> qDedupCc _,
     "q_dedup_delta"   -> qDedupDelta _,
+    "q_cluster_stats" -> qClusterStats _,
     "q_levenshtein"   -> qLevenshtein _
   )
 
@@ -796,6 +819,7 @@ object Dedup {
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_dedup_cc"      -> qDedupCcSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
+    "q_cluster_stats" -> qClusterStatsSql,
     "q_levenshtein"   -> qLevenshteinSql
   )
 }

@@ -365,6 +365,41 @@ object TextAnalysis {
        |ORDER BY tf DESC, t
        |LIMIT $VOCAB_K""".stripMargin
 
+  // ----------------------------------------------------- q_weighted_sample
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield–Lund–Thorup): each doc gets priority u/w where u is a
+    * hash-derived uniform and w its weight (here `n_chars`); the k
+    * smallest priorities are the sample, so inclusion probability
+    * scales with weight. Deterministic AND cross-engine exact: u =
+    * (h+1)/2³² from a 32-bit md5 prefix is an exact double (division
+    * by a power of two), and the single u/w division is correctly
+    * rounded identically by every IEEE engine — this is the ln-free
+    * construction (exponential keys u^(1/w) would differ in the last
+    * ulp across libm implementations).
+    *
+    * Scale: map-only priority + global top-k → Spark plans
+    * `TakeOrderedAndProject` (per-partition k, then k·partitions at
+    * the driver) — no global sort, no single-partition window.
+    */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + 1) / 4294967296.0 / col("n_chars"))
+          .as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(100)
+
+  private val qWeightedSampleSql: String =
+    """WITH pr AS (
+      |  SELECT doc_id, n_chars,
+      |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |               AS BIGINT) AS DOUBLE) + 1)
+      |      / 4294967296.0 / n_chars AS priority
+      |  FROM documents)
+      |SELECT doc_id, n_chars, priority
+      |FROM pr ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   // ------------------------------------------------------- q_contamination
   /** Benchmark decontamination — the train/test overlap check every
     * training-data pipeline runs before shipping a corpus: flag corpus
@@ -524,7 +559,8 @@ object TextAnalysis {
     "q_pack"        -> qPack _,
     "q_contamination" -> qContamination _,
     "q_stratified"  -> qStratified _,
-    "q_tfidf"       -> qTfidf _
+    "q_tfidf"       -> qTfidf _,
+    "q_weighted_sample" -> qWeightedSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,6 +575,7 @@ object TextAnalysis {
     "q_pack"        -> qPackSql,
     "q_contamination" -> qContaminationSql,
     "q_stratified"  -> qStratifiedSql,
-    "q_tfidf"       -> qTfidfSql
+    "q_tfidf"       -> qTfidfSql,
+    "q_weighted_sample" -> qWeightedSampleSql
   )
 }

@@ -67,6 +67,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(r(9L) == (9L, 0L))             // no match → self-canonical
   }
 
+  test("weighted sample: inclusion scales with weight; plan is distributed top-k") {
+    // 100 light docs (weight ~5) vs 100 heavy docs (weight ~600):
+    // priority = u/w, so heavy docs should dominate the k=100 sample.
+    val dir = writeDocs(
+      (1L to 100L).map(i => (i, "tiny", "en")) ++
+        (101L to 200L).map(i => (i, ("long words here " * 40).trim, "en")))
+    val df = TextAnalysis.queries("q_weighted_sample")(spark, dir)
+    val heavy = df.filter(col("doc_id") > 100L).count()
+    assert(heavy >= 90, s"only $heavy heavy docs in sample")
+    // Global top-k must be TakeOrderedAndProject, not sort-all + limit.
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("cluster stats: sizes {3,2,1} roll up to one row each") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"),
+      (3L, "alpha beta gamma delta epsilon", "en"),
+      (4L, "one two three four five six", "en"),
+      (5L, "one two three four five six", "en"),
+      (6L, "totally unrelated content lives here", "en")))
+    val r = Dedup.queries("q_cluster_stats")(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val dir = writeDocs(Seq(
       (1L, "common words here plus zyzzyva", "en"),
