@@ -699,6 +699,82 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN matched m ON m.doc_new = d.doc_id""".stripMargin
 
+  // ------------------------------------------------------- q_dedup_hops
+  /** BFS hop distance from each document to its cluster canonical —
+    * the provenance depth of a near-dup chain (hop 1 = direct dup of
+    * the canonical; hop 2+ = drifted copy-of-a-copy, the rows a
+    * curation team audits by hand). Frontier-expansion BFS seeded at
+    * every canonical simultaneously: components are disjoint, so one
+    * global visited set serves all clusters. Each round is one edge
+    * join + one anti join on (id) pairs; rounds are bounded by the
+    * cluster diameter (2-3 for near-dup graphs). The oracle is an
+    * INDEPENDENT DuckDB recursive-CTE shortest path, so the iterative
+    * loop is checked against closed-form reachability.
+    */
+  def bfsHops(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val canon = canonicalFixpoint(ids, pairs)
+    val ver = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = ver.union(
+      ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = canon.filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = frontier.withColumn("hops", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 1
+    var grew = frontier.count() > 0
+    while (grew && i <= maxIter) {
+      val next = edges
+        .join(frontier.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      grew = next.count() > 0
+      if (grew) {
+        val nv = visited.union(next.withColumn("hops", lit(i)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nv.count() // materialize before dropping the parents
+        visited.unpersist(false)
+        frontier.unpersist(false)
+        visited = nv
+        frontier = next
+      } else next.unpersist(false)
+      i += 1
+    }
+    edges.unpersist(false)
+    canon.join(visited, Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        col("hops").cast(IntegerType).as("hops"))
+  }
+
+  private def qDedupHops(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hs = shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bfsHops(hs.select(col("doc_id")), verifiedPairsFromSets(hs, JACCARD_T))
+  }
+
+  private val qDedupHopsSql: String =
+    s"""WITH RECURSIVE ${verSqlCtes("documents")},
+       |edges2 AS (
+       |  SELECT doc_a, doc_b FROM ver
+       |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
+       |walk(doc_id, root, hops) AS (
+       |  SELECT doc_id, doc_id, 0 FROM documents
+       |  UNION
+       |  SELECT e.doc_a, w.root, w.hops + 1
+       |  FROM edges2 e JOIN walk w ON w.doc_id = e.doc_b
+       |  WHERE w.hops < 20),
+       |canon2 AS (SELECT doc_id, min(root) AS canonical_id FROM walk
+       |           GROUP BY 1)
+       |SELECT w.doc_id, c.canonical_id, CAST(min(w.hops) AS INTEGER) AS hops
+       |FROM walk w JOIN canon2 c ON c.doc_id = w.doc_id
+       |                         AND w.root = c.canonical_id
+       |GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------- q_cluster_stats
   /** Near-dup cluster-size distribution — the corpus-health dashboard
     * number a curation team watches (how much of the corpus is
@@ -807,6 +883,7 @@ object Dedup {
     "q_dedup_cc"      -> qDedupCc _,
     "q_dedup_delta"   -> qDedupDelta _,
     "q_cluster_stats" -> qClusterStats _,
+    "q_dedup_hops"    -> qDedupHops _,
     "q_levenshtein"   -> qLevenshtein _
   )
 
@@ -820,6 +897,7 @@ object Dedup {
     "q_dedup_cc"      -> qDedupCcSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_cluster_stats" -> qClusterStatsSql,
+    "q_dedup_hops"    -> qDedupHopsSql,
     "q_levenshtein"   -> qLevenshteinSql
   )
 }

@@ -94,6 +94,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(r == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
+  test("dedup hops: canonicals at 0, direct dups at 1; agrees with fixpoint CC") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"),
+      (3L, "alpha beta gamma delta epsilon", "en"),
+      (6L, "totally unrelated content lives here", "en")))
+    val hops = Dedup.queries("q_dedup_hops")(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    assert(hops(1L) == (1L, 0) && hops(6L) == (6L, 0)) // canonical + singleton
+    assert(hops(2L) == (1L, 1) && hops(3L) == (1L, 1)) // star members
+    // Same canonical labels as the fixpoint CC query on the same corpus.
+    val cc = Dedup.queries("q_dedup_cc")(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(hops.view.mapValues(_._1).toMap == cc)
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val dir = writeDocs(Seq(
       (1L, "common words here plus zyzzyva", "en"),
