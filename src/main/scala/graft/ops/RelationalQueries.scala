@@ -1238,6 +1238,81 @@ object RelationalQueries {
       |SELECT d.day, coalesce(p.cnt, 0) AS n
       |FROM days d LEFT JOIN per_day p ON p.day = d.day""".stripMargin
 
+  // ---------------------------------------------------------- q_setops_all
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity
+    * preserved, unlike [[qSetops]]' distinct variants. Spark plans
+    * these as count-compare aggregations (no row explosion).
+    */
+  private def qSetopsAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cheap = li.filter(col("l_quantity") < 10)
+      .select(col("l_suppkey").as("k"))
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("k"))
+    val small = li.filter(col("l_quantity") < 5)
+      .select(col("l_suppkey").as("k"))
+    cheap.intersectAll(ret).withColumn("op", lit("intersect_all"))
+      .unionAll(ret.exceptAll(small).withColumn("op", lit("except_all")))
+  }
+
+  private val qSetopsAllSql: String =
+    """SELECT k, 'intersect_all' AS op FROM (
+      |  (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10)
+      |  INTERSECT ALL
+      |  (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'))
+      |UNION ALL
+      |SELECT k, 'except_all' AS op FROM (
+      |  (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |  EXCEPT ALL
+      |  (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 5))""".stripMargin
+
+  // ------------------------------------------------------------ q_gapfill
+  /** Time-series gap filling — densify a sparse per-entity series onto
+    * a fixed hourly grid, then forward-fill the last observed value
+    * (`last(..., ignoreNulls)` over a running frame ==
+    * `last_value(x IGNORE NULLS)`). The dashboard/feature-store shape:
+    * counts become 0 on empty slots, carried metrics persist until the
+    * next observation. Scale: the grid is users × a CONSTANT slot
+    * count — the hours frame is broadcast, the fill window rides the
+    * same user_id exchange as the join.
+    */
+  private def qGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hours = s.range(1).select(explode(sequence(
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-01-03 00:00:00").cast("timestamp"),
+      expr("INTERVAL 1 HOUR"))).as("h"))
+    val agg = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(hours))
+      .join(agg, Seq("user_id", "h"), "left_outer")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("total"), ignoreNulls = true).over(fill).as("filled_total"))
+  }
+
+  private val qGapfillSql: String =
+    s"""WITH hours AS (
+       |  SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+       |    TIMESTAMP '2024-01-03 00:00:00', INTERVAL 1 HOUR)) AS TIMESTAMP)
+       |    AS h),
+       |agg AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    ${Det.dsumSql("value")} AS total
+       |  FROM events GROUP BY 1, 2),
+       |users AS (SELECT DISTINCT user_id FROM events)
+       |SELECT g.user_id, g.h, coalesce(a.n, 0) AS n,
+       |  last_value(a.total IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+       |FROM (SELECT u.user_id, h.h FROM users u CROSS JOIN hours h) g
+       |LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"       -> q1Agg _,
@@ -1284,7 +1359,9 @@ object RelationalQueries {
     "q_cross"      -> qCross _,
     "q_lateral"    -> qLateral _,
     "q_bit_agg"    -> qBitAgg _,
-    "q_date_series" -> qDateSeries _
+    "q_date_series" -> qDateSeries _,
+    "q_setops_all" -> qSetopsAll _,
+    "q_gapfill"    -> qGapfill _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1331,6 +1408,8 @@ object RelationalQueries {
     "q_cross"      -> qCrossSql,
     "q_lateral"    -> qLateralSql,
     "q_bit_agg"    -> qBitAggSql,
-    "q_date_series" -> qDateSeriesSql
+    "q_date_series" -> qDateSeriesSql,
+    "q_setops_all" -> qSetopsAllSql,
+    "q_gapfill"    -> qGapfillSql
   )
 }
