@@ -35,7 +35,7 @@ object Bench {
     // cold+warm per-query maps overflowed that buffer (the line was
     // truncated and never parsed). Cold per-query + warm total fit.
     def fmt(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
     // Cold pass first (the historical numbers — keys unchanged), then a
     // warm pass: cold minus warm ≈ per-query codegen/JIT one-time cost,

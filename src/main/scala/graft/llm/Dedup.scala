@@ -482,6 +482,19 @@ object Dedup {
     * driver-side convergence check (a scalar count, not data).
     */
   def canonicalFixpoint(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    canonicalFixpointHops(ids, pairs, maxIter).drop("hops")
+
+  /** [[canonicalFixpoint]] plus the BFS hop distance of each node to
+    * its canonical, at zero extra cost: the component-minimum label
+    * floods outward one edge per iteration, so a node at BFS distance
+    * h adopts its FINAL label exactly at iteration h and never changes
+    * it again — recording the iteration of each node's last label
+    * change IS the hop distance (0 for canonicals and singletons,
+    * which never change). One extra column in the loop frame, no
+    * extra jobs or joins.
+    */
+  def canonicalFixpointHops(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ver = pairs.select(col("doc_a"), col("doc_b"))
@@ -493,12 +506,13 @@ object Dedup {
       ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = ids.select(col("doc_id"),
-      col("doc_id").as("canonical_id"))
+      col("doc_id").as("canonical_id"), lit(0).as("hops"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      i += 1
       // neighbor minima of the CURRENT labels, then fold into own label
       val viaEdges = edges
         .join(cur.select(col("doc_id").as("doc_b"),
@@ -511,7 +525,11 @@ object Dedup {
         .join(viaEdges, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"), col("canonical_id").as("_prev"),
           least(col("canonical_id"),
-            coalesce(col("mn"), col("canonical_id"))).as("canonical_id"))
+            coalesce(col("mn"), col("canonical_id"))).as("canonical_id"),
+          col("hops"))
+        .withColumn("hops",
+          when(col("canonical_id") < col("_prev"), lit(i))
+            .otherwise(col("hops")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = step
         .filter(col("canonical_id") =!= col("_prev"))
@@ -519,7 +537,6 @@ object Dedup {
       cached.unpersist(false)
       cached = step
       cur = step.drop("_prev")
-      i += 1
     }
     edges.unpersist(false)
     cur
@@ -703,52 +720,18 @@ object Dedup {
   /** BFS hop distance from each document to its cluster canonical —
     * the provenance depth of a near-dup chain (hop 1 = direct dup of
     * the canonical; hop 2+ = drifted copy-of-a-copy, the rows a
-    * curation team audits by hand). Frontier-expansion BFS seeded at
-    * every canonical simultaneously: components are disjoint, so one
-    * global visited set serves all clusters. Each round is one edge
-    * join + one anti join on (id) pairs; rounds are bounded by the
-    * cluster diameter (2-3 for near-dup graphs). The oracle is an
-    * INDEPENDENT DuckDB recursive-CTE shortest path, so the iterative
-    * loop is checked against closed-form reachability.
+    * curation team audits by hand). Computed inside the CC flood fill
+    * itself ([[canonicalFixpointHops]]): the canonical's label reaches
+    * each node at exactly its BFS distance, so no separate frontier
+    * loop (and no second edge materialization) is needed. The oracle
+    * is an INDEPENDENT DuckDB recursive-CTE shortest path, so the
+    * iterative loop is checked against closed-form reachability.
     */
   def bfsHops(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20)
-      : DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val canon = canonicalFixpoint(ids, pairs)
-    val ver = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = ver.union(
-      ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = canon.filter(col("doc_id") === col("canonical_id"))
-      .select(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = frontier.withColumn("hops", lit(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var i = 1
-    var grew = frontier.count() > 0
-    while (grew && i <= maxIter) {
-      val next = edges
-        .join(frontier.select(col("doc_id").as("doc_b")), Seq("doc_b"))
-        .select(col("doc_a").as("doc_id")).distinct()
-        .join(visited, Seq("doc_id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      grew = next.count() > 0
-      if (grew) {
-        val nv = visited.union(next.withColumn("hops", lit(i)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        nv.count() // materialize before dropping the parents
-        visited.unpersist(false)
-        frontier.unpersist(false)
-        visited = nv
-        frontier = next
-      } else next.unpersist(false)
-      i += 1
-    }
-    edges.unpersist(false)
-    canon.join(visited, Seq("doc_id"))
+      : DataFrame =
+    canonicalFixpointHops(ids, pairs, maxIter)
       .select(col("doc_id"), col("canonical_id"),
         col("hops").cast(IntegerType).as("hops"))
-  }
 
   private def qDedupHops(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
