@@ -34,8 +34,13 @@ object Bench {
     // captures only the tail of stdout, and round 3's full-precision
     // cold+warm per-query maps overflowed that buffer (the line was
     // truncated and never parsed). Cold per-query + warm total fit.
-    def fmt(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: f"" uses the JVM default locale, which on a
+    // comma-decimal locale would print 0,12 and break the JSON line.
+    def num(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f",
+        Double.box(v))
+    def fmt(results: Seq[(String, Double)], prec: Int = 2): String =
+      results.map { case (k, v) => "\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
     // Cold pass first (the historical numbers — keys unchanged), then a
     // warm pass: cold minus warm ≈ per-query codegen/JIT one-time cost,
@@ -46,10 +51,18 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
     try {
-      val w = new java.io.PrintWriter("target/bench_warm.json")
-      try w.println(fmt(warm)) finally w.close()
-    } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)}%s,"sf":"$sfDir%s","warm_total":$warmTotal%.3f}""")
+      // Full precision here: the file is the profiling artifact and has
+      // no stdout length constraint. cwd-relative target/ is created if
+      // the launcher's cwd lacks it.
+      val f = new java.io.File("target/bench_warm.json")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try w.println(fmt(warm, prec = 6)) finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warm profile write failed: $e")
+    }
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)}}""")
     spark.stop()
   }
 }

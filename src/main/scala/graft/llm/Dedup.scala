@@ -428,23 +428,36 @@ object Dedup {
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact Jaccard of two shingle-hash-set columns — the ONE verify
+    * formula every fuzzy stage (full, delta, curate) shares; its SQL
+    * twin is [[jaccardSqlExpr]].
+    */
+  private def jaccard(ha: Column, hb: Column): Column = {
+    val common = size(array_intersect(ha, hb))
+    common.cast("double") / (size(ha) + size(hb) - common)
+  }
+
+  /** DuckDB text of [[jaccard]] over two list columns. */
+  private def jaccardSqlExpr(a: String, b: String): String =
+    s"""CAST(len(list_filter($a, x -> list_contains($b, x)))
+       |             AS DOUBLE)
+       |      / (len($a) + len($b)
+       |         - len(list_filter($a, x -> list_contains($b, x))))""".stripMargin
+
   /** Band candidates + exact Jaccard verify over a shingle-hash-set
     * frame (doc_id, hset).
     */
   private def verifiedPairsFromSets(hs: DataFrame, threshold: Double)
-      : DataFrame = {
-    val common = size(array_intersect(col("ha"), col("hb")))
+      : DataFrame =
     bandCandidates(sigsFromSets(hs), "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
         Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
         Seq("doc_b"))
-      .withColumn("jaccard",
-        common.cast("double") / (size(col("ha")) + size(col("hb")) - common))
+      .withColumn("jaccard", jaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Verified near-dup pairs: band candidates whose exact shingle-set
     * Jaccard meets `threshold`.
@@ -572,10 +585,7 @@ object Dedup {
        |  FROM cand c
        |  JOIN hs a ON a.doc_id = c.doc_a
        |  JOIN hs b ON b.doc_id = c.doc_b
-       |  WHERE CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x)))
-       |             AS DOUBLE)
-       |      / (len(a.hset) + len(b.hset)
-       |         - len(list_filter(a.hset, x -> list_contains(b.hset, x))))
+       |  WHERE ${jaccardSqlExpr("a.hset", "b.hset")}
        |      >= $JACCARD_T)""".stripMargin
 
   /** Continuation: `edges/minn/c1/canon` — canon = (doc_id,
@@ -669,14 +679,12 @@ object Dedup {
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_other"))
       .distinct()
-    val common = size(array_intersect(col("ha"), col("hb")))
     val matched = cand
       .join(hs.select(col("doc_id").as("doc_new"), col("hset").as("ha")),
         Seq("doc_new"))
       .join(hs.select(col("doc_id").as("doc_other"), col("hset").as("hb")),
         Seq("doc_other"))
-      .filter(common.cast("double") /
-        (size(col("ha")) + size(col("hb")) - common) >= JACCARD_T)
+      .filter(jaccard(col("ha"), col("hb")) >= JACCARD_T)
       .groupBy(col("doc_new"))
       .agg(min(col("doc_other")).as("mn"), count(lit(1)).as("nm"))
     docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))
@@ -704,10 +712,7 @@ object Dedup {
        |  FROM cand2 c
        |  JOIN hs a ON a.doc_id = c.doc_new
        |  JOIN hs b ON b.doc_id = c.doc_other
-       |  WHERE CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x)))
-       |             AS DOUBLE)
-       |      / (len(a.hset) + len(b.hset)
-       |         - len(list_filter(a.hset, x -> list_contains(b.hset, x))))
+       |  WHERE ${jaccardSqlExpr("a.hset", "b.hset")}
        |      >= $JACCARD_T
        |  GROUP BY 1)
        |SELECT d.doc_id,

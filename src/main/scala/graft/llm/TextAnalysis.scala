@@ -383,6 +383,10 @@ object TextAnalysis {
     */
   private def qWeightedSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // w = 0 would make priority NULL, and Spark (NULLS FIRST asc) and
+      // DuckDB (NULLS LAST) order those differently — zero-weight rows
+      // are excluded from the draw on both engines instead.
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars"),
         ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long").cast("double") + 1) / 4294967296.0 / col("n_chars"))
@@ -396,7 +400,7 @@ object TextAnalysis {
       |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       |               AS BIGINT) AS DOUBLE) + 1)
       |      / 4294967296.0 / n_chars AS priority
-      |  FROM documents)
+      |  FROM documents WHERE n_chars > 0)
       |SELECT doc_id, n_chars, priority
       |FROM pr ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
