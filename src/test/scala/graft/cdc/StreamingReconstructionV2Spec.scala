@@ -138,15 +138,20 @@ class StreamingReconstructionV2Spec extends SparkSpec {
       val tmp = java.nio.file.Files.createTempDirectory("v2-rearm").toString
       val changes = MemoryStream[ChangeEvent]
       val txns = MemoryStream[TxnEvent]
+      // Margins sized for a loaded CI host: the touch batch has 8 s of
+      // slack before e1's original expiry (a slower batch start must
+      // not let e1 lapse BEFORE the rewrite), and the final batch runs
+      // ≥2 s past the original expiry plus all inter-batch overhead
+      // (overhead only pushes it further past, never flips it back).
       val out = StreamingReconstructionV2.reconstruct(
         changes.toDS(), txns.toDS(),
-        ttl = Some(java.time.Duration.ofSeconds(6)))
+        ttl = Some(java.time.Duration.ofSeconds(18)))
       changes.addData(ChangeEvent("t1", "c", 100L, None, None))
-      runOnce(out, tmp)               // e1 written at ~T0, expiry T0+6
-      Thread.sleep(3500)
+      runOnce(out, tmp)               // e1 written at ~T0, expiry T0+18
+      Thread.sleep(10000)
       changes.addData(ChangeEvent("t1", "u", 200L, None, None))
       runOnce(out, tmp)               // e2 + REWRITE of e1 → expiry reset
-      Thread.sleep(3500)              // now ~T0+7: past e1's ORIGINAL expiry
+      Thread.sleep(10000)             // now ~T0+20: past e1's ORIGINAL expiry
       txns.addData(TxnEvent("t1", "END", Some(2L)))
       runOnce(out, tmp)
       val recs = spark.read.parquet(s"$tmp/out")
