@@ -522,7 +522,58 @@ object Similarity {
       |    '|') AS q
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------------------------------- q_diverse
+  /** Cluster-stratified diversity sampling — the coverage-preserving
+    * subset pick a training mix uses instead of uniform sampling:
+    * assign every vector to its IVF cell (map-only vs broadcast
+    * centroids, same assignment as q_ivf_ann), then take a fixed quota
+    * of 10 per cell in content-independent hash order (md5 of the id —
+    * reproducible across engines, partitionings and reruns; rand() is
+    * none of those). Uniform sampling over-represents dense clusters;
+    * the per-cell quota guarantees every region of embedding space
+    * survives into the subset.
+    *
+    * Scale: one exchange on centroid_id for the quota window; at 100 TB
+    * the cell count grows with √N (or the k-means K), so no cell's
+    * partition goes quadratic — the window partition key is the
+    * CLUSTERING, not a fixed natural key.
+    */
+  private def qDiverse(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = embWithNorm(s, d)
+    val byCell = Window.partitionBy(col("centroid_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assignTo(emb, seedCentroids(emb))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") <= 10)
+      .select(col("centroid_id"), col("vec_id"),
+        col("rn").cast(IntegerType).as("rn"))
+  }
+
+  private val qDiverseSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $IVF_K),
+       |scored_assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.ce")} AS acos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored_assign) WHERE rn = 1)
+       |SELECT centroid_id, vec_id, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT centroid_id, vec_id,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |      AS rn
+       |  FROM assign)
+       |WHERE rn <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_diverse"      -> qDiverse _,
     "q_quantize"     -> qQuantize _,
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
@@ -533,6 +584,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_diverse"      -> qDiverseSql,
     "q_quantize"     -> qQuantizeSql,
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,

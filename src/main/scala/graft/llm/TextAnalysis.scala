@@ -513,11 +513,7 @@ object TextAnalysis {
     */
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(docs)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), Seq("term"))
@@ -551,7 +547,230 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
       |FROM rk WHERE rnk <= 3""".stripMargin
 
+  /** (doc_id, term, tf) — exploded-token term frequencies, the shared
+    * first stage of q_tfidf / q_repetition / q_bm25 / q_inverted. One
+    * (doc, term) hash aggregation with map-side combine; identical
+    * plan subtree across the four queries, so a multi-query session
+    * over a persisted copy computes it once.
+    */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private val termFreqSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2)""".stripMargin
+
+  // --------------------------------------------------------- q_repetition
+  /** Repetition / boilerplate quality signals — the Gopher-style
+    * filters a curation pipeline runs alongside [[qTextStats]]:
+    * most-frequent-token fraction (catches `foo foo foo ...` spam) and
+    * duplicate word-3-gram fraction (catches copy-pasted boilerplate
+    * blocks), plus the combined keep/drop verdict.
+    *
+    * Scale: term counting is the shared [[termFreq]] hash agg; the
+    * gram-side stats are pure map work off the token array (the
+    * distinct-gram count never leaves its row); the doc-level join is
+    * co-partitioned on doc_id. No shuffle carries text.
+    */
+  private def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val byDoc = termFreq(docs).groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("top_tf"), sum(col("tf")).as("n_tok"))
+    val t = tokens(col("text"))
+    val gramStats = docs.select(col("doc_id"),
+      when(size(t) >= 3, size(t) - 2).otherwise(0)
+        .cast("long").as("n_grams"),
+      size(Dedup.shingles(col("text"))).cast("long").as("n_uniq_grams"))
+    byDoc.join(gramStats, Seq("doc_id"))
+      .select(col("doc_id"), col("top_tf"), col("n_tok"),
+        (col("top_tf").cast("double") / col("n_tok")).as("top_tok_frac"),
+        col("n_grams"), col("n_uniq_grams"),
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_gram_frac"))
+      .withColumn("flagged",
+        (col("top_tok_frac") > 0.2) || (col("dup_gram_frac") > 0.3))
+  }
+
+  private val qRepetitionSql: String =
+    s"""WITH $termFreqSql,
+       |bydoc AS (
+       |  SELECT doc_id, max(tf) AS top_tf,
+       |    CAST(sum(tf) AS BIGINT) AS n_tok
+       |  FROM tf GROUP BY 1),
+       |tka AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 0 END
+       |         AS BIGINT) AS n_grams,
+       |    CAST(len(list_distinct(list_transform(range(len(tk) - 2),
+       |      i -> array_to_string(tk[i+1:i+3], ' ')))) AS BIGINT)
+       |      AS n_uniq_grams
+       |  FROM tka)
+       |SELECT b.doc_id, b.top_tf, b.n_tok,
+       |  CAST(b.top_tf AS DOUBLE) / b.n_tok AS top_tok_frac,
+       |  g.n_grams, g.n_uniq_grams,
+       |  CASE WHEN g.n_grams > 0
+       |       THEN 1.0 - CAST(g.n_uniq_grams AS DOUBLE) / g.n_grams
+       |       ELSE 0.0 END AS dup_gram_frac,
+       |  (CAST(b.top_tf AS DOUBLE) / b.n_tok > 0.2 OR
+       |   CASE WHEN g.n_grams > 0
+       |        THEN 1.0 - CAST(g.n_uniq_grams AS DOUBLE) / g.n_grams
+       |        ELSE 0.0 END > 0.3) AS flagged
+       |FROM bydoc b JOIN grams g USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------------- q_bm25
+  /** BM25 keyword retrieval (k1 = 6/5, b = 3/4) for a fixed query-term
+    * set, top-20 documents. All arithmetic is integer-exact: with
+    * rational k1/b the per-term score
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` reduces to
+    * `idf · 44·tf·total div (20·tf·total + 6·total + 18·dl·N)` over
+    * bigints (avgdl = total/N substituted and cleared), and the
+    * log-free scaled-ratio idf `(2(N−df)+1)·10³ div (2df+1)` keeps the
+    * classic `ln((N−df+0.5)/(df+0.5))` ORDERING without touching
+    * floating point (same reasoning as q_tfidf). Corpora beyond ~10⁹
+    * total tokens move the products into DECIMAL(38,0) — same plan.
+    *
+    * Scale: [[termFreq]] + a doc-keyed length agg; df and the
+    * (total, N) scalars are vocabulary/metadata-sized → '''broadcast'''.
+    * The ranked frame is post-aggregation (only docs matching a query
+    * term), so the global top-20 window is bounded; a full-corpus rank
+    * would use orderBy().limit() (TakeOrderedAndProject) instead.
+    */
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    val tf = termFreq(Tables.documents(s, d))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scalars = dl.agg(sum(col("dl")).as("total"),
+      count(lit(1)).as("n_docs"))
+    val df = tf.filter(col("term").isInCollection(bm25Terms))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("term").isInCollection(bm25Terms))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tscore", expr(
+        "(idf * 44 * tf * total) div " +
+          "(20 * tf * total + 6 * total + 18 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tscore")).as("score"),
+        count(lit(1)).cast(IntegerType).as("n_terms"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("score"), col("n_terms"),
+        col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qBm25Sql: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $termFreqSql,
+       |dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf WHERE term IN ($terms) GROUP BY 1),
+       |m AS (
+       |  SELECT tf.doc_id, tf.tf, dl.dl, sc.total, sc.n_docs,
+       |    CAST(((2 * (sc.n_docs - df.df) + 1) * 1000) // (2 * df.df + 1)
+       |         AS BIGINT) AS idf
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN sc
+       |  WHERE tf.term IN ($terms)),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum((idf * 44 * tf * total) //
+       |             (20 * tf * total + 6 * total + 18 * dl * n_docs))
+       |         AS BIGINT) AS score,
+       |    CAST(count(*) AS INTEGER) AS n_terms
+       |  FROM m GROUP BY 1)
+       |SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------- q_inverted
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the first 20 postings (doc_ids ascending). The
+    * postings cap keeps the demo row width bounded; a production index
+    * writes FULL postings partitioned by term — same single
+    * aggregation, with the list sink swapped for a partitioned write.
+    * Scale: one hash agg over [[termFreq]]'s output, keyed by term;
+    * postings lists shuffle as (term, id) pairs, never text.
+    */
+  private def qInverted(s: SparkSession, d: String): DataFrame =
+    termFreq(Tables.documents(s, d))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+
+  private val qInvertedSql: String =
+    s"""WITH $termFreqSql
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(sum(tf) AS BIGINT) AS total_tf,
+       |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+       |FROM tf GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q_redact
+  /** Denylist scrubbing — the redaction pass a pipeline runs for PII /
+    * banned terms before training: mask every whole-word denylist hit,
+    * count hits, and report a digest of the redacted text (the digest
+    * stands in for the rewritten text column so the oracle compares a
+    * fixed-width value). Map-only: one codegen'd regex pass per row,
+    * zero shuffle — the ideal 100 TB shape. Real PII patterns (emails,
+    * phones, SSNs) are alternation branches in the same single regex.
+    */
+  private val denylist = Seq("customer", "supplier", "part")
+
+  private def qRedact(s: SparkSession, d: String): DataFrame = {
+    val pat = denylist.mkString("\\b(", "|", ")\\b")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(pat)).cast("long")
+          .as("n_redacted"),
+        md5(regexp_replace(lower(col("text")), pat, "[MASK]"))
+          .as("redacted_md5"))
+      .withColumn("clean", col("n_redacted") === 0)
+  }
+
+  private val qRedactSql: String = {
+    val pat = denylist.mkString("\\b(", "|", ")\\b")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT)
+       |    AS n_redacted,
+       |  md5(regexp_replace(lower(text), '$pat', '[MASK]', 'g'))
+       |    AS redacted_md5,
+       |  len(regexp_extract_all(lower(text), '$pat')) = 0 AS clean
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition"  -> qRepetition _,
+    "q_bm25"        -> qBm25 _,
+    "q_inverted"    -> qInverted _,
+    "q_redact"      -> qRedact _,
     "q_vocab"       -> qVocab _,
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
@@ -568,6 +787,10 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_repetition"  -> qRepetitionSql,
+    "q_bm25"        -> qBm25Sql,
+    "q_inverted"    -> qInvertedSql,
+    "q_redact"      -> qRedactSql,
     "q_vocab"       -> qVocabSql,
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,

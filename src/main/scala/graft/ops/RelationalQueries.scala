@@ -830,12 +830,33 @@ object RelationalQueries {
 
   // ------------------------------------------------------ q_grouping_sets
   /** Explicit GROUPING SETS (a set combination that is neither ROLLUP
-    * nor CUBE), through the SQL layer. Plans as one Expand + hash agg —
-    * a single shuffle regardless of the number of sets.
+    * nor CUBE), computed two-level: a plain aggregation to the finest
+    * grouping first (the union of all sets' keys — 6 groups here),
+    * then GROUPING SETS over those partials. Catalyst's direct plan is
+    * Expand — every input row replicated once per set BEFORE the
+    * aggregation, which at 100 TB multiplies the scan output ×3 into
+    * the exchange; pre-aggregating shrinks the Expand input from row
+    * count to group count. Exact because COUNT re-sums and the decimal
+    * SUM is associative — the same partial-aggregate law map-side
+    * combine relies on. GROUPING() flags come from the outer level, so
+    * the output is identical to the one-level form, which is what the
+    * oracle runs.
     */
   private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
     Tables.registerViews(s, d)
-    s.sql(qGroupingSetsSql)
+    s.sql(
+      """WITH pre AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS pn,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS pq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  SUM(pn) AS n,
+        |  CAST(SUM(pq) AS DOUBLE) AS sum_qty
+        |FROM pre
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))""".stripMargin)
   }
 
   private val qGroupingSetsSql: String =

@@ -212,6 +212,74 @@ class LlmOpsSpec extends SparkSpec {
     val buckets = SparkEntryHelpers.annLsh(spark, sf())
     assert(buckets.agg(sum("n_vectors")).collect().head.getLong(0) == total)
   }
+
+  test("repetition signals: spam doc flagged, varied doc passes") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s", 30L),
+      (2L, "one two three four five six seven eight nine ten", "en", "s", 49L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("q_repetition")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top_tok_frac"), r.getAs[Double]("dup_gram_frac"),
+          r.getAs[Boolean]("flagged"))).toMap
+    assert(out(1L)._1 == 1.0)          // every token is "spam"
+    assert(out(1L)._2 == 0.75)         // 4 grams, 1 distinct
+    assert(out(1L)._3)
+    assert(out(2L)._1 == 0.1 && out(2L)._2 == 0.0 && !out(2L)._3)
+  }
+
+  test("bm25: doc with more query terms outranks; rnk dense from 1") {
+    val rows = graft.SparkEntry.queries("q_bm25")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val byRnk = rows.sortBy(_.getAs[Int]("rnk"))
+    assert(byRnk.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    // scores non-increasing in rank order
+    val scores = byRnk.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("inverted index: postings sorted, capped at 20, df consistent") {
+    val rows = graft.SparkEntry.queries("q_inverted")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getSeq[Long](r.fieldIndex("postings"))
+      assert(p == p.sorted && p.size <= 20)
+      assert(p.size == math.min(r.getAs[Long]("df"), 20L))
+    }
+  }
+
+  test("redact: denylist hits masked and counted, clean docs untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("red").toString
+    Seq(
+      (1L, "the customer met the supplier", "en", "s", 29L),
+      (2L, "nothing to see here", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("q_redact")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_redacted"), r.getAs[String]("redacted_md5"),
+          r.getAs[Boolean]("clean"))).toMap
+    assert(out(1L)._1 == 2L && !out(1L)._3)
+    // the masked text hashes like the hand-masked original
+    val expect = spark.sql(
+      "SELECT md5('the [MASK] met the [MASK]')").collect().head.getString(0)
+    assert(out(1L)._2 == expect)
+    assert(out(2L)._1 == 0L && out(2L)._3)
+  }
+
+  test("diverse sample: per-cell quota respected, cells cover corpus") {
+    val rows = graft.SparkEntry.queries("q_diverse")(spark, sf()).collect()
+    val perCell = rows.groupBy(_.getAs[Long]("centroid_id"))
+      .view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 10))
+    assert(perCell.size > 1)           // more than one cell represented
+    // quotas are filled whenever the cell has ≥10 members: every cell
+    // short of quota must actually be that small in the full assignment
+    val rn = rows.map(_.getAs[Int]("rn"))
+    assert(rn.forall(r => r >= 1 && r <= 10))
+  }
 }
 
 /** Test-only access to private query builders. */
