@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts all 32 executor threads plus the SQL cache in this
+  // one JVM; 8g forced cache eviction + GC churn that inflated every
+  // query once the fuzzy-dedup family had persisted its intermediates
+  // (measured: +0.5-1 s on unrelated queries). The container has
+  // 128 GiB — size the heap like the single-node it is.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

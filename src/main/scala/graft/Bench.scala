@@ -15,12 +15,15 @@ object Bench {
     // otherwise whichever query runs first absorbs ~5 s of one-time cost.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    val clearEach = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("each")
     def pass(): Seq[(String, Double)] = {
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          if (clearEach) spark.catalog.clearCache()
+          name -> t
       }
       // Drop persisted intermediates at the pass boundary: identical
       // plan subtrees DO share caches within a pass (the production

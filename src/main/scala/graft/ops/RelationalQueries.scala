@@ -212,14 +212,21 @@ object RelationalQueries {
       |) WHERE rnk <= 3""".stripMargin
 
   // -------------------------------------------------------------- q_rollup
-  /** ROLLUP grouping sets with GROUPING() markers. */
+  /** ROLLUP grouping sets with GROUPING() markers, pre-aggregated to
+    * the finest grouping first so the Expand replicates group count,
+    * not row count — same reasoning (and same exactness argument) as
+    * q_grouping_sets.
+    */
   private def qRollup(s: SparkSession, d: String): DataFrame =
     Tables
       .lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("pq"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        count(lit(1)).as("n"),
-        Det.dsum(col("l_quantity")).as("sum_qty"),
+        sum(col("pn")).as("n"),
+        sum(col("pq")).cast("double").as("sum_qty"),
         grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
         grouping(col("l_linestatus")).cast(IntegerType).as("g_status")
       )
@@ -234,12 +241,18 @@ object RelationalQueries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   // ---------------------------------------------------------------- q_cube
-  /** CUBE grouping sets. */
+  /** CUBE grouping sets, pre-aggregated like q_rollup (CUBE's Expand
+    * is ×4 — the pre-agg matters even more).
+    */
   private def qCube(s: SparkSession, d: String): DataFrame =
     Tables
       .orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("pp"))
       .cube(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pp")).cast("double").as("sum_price"))
 
   private val qCubeSql: String =
     s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
