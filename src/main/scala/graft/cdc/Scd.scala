@@ -34,10 +34,13 @@ object Scd {
     * then close each run with the next run's start (lead). Deterministic
     * order: (ts, event_id) — event_id is unique, so ties are broken.
     */
-  private def qScd2(s: SparkSession, d: String): DataFrame = {
+  /** SCD2 interval frame over an arbitrary event frame — shared by
+    * [[qScd2]] and the point-in-time join.
+    */
+  private[cdc] def scd2Intervals(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
+    ev
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull ||
         col("event_type") =!= col("prev_type"))
@@ -46,6 +49,9 @@ object Scd {
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    scd2Intervals(Tables.events(s, d))
 
   private val qScd2Sql: String =
     """WITH chg AS (
@@ -62,6 +68,65 @@ object Scd {
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
       |    AS is_current
       |FROM cp""".stripMargin
+
+  /** The interval construction as reusable CTEs ending in `scd`
+    * (user_id, event_type, valid_from, valid_to).
+    */
+  private val scdSqlCtes: String =
+    """chg AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |cp AS (
+      |  SELECT user_id, ts, event_id, event_type FROM chg
+      |  WHERE prev_type IS NULL OR event_type <> prev_type),
+      |scd AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM cp)""".stripMargin
+
+  // ------------------------------------------------------ q_point_in_time
+  /** Point-in-time (temporal) join — the no-leakage feature-generation
+    * primitive: for each daily cutoff, the SCD2 state that was valid
+    * AT that instant (`valid_from <= cutoff < valid_to`, open interval
+    * current). Training pipelines snapshot features this way so a
+    * model never sees attribute values from after its label's
+    * timestamp.
+    *
+    * Scale: the cutoff grid is CONSTANT-size → '''broadcast''' — the
+    * join is map-only over the interval frame, riding the exchange
+    * scd2 already made; output scales with intervals × avg days
+    * spanned. With dense cutoff grids (minutes, not days) the move is
+    * an as-of join per cutoff instead of interval × grid expansion —
+    * q_asof has that shape.
+    */
+  private def qPointInTime(s: SparkSession, d: String): DataFrame = {
+    val cutoffs = s.range(1).select(explode(sequence(
+      lit("2024-01-02 00:00:00").cast("timestamp"),
+      lit("2024-01-31 00:00:00").cast("timestamp"),
+      expr("INTERVAL 1 DAY"))).as("cutoff"))
+    scd2Intervals(Tables.events(s, d))
+      .join(broadcast(cutoffs),
+        col("valid_from") <= col("cutoff") &&
+          (col("valid_to").isNull || col("cutoff") < col("valid_to")))
+      .select(col("user_id"), col("cutoff"),
+        col("event_type").as("state_type"), col("valid_from"))
+  }
+
+  private val qPointInTimeSql: String =
+    s"""WITH $scdSqlCtes,
+       |cutoffs AS (
+       |  SELECT CAST(unnest(generate_series(
+       |    TIMESTAMP '2024-01-02 00:00:00',
+       |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS TIMESTAMP)
+       |    AS cutoff)
+       |SELECT s.user_id, c.cutoff, s.event_type AS state_type,
+       |  s.valid_from
+       |FROM scd s JOIN cutoffs c
+       |  ON s.valid_from <= c.cutoff
+       | AND (s.valid_to IS NULL OR c.cutoff < s.valid_to)""".stripMargin
 
   /** Last-writer-wins snapshot: the latest event per user by
     * (ts, event_id). Spark side is ONE `max_by` aggregation (struct
@@ -92,12 +157,14 @@ object Scd {
       |FROM r WHERE rn = 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_scd2"         -> (qScd2 _),
-    "q_latest_state" -> (qLatestState _)
+    "q_scd2"          -> (qScd2 _),
+    "q_latest_state"  -> (qLatestState _),
+    "q_point_in_time" -> (qPointInTime _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q_scd2"         -> qScd2Sql,
-    "q_latest_state" -> qLatestStateSql
+    "q_scd2"          -> qScd2Sql,
+    "q_latest_state"  -> qLatestStateSql,
+    "q_point_in_time" -> qPointInTimeSql
   )
 }

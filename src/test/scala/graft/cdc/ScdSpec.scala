@@ -53,6 +53,21 @@ class ScdSpec extends SparkSpec {
     assert(cur.count() == 0)
   }
 
+  test("point-in-time: each cutoff sees the state valid at that instant") {
+    val pit = Scd.queries("q_point_in_time")(spark, dir).collect()
+    // controlled log: user 1 is B from 00:03 on, user 2 is C from
+    // 00:05 — every one of the 30 daily cutoffs (Jan 2..31) sees that
+    assert(pit.length == 60)
+    assert(pit.filter(_.getLong(0) == 1L).forall(_.getString(2) == "B"))
+    assert(pit.filter(_.getLong(0) == 2L).forall(_.getString(2) == "C"))
+  }
+
+  test("point-in-time: at most one state per (user, cutoff)") {
+    val df = Scd.queries("q_point_in_time")(spark, sf())
+    assert(df.groupBy("user_id", "cutoff").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("latest state: one row per user, the max (ts, event_id) event") {
     val rows = Scd.queries("q_latest_state")(spark, dir)
       .orderBy("user_id").collect()
