@@ -26,10 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] puts all 32 executor threads plus the SQL cache in this
-  // one JVM; 8g forced cache eviction + GC churn that inflated every
-  // query once the fuzzy-dedup family had persisted its intermediates
-  // (measured: +0.5-1 s on unrelated queries). The container has
-  // 128 GiB — size the heap like the single-node it is.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local[N] puts all executor threads plus the SQL cache in this one
+  // JVM; a fixed 8g forced cache eviction + GC churn that inflated
+  // every query once the fuzzy-dedup family had persisted its
+  // intermediates (measured: +0.5-1 s on unrelated queries). Size the
+  // heap to the machine — 3/8 of physical RAM, clamped to [4g, 48g]
+  // (48g on the 128 GiB bench box, 6g on a 16 GiB laptop) — with
+  // SPARK_DRIVER_MEM as the explicit override.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGiB =
+      try
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize >> 30
+      catch { case _: Throwable => 16L }
+    s"${math.max(4L, math.min(48L, physGiB * 3 / 8))}g"
+  })}",
 )

@@ -36,7 +36,11 @@ object Bench {
     // Millisecond precision keeps the printed line short: the driver
     // captures only the tail of stdout, and round 3's full-precision
     // cold+warm per-query maps overflowed that buffer (the line was
-    // truncated and never parsed). Cold per-query + warm total fit.
+    // truncated and never parsed — so the round-3 format was never
+    // consumed, and this line stays key-additive vs the last PARSED
+    // round's {metric,value,unit,queries,sf}). Cold per-query + warm
+    // total fit; full-precision warm per-query times go to the local
+    // profiling file below instead of stdout.
     // Locale.ROOT: f"" uses the JVM default locale, which on a
     // comma-decimal locale would print 0,12 and break the JSON line.
     def num(v: Double, prec: Int): String =

@@ -29,13 +29,11 @@ import graft.Tables
   */
 object Scd {
 
-  /** SCD2 intervals over the event stream: collapse consecutive events
+  /** SCD2 intervals over an event frame: collapse consecutive events
     * with the same `event_type` per user (run-length encoding via lag),
     * then close each run with the next run's start (lead). Deterministic
     * order: (ts, event_id) — event_id is unique, so ties are broken.
-    */
-  /** SCD2 interval frame over an arbitrary event frame — shared by
-    * [[qScd2]] and the point-in-time join.
+    * Shared by [[qScd2]] and the point-in-time join.
     */
   private[cdc] def scd2Intervals(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
@@ -53,24 +51,9 @@ object Scd {
   private def qScd2(s: SparkSession, d: String): DataFrame =
     scd2Intervals(Tables.events(s, d))
 
-  private val qScd2Sql: String =
-    """WITH chg AS (
-      |  SELECT user_id, ts, event_id, event_type,
-      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |      AS prev_type
-      |  FROM events),
-      |cp AS (
-      |  SELECT user_id, ts, event_id, event_type FROM chg
-      |  WHERE prev_type IS NULL OR event_type <> prev_type)
-      |SELECT user_id, event_type, ts AS valid_from,
-      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |    AS valid_to,
-      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
-      |    AS is_current
-      |FROM cp""".stripMargin
-
   /** The interval construction as reusable CTEs ending in `scd`
-    * (user_id, event_type, valid_from, valid_to).
+    * (user_id, event_type, valid_from, valid_to) — the ONE copy both
+    * oracle twins build on.
     */
   private val scdSqlCtes: String =
     """chg AS (
@@ -86,6 +69,12 @@ object Scd {
       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS valid_to
       |  FROM cp)""".stripMargin
+
+  private val qScd2Sql: String =
+    s"""WITH $scdSqlCtes
+       |SELECT user_id, event_type, valid_from, valid_to,
+       |  valid_to IS NULL AS is_current
+       |FROM scd""".stripMargin
 
   // ------------------------------------------------------ q_point_in_time
   /** Point-in-time (temporal) join — the no-leakage feature-generation

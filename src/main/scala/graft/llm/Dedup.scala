@@ -444,19 +444,30 @@ object Dedup {
        |      / (len($a) + len($b)
        |         - len(list_filter($a, x -> list_contains($b, x))))""".stripMargin
 
+  /** Attach both sides' hash sets to a candidate-pair frame and keep
+    * pairs whose exact Jaccard meets `threshold` — the ONE verify join
+    * every fuzzy stage (full, delta) shares. `pairs` must carry id
+    * columns `aCol`/`bCol` resolvable against `hs.doc_id`.
+    */
+  private def jaccardVerified(pairs: DataFrame, hs: DataFrame,
+      aCol: String, bCol: String, threshold: Double): DataFrame =
+    pairs
+      .join(hs.select(col("doc_id").as(aCol), col("hset").as("ha")),
+        Seq(aCol))
+      .join(hs.select(col("doc_id").as(bCol), col("hset").as("hb")),
+        Seq(bCol))
+      .withColumn("jaccard", jaccard(col("ha"), col("hb")))
+      .filter(col("jaccard") >= threshold)
+
   /** Band candidates + exact Jaccard verify over a shingle-hash-set
     * frame (doc_id, hset).
     */
   private def verifiedPairsFromSets(hs: DataFrame, threshold: Double)
       : DataFrame =
-    bandCandidates(sigsFromSets(hs), "doc_id")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
-        Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
-        Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("ha"), col("hb")))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerified(
+      bandCandidates(sigsFromSets(hs), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+      hs, "doc_a", "doc_b", threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Verified near-dup pairs: band candidates whose exact shingle-set
@@ -679,12 +690,7 @@ object Dedup {
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_other"))
       .distinct()
-    val matched = cand
-      .join(hs.select(col("doc_id").as("doc_new"), col("hset").as("ha")),
-        Seq("doc_new"))
-      .join(hs.select(col("doc_id").as("doc_other"), col("hset").as("hb")),
-        Seq("doc_other"))
-      .filter(jaccard(col("ha"), col("hb")) >= JACCARD_T)
+    val matched = jaccardVerified(cand, hs, "doc_new", "doc_other", JACCARD_T)
       .groupBy(col("doc_new"))
       .agg(min(col("doc_other")).as("mn"), count(lit(1)).as("nm"))
     docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))

@@ -415,7 +415,11 @@ object TextAnalysis {
     * (8 bytes, not text), deduped per document, and the benchmark gram
     * set — small by construction, an eval suite is MBs while the corpus
     * is TBs — is '''broadcast''' into a left join, so the corpus side
-    * streams map-only: one exchange total (the per-doc count agg).
+    * streams. The deduped gram frame feeds both the benchmark branch
+    * and the corpus branch, so it is persisted — without it the
+    * tokenize→hash→distinct subtree (the expensive part) executes
+    * twice, once per branch. Exchanges: the gram distinct and the
+    * per-doc count agg.
     * Collision note: dedup and membership are both on the hash, on both
     * engines, so a collision changes both sides identically.
     */
@@ -431,6 +435,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("gh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = dg.filter(col("doc_id") % 50 === 0)
       .select(col("gh")).distinct()
     dg.filter(col("doc_id") % 50 =!= 0)
@@ -634,12 +639,16 @@ object TextAnalysis {
     * set, top-20 documents. All arithmetic is integer-exact: with
     * rational k1/b the per-term score
     * `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` reduces to
-    * `idf · 44·tf·total div (20·tf·total + 6·total + 18·dl·N)` over
-    * bigints (avgdl = total/N substituted and cleared), and the
-    * log-free scaled-ratio idf `(2(N−df)+1)·10³ div (2df+1)` keeps the
-    * classic `ln((N−df+0.5)/(df+0.5))` ORDERING without touching
-    * floating point (same reasoning as q_tfidf). Corpora beyond ~10⁹
-    * total tokens move the products into DECIMAL(38,0) — same plan.
+    * `idf · 44·tf·total div (20·tf·total + 6·total + 18·dl·N)` exactly
+    * (avgdl = total/N substituted and cleared), and the log-free
+    * scaled-ratio idf `(2(N−df)+1)·10³ div (2df+1)` keeps the classic
+    * `ln((N−df+0.5)/(df+0.5))` ORDERING without touching floating
+    * point (same reasoning as q_tfidf). The products run in
+    * DECIMAL(38,0) — bigint would overflow near 10⁹ total tokens,
+    * which a real corpus exceeds — with floor division spelled
+    * `(n − n % d) / d` (exact: the subtraction makes the quotient an
+    * integer, so the decimal divide cannot round; % and / on
+    * non-negative decimals match DuckDB's hugeint `//`).
     *
     * Scale: [[termFreq]] + a doc-keyed length agg; df and the
     * (total, N) scalars are vocabulary/metadata-sized → '''broadcast'''.
@@ -660,11 +669,16 @@ object TextAnalysis {
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
-      .withColumn("idf",
-        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
-      .withColumn("tscore", expr(
-        "(idf * 44 * tf * total) div " +
-          "(20 * tf * total + 6 * total + 18 * dl * n_docs)"))
+      .withColumn("idf", expr(
+        "((2 * (CAST(n_docs AS DECIMAL(38,0)) - df) + 1) * 1000)" +
+          " div (2 * df + 1)"))
+      .withColumn("num",
+        expr("CAST(idf AS DECIMAL(38,0)) * 44 * tf * total"))
+      .withColumn("den", expr(
+        "CAST(20 AS DECIMAL(38,0)) * tf * total + 6 * total" +
+          " + 18 * dl * n_docs"))
+      .withColumn("tscore",
+        expr("CAST((num - num % den) / den AS BIGINT)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tscore")).as("score"),
         count(lit(1)).cast(IntegerType).as("n_terms"))
@@ -698,8 +712,9 @@ object TextAnalysis {
        |  WHERE tf.term IN ($terms)),
        |scored AS (
        |  SELECT doc_id,
-       |    CAST(sum((idf * 44 * tf * total) //
-       |             (20 * tf * total + 6 * total + 18 * dl * n_docs))
+       |    CAST(sum((CAST(idf AS HUGEINT) * 44 * tf * total) //
+       |             (CAST(20 AS HUGEINT) * tf * total + 6 * total
+       |              + 18 * dl * n_docs))
        |         AS BIGINT) AS score,
        |    CAST(count(*) AS INTEGER) AS n_terms
        |  FROM m GROUP BY 1)

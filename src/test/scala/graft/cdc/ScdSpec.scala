@@ -51,6 +51,16 @@ class ScdSpec extends SparkSpec {
       .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
       .filter(col("n") =!= 1)
     assert(cur.count() == 0)
+    // The actual tiling property: each interval's valid_to equals the
+    // NEXT interval's valid_from (no gaps, no overlaps) — the invariant
+    // the lead() closing logic exists to provide.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val untiled = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(untiled.count() == 0)
   }
 
   test("point-in-time: each cutoff sees the state valid at that instant") {

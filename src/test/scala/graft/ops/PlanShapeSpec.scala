@@ -15,6 +15,7 @@ class PlanShapeSpec extends SparkSpec {
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Seq("q_grouping_sets", "q_rollup", "q_cube")) {
@@ -31,6 +32,6 @@ class PlanShapeSpec extends SparkSpec {
             s"$q: Expand feeds off the raw input (no pre-aggregation)")
         }
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 }
