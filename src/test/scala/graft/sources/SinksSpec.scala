@@ -28,6 +28,47 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSnapshot maintains an on-disk mirror: updates win, stale rows don't regress, old versions pruned") {
+    import java.sql.Timestamp
+    import graft.streaming.LatestState
+    import graft.streaming.LatestState.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val tmp = Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[EventRow]
+    val q = Sinks.upsertSnapshot(LatestState.latest(input.toDS()),
+      s"$tmp/table", s"$tmp/ckpt").start()
+    try {
+      input.addData(
+        EventRow(10L, ts(1), 1L, "A", 1.0),
+        EventRow(20L, ts(2), 2L, "B", 2.0))
+      q.processAllAvailable()
+      val v1 = Sinks.readSnapshot(spark, s"$tmp/table")
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Long]("last_event_id")).toMap
+      assert(v1 == Map(1L -> 10L, 2L -> 20L))
+
+      // newer event for user 1, STALE (older) replay for user 2, and a
+      // brand-new user 3
+      input.addData(
+        EventRow(11L, ts(5), 1L, "A2", 3.0),
+        EventRow(19L, ts(0), 2L, "stale", 9.0),
+        EventRow(30L, ts(3), 3L, "C", 4.0))
+      q.processAllAvailable()
+      val v2 = Sinks.readSnapshot(spark, s"$tmp/table")
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("last_event_id"), r.getAs[String]("last_type")))
+        .toMap
+      assert(v2(1L) == (11L, "A2"))   // update won
+      assert(v2(2L) == (20L, "B"))    // stale replay did not regress
+      assert(v2(3L) == (30L, "C"))    // insert landed
+      // superseded versions pruned — exactly one version dir remains
+      val dirs = new java.io.File(s"$tmp/table").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs.count(_.startsWith("version=")) == 1, dirs)
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider runs a stateful query") {
     val rocks = graft.GraftSession.builder(master = "local[2]",
         shufflePartitions = 2, rocksDbState = true)
