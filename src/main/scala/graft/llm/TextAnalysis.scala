@@ -781,7 +781,79 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // ---------------------------------------------------- q_bigram_novelty
+  /** Bigram-novelty quality score — the cheap stand-in for LM
+    * perplexity filtering: the fraction of a document's bigram
+    * occurrences that fall OUTSIDE the corpus's top-1000 bigram
+    * vocabulary. Fluent text re-uses common word transitions; spam,
+    * shuffled text and OCR noise emit transitions the corpus has
+    * rarely seen — exactly what a KenLM-style filter scores, without a
+    * model artifact or a single floating-point log.
+    *
+    * Scale: bigrams are md5-prefix-hashed to BIGINT pre-shuffle (as in
+    * q_contamination) and the hashed frame is persisted — it feeds the
+    * corpus-count branch and the per-doc branch. The vocabulary is
+    * top-K of the bigram-count frame (vocabulary-sized, far smaller
+    * than the corpus) → '''broadcast''' into the membership join, so
+    * the per-doc pass is map-only + one count aggregation. The rank
+    * tie-break is (count DESC, hash) — deterministic on both engines
+    * with no dependence on collation.
+    */
+  private val NOVELTY_VOCAB = 1000
+
+  private def qBigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> array_join(slice(tk, i + 1, 2), ' '))")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = bg.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gh"))))
+      .filter(col("rnk") <= NOVELTY_VOCAB)
+      .select(col("gh"), lit(1).as("hit"))
+    bg.join(broadcast(vocab), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (count(lit(1)) - count(col("hit"))).as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_bigrams")).as("oov_frac"))
+      .withColumn("high_novelty", col("oov_frac") > 0.5)
+  }
+
+  private val qBigramNoveltySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS gh
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+       |      i -> array_to_string(tk[i+1:i+2], ' '))) AS g
+       |    FROM tok WHERE len(tk) >= 2)),
+       |cnts AS (SELECT gh, count(*) AS cnt FROM bg GROUP BY 1),
+       |vocab AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, row_number() OVER (ORDER BY cnt DESC, gh) AS rnk
+       |    FROM cnts)
+       |  WHERE rnk <= $NOVELTY_VOCAB),
+       |agg AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) - count(v.gh) AS BIGINT) AS n_oov
+       |  FROM bg b LEFT JOIN vocab v ON v.gh = b.gh
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_bigrams AS oov_frac,
+       |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_novelty" -> qBigramNovelty _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
     "q_inverted"    -> qInverted _,
@@ -802,6 +874,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_novelty" -> qBigramNoveltySql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,
     "q_inverted"    -> qInvertedSql,

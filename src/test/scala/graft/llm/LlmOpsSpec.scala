@@ -269,6 +269,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 0L && out(2L)._3)
   }
 
+  test("bigram novelty: common transitions score 0, vocab overflow goes OOV") {
+    val tmp = java.nio.file.Files.createTempDirectory("nov").toString
+    // 20 copies of one fluent sentence: its 8 bigrams have count 20 and
+    // certainly make the top-1000 vocabulary. 1100 one-off docs each
+    // contribute a unique count-1 bigram — more singles than the
+    // remaining 992 vocabulary slots, so ≥108 of them MUST fall OOV.
+    val fluent = (1L to 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s", 43L))
+    val fillers = (100L until 1200L).map(i =>
+      (i, s"w${i}a w${i}b", "en", "s", 12L))
+    (fluent ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("q_bigram_novelty")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("oov_frac"), r.getAs[Boolean]("high_novelty")))
+      .toMap
+    assert((1L to 20L).forall(out(_) == (0.0, false)))
+    val oov = fillers.map(_._1).count(id => out(id) == (1.0, true))
+    assert(oov >= 100, s"expected >=100 OOV filler docs, got $oov")
+  }
+
   test("diverse sample: per-cell quota respected, cells cover corpus") {
     val rows = graft.SparkEntry.queries("q_diverse")(spark, sf()).collect()
     val perCell = rows.groupBy(_.getAs[Long]("centroid_id"))
