@@ -18,6 +18,8 @@ object SparkEntry {
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),
+    (llm.Embeddings.queries, llm.Embeddings.oracles),
+    (llm.Mixing.queries, llm.Mixing.oracles),
     (llm.Multimodal.queries, llm.Multimodal.oracles)
   )
 

@@ -522,17 +522,31 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ver = pairs.select(col("doc_a"), col("doc_b"))
-    // Standard iterative-algorithm hygiene: cache the loop-invariant
-    // edge frame and each iteration's labels, unpersist the previous
-    // generation once the next is materialized — otherwise iteration k
-    // re-executes the whole k-deep lineage (O(iter²) total work).
+    // Loop-invariant edge frame: cache once, reuse every round.
     val edges = ver.union(
       ver.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = ids.select(col("doc_id"),
+    // Iterative-algorithm hygiene, part 2: each round's label frame
+    // references the previous round TWICE (once as the join probe,
+    // once inside the neighbor-minimum aggregation), so without
+    // lineage truncation the logical plan DOUBLES per iteration —
+    // 2^k leaves by round k, and Catalyst analysis goes exponential
+    // long before any data moves (a chain of diameter 8 already
+    // takes minutes; maxIter=20 would be 10⁶ plan leaves). The fix
+    // every iterative Spark algorithm ships (GraphX Pregel does the
+    // same): checkpoint each generation, which both caches the rows
+    // and REPLACES the lineage with a flat scan of the materialized
+    // result, keeping per-round plan size constant. localCheckpoint
+    // trades executor-loss recovery for speed — on a cluster where
+    // rounds must survive node loss, flip to reliable checkpoint
+    // (sc.setCheckpointDir + .checkpoint()), same truncation.
+    // (Superseded generations are unreferenced after each round; the
+    // ContextCleaner reclaims their checkpoint blocks — no manual
+    // unpersist, which on a checkpointed frame would target the SQL
+    // cache registry rather than the backing RDD anyway.)
+    var cur = ids.select(col("doc_id"),
       col("doc_id").as("canonical_id"), lit(0).as("hops"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cur = cached
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -554,12 +568,10 @@ object Dedup {
         .withColumn("hops",
           when(col("canonical_id") < col("_prev"), lit(i))
             .otherwise(col("hops")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)         // materializes + truncates lineage
       changed = step
         .filter(col("canonical_id") =!= col("_prev"))
-        .count()                       // also materializes `step`
-      cached.unpersist(false)
-      cached = step
+        .count()
       cur = step.drop("_prev")
     }
     edges.unpersist(false)

@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the embedding-compression (q_rproj / q_pq) and
+  * corpus-composition (q_mixture / q_boilerplate) operators, checking
+  * each against an independent Scala-side reference computation.
+  */
+class EmbeddingMixSpec extends SparkSpec {
+
+  private def qv(e: Seq[Float]): Array[Long] =
+    e.map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+
+  test("rproj: each output matches the Scala-side sign-fold on a sample row") {
+    val df = graft.SparkEntry.queries("q_rproj")(spark, sf())
+    val emb = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val q = qv(emb)
+    val expected = (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val h = ((i + 1).toLong * (j + 1) * 2654435761L) % 1000003L
+        (if (h % 2 == 0) 1L else -1L) * q(i)
+      }.sum
+    }
+    val row = df.filter(col("vec_id") === 0).collect()(0)
+    (0 until 8).foreach(j => assert(row.getLong(j + 1) === expected(j)))
+    assert(df.count() === graft.Tables.embeddings(spark, sf()).count())
+  }
+
+  test("pq: codes in range, error equals Scala-side min-distance sum") {
+    val df = graft.SparkEntry.queries("q_pq")(spark, sf())
+    val emb = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val q = qv(emb)
+    def cent(c: Int, i: Int): Long =
+      ((c + 1).toLong * (i + 17) * 2654435761L) % 1000003L - 500001L
+    val dists = (0 until 8).map { b =>
+      (0 until 4).map { c =>
+        (0 until 8).map { k =>
+          val d = q(b * 8 + k) - cent(c, b * 8 + k); d * d
+        }.sum
+      }
+    }
+    val expCodes = dists.map(ds => ds.indexOf(ds.min)).mkString("|")
+    val expErr = dists.map(_.min).sum
+    val row = df.filter(col("vec_id") === 0).collect()(0)
+    assert(row.getString(1) === expCodes)
+    assert(row.getLong(2) === expErr)
+    val codes = df.select(explode(split(col("codes"), "\\|")).as("c"))
+      .select(col("c").cast("int")).as[Int](spark.implicits.newIntEncoder)
+      .collect()
+    assert(codes.forall(c => c >= 0 && c <= 3))
+  }
+
+  test("mixture: per-source sample count = min(quota, source size)") {
+    val docs = graft.Tables.documents(spark, sf())
+    val out = graft.SparkEntry.queries("q_mixture")(spark, sf())
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wt = sizes.keys.map(s => s -> ((s.drop(3).toInt % 4) + 1).toLong).toMap
+    val sw = wt.values.sum
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.keys.foreach { s =>
+      val quota = 200L * wt(s) / sw
+      assert(got.getOrElse(s, 0L) === math.min(quota, sizes(s)),
+        s"source $s: quota $quota, present ${sizes(s)}")
+    }
+  }
+
+  test("boilerplate: gram accounting consistent, verdict matches fraction") {
+    val out = graft.SparkEntry.queries("q_boilerplate")(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, nb) = (r.getLong(1), r.getLong(2))
+      assert(nb >= 0 && nb <= n)
+      val frac = r.getDouble(3)
+      assert(frac === nb.toDouble / n)
+      assert(r.getBoolean(4) === (frac > 0.5))
+    }
+  }
+}
