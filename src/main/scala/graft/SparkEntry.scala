@@ -15,6 +15,7 @@ object SparkEntry {
     (cdc.BatchReconstruction.queries, cdc.BatchReconstruction.oracles),
     (cdc.Scd.queries, cdc.Scd.oracles),
     (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
+    (ops.Operational.queries, ops.Operational.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),

@@ -207,6 +207,68 @@ object Dedup {
     s"""WITH ${candSqlCtes("documents")}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
+  // ------------------------------------------------------- q_minhash_est
+  /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    * signature-agreement estimate of Jaccard (matching hash slots / K)
+    * next to the EXACT shingle-set Jaccard and the absolute error —
+    * the calibration query a sketch-based dedup pipeline runs to pick
+    * K and the band shape (E[estimate] = true Jaccard; error shrinks
+    * as 1/√K). All inputs are the deterministic polynomial hashes, so
+    * estimate AND truth reproduce bit-identically in the oracle.
+    *
+    * Scale: signatures are K smallints per doc (one agg pass, shared
+    * with the band stage); the exact sets ride only into the verify
+    * join exactly as in q_dedup_fuzzy. The audit's pair count is the
+    * candidate count — already bounded by the banding — so the whole
+    * query adds one bounded join to the pipeline it audits.
+    */
+  private def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val hs = shingleHashSets(Tables.documents(s, d))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsFromSets(hs).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = bandCandidates(sigs, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until K).map(i => col(s"sig$i").as(s"a$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until K).map(i => col(s"sig$i").as(s"b$i")): _*)
+    val nMatch = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    jaccardVerified(
+      pairs.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b")),
+      hs, "doc_a", "doc_b", threshold = 0.0)
+      .withColumn("n_sig_match", nMatch.cast(IntegerType))
+      .withColumn("est_jaccard",
+        col("n_sig_match").cast("double") / K)
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
+  private val qMinhashEstSql: String =
+    s"""WITH ${candSqlCtes("documents")},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |sm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(count(*) FILTER (WHERE ma.sig = mb.sig) AS INTEGER)
+       |      AS n_sig_match
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.doc_a
+       |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+       |  GROUP BY 1, 2)
+       |SELECT sm.doc_a, sm.doc_b, sm.n_sig_match,
+       |  CAST(sm.n_sig_match AS DOUBLE) / $K AS est_jaccard,
+       |  ${jaccardSqlExpr("a.hset", "b.hset")} AS jaccard,
+       |  abs(CAST(sm.n_sig_match AS DOUBLE) / $K
+       |      - ${jaccardSqlExpr("a.hset", "b.hset")}) AS abs_err
+       |FROM sm
+       |JOIN hs a ON a.doc_id = sm.doc_a
+       |JOIN hs b ON b.doc_id = sm.doc_b""".stripMargin
+
   // ----------------------------------------------------------- q_simhash
   /** 16-bit SimHash per document from token hashes: bit b is the sign
     * of sum over tokens of ±1 by token-hash bit b.
@@ -882,6 +944,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"   -> qDedupExact _,
     "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_minhash_est"   -> qMinhashEst _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -896,6 +959,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
     "q_minhash_lsh"   -> qMinhashLshSql,
+    "q_minhash_est"   -> qMinhashEstSql,
     "q_simhash"       -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

@@ -852,7 +852,91 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
        |FROM agg""".stripMargin
 
+  // -------------------------------------------------------- q_rank_fusion
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 keyword
+    * list ([[qBm25]], terms {spark, join, window}) and the embedding
+    * top-20 for probe vector 0 (`vec_id` keys the document's embedding
+    * row). RRF score = Σ_lists ⌊10⁹ / (60 + rank)⌋ — the floor keeps
+    * the classic 1/(k+rank) ORDERING while staying integer-exact
+    * across engines (the same ln-free move as q_tfidf's idf); a doc
+    * missing from a list contributes 0. This is the fusion step every
+    * hybrid (keyword + vector) retrieval stack runs over its per-modality
+    * top-k lists.
+    *
+    * Scale: both inputs are top-k lists — bounded, rank-carrying, tiny
+    * — so fusion is a full-outer join + one bounded sort regardless of
+    * corpus size. The embedding side plans as TakeOrderedAndProject
+    * (orderBy().limit()), never a global sort; the BM25 side is the
+    * already-bounded [[qBm25]]. Fusing R lists generalizes to a union
+    * + one grouped sum keyed by doc.
+    */
+  private val RRF_K = 60
+  private val FUSE_TOP = 20
+
+  private def qRankFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val bm = qBm25(s, d).select(col("doc_id"), col("rnk").as("bm_rnk"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        (Similarity.dot(col("q"), col("v")) /
+          (Similarity.norm(col("q")) * Similarity.norm(col("v"))))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(FUSE_TOP)
+    val ann = scored
+      .withColumn("ann_rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc))
+        .cast(IntegerType))
+      .select(col("vec_id").as("doc_id"), col("ann_rnk"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000 div ($RRF_K + bm_rnk)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RRF_K + ann_rnk)"), lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id")))
+        .cast(IntegerType))
+      .select(col("doc_id"), col("bm_rnk"), col("ann_rnk"),
+        col("rrf_score"), col("rnk"))
+  }
+
+  private val qRankFusionSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    s"""WITH bm AS (
+       |  SELECT doc_id, CAST(rnk AS INTEGER) AS bm_rnk
+       |  FROM ( $qBm25Sql )),
+       |ann0 AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${dotSql("q.embedding", "e.embedding")} /
+       |      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+       |       sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id = 0 AND e.vec_id <> 0),
+       |ann AS (
+       |  SELECT doc_id, CAST(rnk AS INTEGER) AS ann_rnk FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+       |    FROM ann0)
+       |  WHERE rnk <= $FUSE_TOP),
+       |f AS (
+       |  SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+       |    bm.bm_rnk, ann.ann_rnk,
+       |    coalesce(CAST(1000000000 AS BIGINT) // ($RRF_K + bm.bm_rnk), 0)
+       |      + coalesce(CAST(1000000000 AS BIGINT) // ($RRF_K + ann.ann_rnk), 0)
+       |      AS rrf_score
+       |  FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id)
+       |SELECT doc_id, bm_rnk, ann_rnk, CAST(rrf_score AS BIGINT) AS rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+       |       AS INTEGER) AS rnk
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion" -> qRankFusion _,
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
@@ -874,6 +958,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank_fusion" -> qRankFusionSql,
     "q_bigram_novelty" -> qBigramNoveltySql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.execution.ExpandExec
+import org.apache.spark.sql.functions._
+
+/** Specs for the operational module: properties the DuckDB oracle
+  * cannot express — plan shape (no multi-distinct Expand), internal
+  * consistency (histogram counts sum to the table count), and
+  * result-equality of the incremental/salted constructions against
+  * their direct formulations computed in the SAME engine.
+  */
+class OperationalSpec extends SparkSpec {
+
+  test("q_profile plans without a multi-distinct Expand") {
+    val df = SparkEntry.queries("q_profile")(spark, sf())
+    val expands = df.queryExecution.executedPlan.collect {
+      case e: ExpandExec => e
+    }
+    assert(expands.isEmpty,
+      "profile must run one single-distinct agg per column, not one " +
+        "multi-distinct agg through Expand")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Long]("n_distinct") > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_null") == 0L))
+  }
+
+  test("q_histogram buckets are clamped and counts sum to the table") {
+    val hist = SparkEntry.queries("q_histogram")(spark, sf()).collect()
+    assert(hist.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b <= 19
+    })
+    val total = hist.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf()).count())
+  }
+
+  test("q_incr_agg partial-merge equals the direct aggregation") {
+    val incr = SparkEntry.queries("q_incr_agg")(spark, sf())
+    val direct = Tables.orders(spark, sf())
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("total_price"))
+    assert(incr.exceptAll(direct).isEmpty && direct.exceptAll(incr).isEmpty)
+  }
+
+  test("q_skew_join equals the plain join rollup") {
+    val salted = SparkEntry.queries("q_skew_join")(spark, sf())
+    val plain = Tables.lineitem(spark, sf())
+      .join(Tables.supplier(spark, sf()),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
