@@ -101,19 +101,26 @@ object Embeddings {
   private def centroid(c: String, i: String): String =
     s"((($c + 1) * ($i + 17) * 2654435761) % 1000003) - 500001"
 
+  /** The 8×4 (subspace × centroid) squared-L2 distance matrix of the
+    * quantized vector `q` against the formula codebook — shared by the
+    * encode ([[qPq]]) and, applied to the PROBE vector, by the ADC
+    * search ([[qPqSearch]]): a probe's distance matrix IS its lookup
+    * table against the codebook.
+    */
+  private val dmatExpr =
+    s"""transform(sequence(0, ${PQ_SUBS - 1}), b ->
+       |  transform(sequence(0, ${PQ_K - 1}), c ->
+       |    aggregate(sequence(0, ${PQ_SUBDIM - 1}), CAST(0 AS BIGINT),
+       |      (acc, k) -> acc +
+       |        (element_at(q, b * $PQ_SUBDIM + k + 1)
+       |          - (${centroid("c", s"b * $PQ_SUBDIM + k")}))
+       |        * (element_at(q, b * $PQ_SUBDIM + k + 1)
+       |          - (${centroid("c", s"b * $PQ_SUBDIM + k")})))))""".stripMargin
+
   private def qPq(s: SparkSession, d: String): DataFrame = {
-    val dmat =
-      s"""transform(sequence(0, ${PQ_SUBS - 1}), b ->
-         |  transform(sequence(0, ${PQ_K - 1}), c ->
-         |    aggregate(sequence(0, ${PQ_SUBDIM - 1}), CAST(0 AS BIGINT),
-         |      (acc, k) -> acc +
-         |        (element_at(q, b * $PQ_SUBDIM + k + 1)
-         |          - (${centroid("c", s"b * $PQ_SUBDIM + k")}))
-         |        * (element_at(q, b * $PQ_SUBDIM + k + 1)
-         |          - (${centroid("c", s"b * $PQ_SUBDIM + k")})))))""".stripMargin
     Tables.embeddings(s, d)
       .withColumn("q", expr(qvec))
-      .withColumn("dmat", expr(dmat))
+      .withColumn("dmat", expr(dmatExpr))
       .select(
         col("vec_id"),
         expr("array_join(transform(dmat, ds -> " +
@@ -141,13 +148,95 @@ object Embeddings {
        |FROM dm""".stripMargin
   }
 
+  // ----------------------------------------------------------- q_pq_search
+  /** ADC (asymmetric distance) top-10 search over the PQ-encoded
+    * corpus — the query-time half of product quantization. The corpus
+    * side carries ONLY its code word (8 small ints); the probe
+    * (vec_id 0) computes its distance-to-centroid lookup table — its
+    * own [[dmatExpr]] — once, and each corpus row's approximate
+    * distance is 8 table lookups summed: Σ_b pdist[b][code_b].
+    * Identical integer arithmetic on both engines, so top-10 and the
+    * tie-break (adc asc, vec_id asc) reproduce exactly.
+    *
+    * Scale: this is THE search shape for a 100 TB vector store — the
+    * scan reads an 8-byte code column (32× smaller than raw float32),
+    * the probe's lookup table (8×4 BIGINTs per probe) is
+    * '''broadcast''', the per-row work is 8 array lookups inside one
+    * codegen'd projection, and top-k plans as TakeOrderedAndProject
+    * (per-partition heaps + driver merge, never a global sort). IVF-PQ
+    * composes this with `q_ivf_ann`'s centroid-bucket filter in front.
+    */
+  private val PQ_TOP = 10
+
+  private def qPqSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val emb = Tables.embeddings(s, d)
+    val codes = emb
+      .withColumn("q", expr(qvec))
+      .withColumn("dmat", expr(dmatExpr))
+      .select(col("vec_id"),
+        expr("transform(dmat, ds -> array_position(ds, array_min(ds)) - 1)")
+          .as("code"))
+    val probeTable = emb.filter(col("vec_id") === 0)
+      .withColumn("q", expr(qvec))
+      .select(expr(dmatExpr).as("pdist"))
+    val scored = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probeTable))
+      .select(col("vec_id"), expr(
+        s"""aggregate(sequence(0, ${PQ_SUBS - 1}), CAST(0 AS BIGINT),
+           |  (acc, b) -> acc + element_at(element_at(pdist, b + 1),
+           |    CAST(element_at(code, b + 1) AS INT) + 1))""".stripMargin)
+        .as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(PQ_TOP)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("adc").asc, col("vec_id").asc))
+        .cast(IntegerType))
+  }
+
+  private val qPqSearchSql: String = {
+    s"""WITH dm AS (
+       |  SELECT vec_id,
+       |    list_transform(${qPqDmatDuck("embedding")}, ds ->
+       |      list_position(ds, list_min(ds)) - 1) AS code
+       |  FROM embeddings),
+       |pt AS (
+       |  SELECT ${qPqDmatDuck("embedding")} AS pdist
+       |  FROM embeddings WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT dm.vec_id,
+       |    CAST(list_sum(list_transform(range(0, $PQ_SUBS),
+       |      b -> pt.pdist[b + 1][dm.code[b + 1] + 1])) AS BIGINT) AS adc
+       |  FROM dm, pt WHERE dm.vec_id <> 0)
+       |SELECT vec_id, adc, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT vec_id, adc,
+       |    row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM adc)
+       |WHERE rnk <= $PQ_TOP""".stripMargin
+  }
+
+  /** DuckDB text of [[dmatExpr]] over a raw float-list column. */
+  private def qPqDmatDuck(embCol: String): String = {
+    val qv =
+      s"CAST(floor(CAST($embCol[b * $PQ_SUBDIM + k + 1] AS DOUBLE) * 1000000) AS BIGINT)"
+    s"""list_transform(range(0, $PQ_SUBS), b ->
+       |      list_transform(range(0, $PQ_K), c ->
+       |        list_sum(list_transform(range(0, $PQ_SUBDIM), k ->
+       |          ($qv - (${centroid("c", s"b * $PQ_SUBDIM + k")}))
+       |          * ($qv - (${centroid("c", s"b * $PQ_SUBDIM + k")}))))))""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rproj" -> qRproj _,
-    "q_pq"    -> qPq _
+    "q_rproj"     -> qRproj _,
+    "q_pq"        -> qPq _,
+    "q_pq_search" -> qPqSearch _
   )
 
   val oracles: Map[String, String] = Map(
-    "q_rproj" -> qRprojSql,
-    "q_pq"    -> qPqSql
+    "q_rproj"     -> qRprojSql,
+    "q_pq"        -> qPqSql,
+    "q_pq_search" -> qPqSearchSql
   )
 }

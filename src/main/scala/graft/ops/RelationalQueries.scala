@@ -893,15 +893,34 @@ object RelationalQueries {
     */
   private def qStats(s: SparkSession, d: String): DataFrame = {
     val q = col("l_quantity"); val p = col("l_extendedprice")
+    // Component sums stay EXACT decimals through the aggregation; the
+    // one decimal→double conversion routes through a scaled BIGINT
+    // (value·10⁴ is integral, so the cast is exact in both engines,
+    // and bigint→double + ÷10⁴ are two correctly-rounded IEEE steps both
+    // engines share). A direct CAST(decimal AS DOUBLE) is a SINGLE
+    // correct rounding in Spark (BigDecimal.doubleValue) but TWO
+    // roundings in DuckDB (int→double, then scale divide) — a 1-ulp
+    // divergence that surfaced in the corr components at sf0.001.
+    // Envelope: |sum|·10⁴ < 2⁶³ holds through sf0.1 with margin; at
+    // warehouse scale keep the components DECIMAL end to end instead.
+    import org.apache.spark.sql.types.DecimalType
+    def viaScaledLong(c: Column): Column =
+      (c * lit(10000)).cast("long") / lit(10000.0)
     val g = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        Det.dsum(q).as("sx"),
-        Det.dsumExact(Det.money2(q) * Det.money2(q)).as("sxx"),
-        Det.dsum(p).as("sy"),
-        Det.dsumExact(Det.money2(p) * Det.money2(p)).as("syy"),
-        Det.dsumExact(Det.money2(q) * Det.money2(p)).as("sxy"))
+        sum(q.cast(DecimalType(18, 4))).as("sxd"),
+        sum(Det.money2(q) * Det.money2(q)).as("sxxd"),
+        sum(p.cast(DecimalType(18, 4))).as("syd"),
+        sum(Det.money2(p) * Det.money2(p)).as("syyd"),
+        sum(Det.money2(q) * Det.money2(p)).as("sxyd"))
+      .select(col("l_returnflag"), col("n"),
+        viaScaledLong(col("sxd")).as("sx"),
+        viaScaledLong(col("sxxd")).as("sxx"),
+        viaScaledLong(col("syd")).as("sy"),
+        viaScaledLong(col("syyd")).as("syy"),
+        viaScaledLong(col("sxyd")).as("sxy"))
     val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
     val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
     g.select(
@@ -917,14 +936,19 @@ object RelationalQueries {
   private val qStatsSql: String =
     """WITH s AS (
       |  SELECT l_returnflag, count(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sx,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-      |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |             * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sy,
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |             * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
+      |      / 10000.0 AS syy,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-      |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |             * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  sx / n AS mean_qty,

@@ -55,6 +55,31 @@ class EmbeddingMixSpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c <= 3))
   }
 
+  test("pq_search: ADC top-10 equals the full Scala-side recompute") {
+    def cent(c: Int, i: Int): Long =
+      ((c + 1).toLong * (i + 17) * 2654435761L) % 1000003L - 500001L
+    def dmat(q: Array[Long]): IndexedSeq[IndexedSeq[Long]] =
+      (0 until 8).map { b =>
+        (0 until 4).map { c =>
+          (0 until 8).map { k =>
+            val d = q(b * 8 + k) - cent(c, b * 8 + k); d * d
+          }.sum
+        }
+      }
+    val all = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> qv(r.getSeq[Float](1))).toMap
+    val pdist = dmat(all(0L))
+    val expected = all.toSeq.filter(_._1 != 0L).map { case (id, q) =>
+      val code = dmat(q).map(ds => ds.indexOf(ds.min))
+      id -> (0 until 8).map(b => pdist(b)(code(b))).sum
+    }.sortBy { case (id, adc) => (adc, id) }.take(10)
+    val got = graft.SparkEntry.queries("q_pq_search")(spark, sf())
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.map { case (id, adc) => (id, adc) })
+  }
+
   test("mixture: per-source sample count = min(quota, source size)") {
     val docs = graft.Tables.documents(spark, sf())
     val out = graft.SparkEntry.queries("q_mixture")(spark, sf())
