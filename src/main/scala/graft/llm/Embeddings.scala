@@ -183,11 +183,7 @@ object Embeddings {
       .select(expr(dmatExpr).as("pdist"))
     val scored = codes.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probeTable))
-      .select(col("vec_id"), expr(
-        s"""aggregate(sequence(0, ${PQ_SUBS - 1}), CAST(0 AS BIGINT),
-           |  (acc, b) -> acc + element_at(element_at(pdist, b + 1),
-           |    CAST(element_at(code, b + 1) AS INT) + 1))""".stripMargin)
-        .as("adc"))
+      .select(col("vec_id"), expr(adcExpr).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(PQ_TOP)
     scored
@@ -228,15 +224,134 @@ object Embeddings {
        |          * ($qv - (${centroid("c", s"b * $PQ_SUBDIM + k")}))))))""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_ivf_pq
+  /** IVF-PQ — the composed index every billion-row vector store runs:
+    * the IVF coarse quantizer (q_ivf_ann's max-cosine assignment to
+    * broadcast centroids, nprobe=1) prunes the corpus to ~N/K
+    * candidates, and ADC over the PQ codes (q_pq_search's lookup-table
+    * scoring) ranks them without touching raw floats. Probes are
+    * `vec_id % 97 = 0`, top-5 per probe.
+    *
+    * Scale: the only full-corpus passes are map-only (assignment
+    * against K broadcast centroids; 8-byte code words). The search
+    * scans one centroid bucket per probe, reads ONLY the code column,
+    * and the per-probe top-5 is a bounded window keyed by query. This
+    * is the exact plan shape of a production IVF-PQ index, with the
+    * trained artifacts (k-means centroids, learned codebook) replaced
+    * by the deterministic stand-ins the encode queries document.
+    */
+  private val IVF_K = 8
+  private val IVFPQ_TOP = 5
+
+  /** The ADC lookup-sum over a `code` array against a `pdist` table —
+    * shared by [[qPqSearch]] and [[qIvfPq]].
+    */
+  private val adcExpr =
+    s"""aggregate(sequence(0, ${PQ_SUBS - 1}), CAST(0 AS BIGINT),
+       |  (acc, b) -> acc + element_at(element_at(pdist, b + 1),
+       |    CAST(element_at(code, b + 1) AS INT) + 1))""".stripMargin
+
+  private def qIvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val cents = emb.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("centroid_id").asc)
+    val assign = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("acos",
+        Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val coded = assign
+      .withColumn("q", expr(qvec))
+      .withColumn("dmat", expr(dmatExpr))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("transform(dmat, ds -> array_position(ds, array_min(ds)) - 1)")
+          .as("code"))
+    val probes = assign.filter(col("vec_id") % 97 === 0)
+      .withColumn("q", expr(qvec))
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").as("probe_centroid"),
+        expr(dmatExpr).as("pdist"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(coded,
+        col("probe_centroid") === col("centroid_id") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(adcExpr))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= IVFPQ_TOP)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qIvfPqSql: String = {
+    def dotd(a: String, b: String): String =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def cosd(a: String, b: String): String =
+      s"${dotd(a, b)} / (sqrt(${dotd(a, a)}) * sqrt(${dotd(b, b)}))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $IVF_K),
+       |scored_assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${cosd("e.embedding", "c.ce")} AS acos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM scored_assign) WHERE rn = 1),
+       |dm AS (
+       |  SELECT vec_id,
+       |    list_transform(${qPqDmatDuck("embedding")}, ds ->
+       |      list_position(ds, list_min(ds)) - 1) AS code
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id
+       |  FROM assign WHERE vec_id % 97 = 0),
+       |pt AS (
+       |  SELECT p.query_id, ${qPqDmatDuck("q.embedding")} AS pdist
+       |  FROM probes p JOIN embeddings q ON q.vec_id = p.query_id),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(0, $PQ_SUBS),
+       |      b -> pt.pdist[b + 1][dm.code[b + 1] + 1])) AS BIGINT) AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id
+       |               AND a.vec_id <> p.query_id
+       |  JOIN dm ON dm.vec_id = a.vec_id
+       |  JOIN pt ON pt.query_id = p.query_id)
+       |SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc, neighbor_id) AS rnk
+       |  FROM pairs) WHERE rnk <= $IVFPQ_TOP""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rproj"     -> qRproj _,
     "q_pq"        -> qPq _,
-    "q_pq_search" -> qPqSearch _
+    "q_pq_search" -> qPqSearch _,
+    "q_ivf_pq"    -> qIvfPq _
   )
 
   val oracles: Map[String, String] = Map(
     "q_rproj"     -> qRprojSql,
     "q_pq"        -> qPqSql,
-    "q_pq_search" -> qPqSearchSql
+    "q_pq_search" -> qPqSearchSql,
+    "q_ivf_pq"    -> qIvfPqSql
   )
 }

@@ -80,6 +80,51 @@ class EmbeddingMixSpec extends SparkSpec {
     assert(got.toSeq == expected.map { case (id, adc) => (id, adc) })
   }
 
+  test("ivf_pq: bucket-pruned ADC top-5 equals the Scala-side recompute") {
+    def cent(c: Int, i: Int): Long =
+      ((c + 1).toLong * (i + 17) * 2654435761L) % 1000003L - 500001L
+    def dmat(q: Array[Long]): IndexedSeq[IndexedSeq[Long]] =
+      (0 until 8).map { b =>
+        (0 until 4).map { c =>
+          (0 until 8).map { k =>
+            val d = q(b * 8 + k) - cent(c, b * 8 + k); d * d
+          }.sum
+        }
+      }
+    val raw = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // identical fold order to Similarity.dot → identical doubles
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val cents = (0L until 8L).map(id => id -> raw(id)).toMap
+    val assign = raw.map { case (id, v) =>
+      id -> (0L until 8L).map { c =>
+        (-dot(v, cents(c)) / (nrm(v) * nrm(cents(c))), c)
+      }.min._2
+    }
+    val codes = raw.map { case (id, v) =>
+      id -> dmat(v.map(x => math.floor(x * 1000000).toLong))
+        .map(ds => ds.indexOf(ds.min))
+    }
+    val expected = raw.keys.filter(_ % 97 == 0).toSeq.sorted.flatMap { q =>
+      val pdist = dmat(raw(q).map(x => math.floor(x * 1000000).toLong))
+      raw.keys.filter(n => n != q && assign(n) == assign(q)).toSeq
+        .map { n => (q, n, (0 until 8).map(b => pdist(b)(codes(n)(b))).sum) }
+        .sortBy { case (_, n, adc) => (adc, n) }.take(5)
+        .zipWithIndex.map { case ((qq, n, adc), i) => (qq, n, adc, i + 1) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_ivf_pq")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("mixture: per-source sample count = min(quota, source size)") {
     val docs = graft.Tables.documents(spark, sf())
     val out = graft.SparkEntry.queries("q_mixture")(spark, sf())
