@@ -16,6 +16,7 @@ object SparkEntry {
     (cdc.Scd.queries, cdc.Scd.oracles),
     (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
     (ops.Operational.queries, ops.Operational.oracles),
+    (ops.Graph.queries, ops.Graph.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),

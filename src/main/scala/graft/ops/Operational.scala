@@ -192,17 +192,172 @@ object Operational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q_funnel
+  /** Ordered funnel analysis over the event stream — per user, the
+    * furthest stage reached through view → click → purchase where
+    * each stage must occur strictly AFTER the previous one (min
+    * qualifying timestamp per stage), then users per stage. The
+    * product-analytics query every event warehouse serves.
+    *
+    * Scale: three aggregations keyed on user_id — the first computes
+    * per-user first-view from the scan; each later stage joins the
+    * previous stage's (user, ts) frame back to the events co-
+    * partitioned on user_id, so after the first exchange on user_id
+    * the whole funnel stays in one partitioning (Exchange reuse). No
+    * window over the raw stream, no per-user sort.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val staged = v
+      .join(c.select(col("user_id"), lit(1).as("hc")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("hp")), Seq("user_id"), "left")
+      .select(
+        (lit(1) + coalesce(col("hc"), lit(0)) + coalesce(col("hp"), lit(0)))
+          .as("funnel_stage"))
+    staged.groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT 1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+      |    AS funnel_stage,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id
+      |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_cohort
+  /** Retention cohort matrix: users are cohorted by first-seen day;
+    * each (cohort_day, day_offset) cell counts the cohort's users
+    * active that many days later. The other standard event-warehouse
+    * rollup next to [[qFunnel]].
+    *
+    * Scale: first-seen is one min-aggregation on user_id; the
+    * activity join is co-partitioned on user_id (Exchange reuse with
+    * the first agg); the final matrix groups on (cohort_day, offset)
+    * whose cardinality is days², so partials collapse map-side. The
+    * distinct-user count inside each cell dedupes (user, day) pairs
+    * BEFORE the matrix agg — one extra narrow aggregation instead of
+    * a count_distinct Expand.
+    */
+  private def qCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+      .join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+    active.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  private val qCohortSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT f.cohort_day,
+      |  CAST(date_diff('day', f.cohort_day, e.day) AS INTEGER) AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM ev e JOIN first f ON f.user_id = e.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- q_anomaly
+  /** 3σ outlier detection per event type: events whose value deviates
+    * from their type's mean by more than three standard deviations.
+    * Mean/stddev come from exact decimal component sums converted
+    * through the scaled-BIGINT route (see q_stats — both engines then
+    * share one rounding sequence), so the flag boundary is
+    * bit-identical and the flagged set reproduces exactly.
+    *
+    * Scale: the stats frame is one aggregation with group count =
+    * #event types → '''broadcast''' back onto the scan; the flagging
+    * pass is map-only. The 100 TB shape for any rule-based
+    * data-quality monitor.
+    */
+  private def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def viaScaledLong(c: org.apache.spark.sql.Column) =
+      (c * lit(10000)).cast("long") / lit(10000.0)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sxd"),
+        sum(col("value").cast(DecimalType(12, 2))
+          * col("value").cast(DecimalType(12, 2))).as("sxxd"))
+      .select(col("event_type"), col("n"),
+        viaScaledLong(col("sxd")).as("sx"),
+        viaScaledLong(col("sxxd")).as("sxx"))
+      .select(col("event_type"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mean"), col("sd"))
+  }
+
+  private val qAnomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))
+      |             * CAST(value AS DECIMAL(12,2))) * 10000 AS BIGINT)
+      |      / 10000.0 AS sxx
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, sx / n AS mean,
+      |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, e.value, st.mean, st.sd
+      |FROM events e JOIN st ON st.event_type = e.event_type
+      |WHERE abs(e.value - st.mean) > 3.0 * st.sd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"   -> qProfile _,
     "q_histogram" -> qHistogram _,
     "q_incr_agg"  -> qIncrAgg _,
-    "q_skew_join" -> qSkewJoin _
+    "q_skew_join" -> qSkewJoin _,
+    "q_funnel"    -> qFunnel _,
+    "q_cohort"    -> qCohort _,
+    "q_anomaly"   -> qAnomaly _
   )
 
   val oracles: Map[String, String] = Map(
     "q_profile"   -> qProfileSql,
     "q_histogram" -> qHistogramSql,
     "q_incr_agg"  -> qIncrAggSql,
-    "q_skew_join" -> qSkewJoinSql
+    "q_skew_join" -> qSkewJoinSql,
+    "q_funnel"    -> qFunnelSql,
+    "q_cohort"    -> qCohortSql,
+    "q_anomaly"   -> qAnomalySql
   )
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Triangle counting checked against an independent Scala-side
+  * brute-force recompute of the same top-edge graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("q_triangles equals brute-force recompute of the top-edge graph") {
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        w((ss(i), ss(j))) = w.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    val edges = w.toSeq
+      .sortBy { case ((a, b), wt) => (-wt, a, b) }
+      .take(500).map(_._1).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = verts.map { v =>
+      v -> edges.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }
+    }.toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    val vs = verts.toSeq.sorted
+    for {
+      a <- vs; b <- adj(a) if b > a; c <- adj(a)
+      if c > b && adj(b).contains(c)
+    } Seq(a, b, c).foreach(v =>
+      triCount(v) = triCount.getOrElse(v, 0L) + 1)
+    val got = SparkEntry.queries("q_triangles")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap)
+  }
+}

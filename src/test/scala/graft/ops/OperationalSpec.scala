@@ -45,6 +45,36 @@ class OperationalSpec extends SparkSpec {
     assert(incr.exceptAll(direct).isEmpty && direct.exceptAll(incr).isEmpty)
   }
 
+  test("q_funnel stages partition the viewing users") {
+    val rows = SparkEntry.queries("q_funnel")(spark, sf()).collect()
+    assert(rows.forall { r =>
+      val s = r.getAs[Int]("funnel_stage"); s >= 1 && s <= 3
+    })
+    val nViewers = Tables.events(spark, sf())
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nViewers)
+  }
+
+  test("q_cohort: offset-0 diagonal covers every user exactly once") {
+    val rows = SparkEntry.queries("q_cohort")(spark, sf()).collect()
+    assert(rows.forall(_.getAs[Int]("day_offset") >= 0))
+    val diag = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_active")).sum
+    val nUsers = Tables.events(spark, sf())
+      .select(col("user_id")).distinct().count()
+    assert(diag == nUsers, "every user is active on their cohort day")
+  }
+
+  test("q_anomaly flags only values beyond 3 standard deviations") {
+    val rows = SparkEntry.queries("q_anomaly")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value") - r.getAs[Double]("mean"))
+        > 3.0 * r.getAs[Double]("sd"))
+    }
+  }
+
   test("q_skew_join equals the plain join rollup") {
     val salted = SparkEntry.queries("q_skew_join")(spark, sf())
     val plain = Tables.lineitem(spark, sf())
