@@ -852,6 +852,70 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------- q_span_corrupt
+  /** Deterministic MLM-style corruption — the masking pass that turns
+    * a curated corpus into masked-LM training pairs: token i of doc d
+    * is masked iff md5(d ":" i) mod 100 < [[MASK_PCT]] (content-
+    * independent, reproducible across engines and runs — no RNG
+    * state to ship). Output carries the mask count and md5 digests of
+    * the masked text and of the extracted targets (digests stand in
+    * for the rewritten columns so the oracle compares fixed-width
+    * values; a real pipeline writes the strings). T5-style span
+    * collapse is the same map with run-length grouping of the mask
+    * flags before sentinel assignment.
+    *
+    * Scale: pure map — one codegen'd transform over the token array
+    * per row, zero shuffle, zero joins. The ideal 100 TB shape.
+    */
+  private val MASK_PCT = 15
+
+  private def qSpanCorrupt(s: SparkSession, d: String): DataFrame = {
+    val masked = expr(
+      s"""transform(tk, (t, i) ->
+         |  IF(CAST(conv(substring(md5(concat(doc_id, ':', i)), 1, 4),
+         |           16, 10) AS BIGINT) % 100 < $MASK_PCT, '<mask>', t))"""
+        .stripMargin)
+    val targets = expr(
+      s"""filter(transform(tk, (t, i) ->
+         |  IF(CAST(conv(substring(md5(concat(doc_id, ':', i)), 1, 4),
+         |           16, 10) AS BIGINT) % 100 < $MASK_PCT, t, NULL)),
+         |  x -> x IS NOT NULL)""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast(IntegerType).as("n_tokens"),
+        masked.as("mk"), targets.as("tg"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("tg")).cast(IntegerType).as("n_masked"),
+        md5(concat_ws(" ", col("mk"))).as("masked_md5"),
+        md5(concat_ws(" ", col("tg"))).as("targets_md5"))
+  }
+
+  private val qSpanCorruptSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    list_transform(tk, (t, i) ->
+       |      CASE WHEN CAST('0x' || substr(md5(doc_id || ':' || (i - 1)),
+       |                     1, 4) AS BIGINT) % 100 < $MASK_PCT
+       |           THEN '<mask>' ELSE t END) AS mk,
+       |    list_filter(
+       |      list_transform(tk, (t, i) ->
+       |        CASE WHEN CAST('0x' || substr(md5(doc_id || ':' || (i - 1)),
+       |                       1, 4) AS BIGINT) % 100 < $MASK_PCT
+       |             THEN t ELSE NULL END),
+       |      x -> x IS NOT NULL) AS tg
+       |  FROM tok)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |  CAST(len(tg) AS INTEGER) AS n_masked,
+       |  md5(coalesce(array_to_string(mk, ' '), '')) AS masked_md5,
+       |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+       |  -- Spark's concat_ws is '' — align on '' for unmasked docs
+       |  md5(coalesce(array_to_string(tg, ' '), '')) AS targets_md5
+       |FROM m""".stripMargin
+
   // -------------------------------------------------------- q_rank_fusion
   /** Hybrid retrieval — reciprocal-rank fusion of the BM25 keyword
     * list ([[qBm25]], terms {spark, join, window}) and the embedding
@@ -937,6 +1001,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_fusion" -> qRankFusion _,
+    "q_span_corrupt" -> qSpanCorrupt _,
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
@@ -959,6 +1024,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_rank_fusion" -> qRankFusionSql,
+    "q_span_corrupt" -> qSpanCorruptSql,
     "q_bigram_novelty" -> qBigramNoveltySql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,

@@ -32,6 +32,23 @@ class RetrievalFusionSpec extends SparkSpec {
     }
   }
 
+  test("q_span_corrupt: ~15% deterministic masking, stable across runs") {
+    val a = SparkEntry.queries("q_span_corrupt")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    a.foreach { case (_, nTok, nMask, _, _) =>
+      assert(nMask >= 0 && nMask <= nTok)
+    }
+    val frac = a.map(_._3).sum.toDouble / a.map(_._2).sum
+    assert(frac > 0.10 && frac < 0.20,
+      f"mask fraction $frac%.3f far from the 15%% target")
+    // deterministic: a second evaluation reproduces every digest
+    val b = SparkEntry.queries("q_span_corrupt")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("q_minhash_est: estimator bounded and calibrated on candidates") {
     val rows = SparkEntry.queries("q_minhash_est")(spark, sf())
       .collect()
