@@ -17,6 +17,7 @@ object SparkEntry {
     (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
     (ops.Operational.queries, ops.Operational.oracles),
     (ops.Graph.queries, ops.Graph.oracles),
+    (ops.Tpch.queries, ops.Tpch.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),
