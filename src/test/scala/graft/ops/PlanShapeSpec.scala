@@ -12,6 +12,43 @@ import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
   */
 class PlanShapeSpec extends SparkSpec {
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The 100 TB feature under test: with a selective dimension-side
+    // filter, Catalyst injects a runtime bloom filter
+    // (BloomFilterMightContain) into the fact-side scan, so fact rows
+    // that cannot join are dropped BEFORE the shuffle. Local datasets
+    // sit under the size thresholds, so the thresholds are lowered to
+    // observe the cluster-scale plan shape.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prior = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.functions._
+      val sel = graft.Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 300000)
+      val joined = graft.Tables.lineitem(spark, sf())
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        "no runtime bloom filter injected on the fact side")
+    } finally prior.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
