@@ -44,7 +44,12 @@ object Graph {
     */
   private val EDGE_TOP = 500
 
-  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+  /** Top-[[EDGE_TOP]] heaviest co-supply edges (sa < sb) — the shared
+    * graph both [[qTriangles]] and [[qPagerank]] analyze. Persisted;
+    * identical plans across queries share the cache entry within a
+    * session.
+    */
+  private def topEdges(s: SparkSession, d: String): DataFrame = {
     val co = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     val pw = co.alias("a")
@@ -53,11 +58,30 @@ object Graph {
           col("a.l_suppkey") < col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
       .agg(count(lit(1)).as("w"))
-    val edges = pw
-      .orderBy(col("w").desc, col("sa"), col("sb"))
+    pw.orderBy(col("w").desc, col("sa"), col("sb"))
       .limit(EDGE_TOP)
       .select(col("sa"), col("sb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]. */
+  private val topEdgesSql: String =
+    s"""co AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pw AS (
+       |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT sa, sb FROM (
+       |    SELECT sa, sb, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
+       |    FROM pw)
+       |  WHERE rk <= $EDGE_TOP)""".stripMargin
+
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = topEdges(s, d)
     val deg = edges.select(col("sa").as("v"))
       .unionAll(edges.select(col("sb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -89,19 +113,7 @@ object Graph {
   }
 
   private val qTrianglesSql: String =
-    s"""WITH co AS (
-       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |pw AS (
-       |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
-       |    CAST(count(*) AS BIGINT) AS w
-       |  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
-       |                     AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT sa, sb FROM (
-       |    SELECT sa, sb, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
-       |    FROM pw)
-       |  WHERE rk <= $EDGE_TOP),
+    s"""WITH $topEdgesSql,
        |deg AS (
        |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
        |    SELECT sa AS v FROM edges UNION ALL SELECT sb AS v FROM edges)
@@ -127,11 +139,95 @@ object Graph {
        |  UNION ALL SELECT z AS v FROM tri)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ q_pagerank
+  /** PageRank over the same top-edge graph — [[PR_ITERS]] synchronous
+    * iterations, damping 85/100, every score a SCALED BIGINT
+    * (base 10¹²) with floor division throughout: the per-iteration
+    * update `pr'(v) = ⌊0.15·10¹²/N⌋ + ⌊85·Σ_u ⌊pr(u)/deg(u)⌋ / 100⌋`
+    * is pure integer arithmetic, so iteration k is bit-identical on
+    * any engine and any partitioning — the determinism discipline the
+    * float formulation of PageRank cannot give. Output: top-20
+    * vertices by final score.
+    *
+    * Scale: each iteration is one (vertex-keyed) join of the rank
+    * frame against the directed edge list + one aggregation — shuffle
+    * carries (vertex, contribution) longs only. The degree frame is
+    * vertex-sized → '''broadcast'''. Fixed iteration count unrolls
+    * without checkpointing; an until-convergence loop uses the same
+    * per-round `localCheckpoint` lineage-truncation pattern as
+    * [[graft.llm.Dedup.canonicalFixpointHops]].
+    */
+  private val PR_ITERS = 3
+
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val edges = topEdges(s, d)
+    val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val verts = deg.select(col("u").as("v"))
+    val nRow = verts.agg(count(lit(1)).as("n"))
+    var pr = verts.crossJoin(broadcast(nRow))
+      .select(col("v"), expr("CAST(1000000000000 AS BIGINT) div n").as("pr"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = dir
+        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
+        .join(broadcast(deg), Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(expr("pr div d")).as("m"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("v"),
+          expr("CAST(150000000000 AS BIGINT) div n" +
+            " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("v")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pr").desc, col("v"))).cast(IntegerType))
+      .select(col("v").as("supplier"), col("pr").as("pr_scaled"),
+        col("rnk"))
+  }
+
+  private val qPagerankSql: String = {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT verts.v,
+         |    (150000000000 // (SELECT n FROM n))
+         |      + (85 * coalesce(s.m, 0)) // 100 AS pr
+         |  FROM verts LEFT JOIN (
+         |    SELECT dir.v AS v, CAST(sum($prev.pr // deg.d) AS BIGINT) AS m
+         |    FROM dir JOIN $prev ON $prev.v = dir.u
+         |             JOIN deg ON deg.u = dir.u
+         |    GROUP BY 1) s ON s.v = verts.v)""".stripMargin
+    s"""WITH $topEdgesSql,
+       |dir AS (
+       |  SELECT sa AS u, sb AS v FROM edges
+       |  UNION ALL SELECT sb AS u, sa AS v FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+       |verts AS (SELECT u AS v FROM deg),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+       |pr0 AS (
+       |  SELECT v, CAST(1000000000000 AS BIGINT) // (SELECT n FROM n) AS pr
+       |  FROM verts),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT v AS supplier, CAST(pr AS BIGINT) AS pr_scaled,
+       |  CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (ORDER BY pr DESC, v) AS rnk
+       |  FROM pr3)
+       |WHERE rnk <= 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_triangles" -> qTriangles _
+    "q_triangles" -> qTriangles _,
+    "q_pagerank"  -> qPagerank _
   )
 
   val oracles: Map[String, String] = Map(
-    "q_triangles" -> qTrianglesSql
+    "q_triangles" -> qTrianglesSql,
+    "q_pagerank"  -> qPagerankSql
   )
 }

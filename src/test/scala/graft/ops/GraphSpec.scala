@@ -39,4 +39,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == triCount.toMap)
   }
+
+  test("q_pagerank equals the integer-exact Scala-side recompute") {
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        w((ss(i), ss(j))) = w.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    val edges = w.toSeq
+      .sortBy { case ((a, b), wt) => (-wt, a, b) }.take(500).map(_._1)
+    val dir = edges ++ edges.map(e => (e._2, e._1))
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val verts = deg.keys.toSeq.sorted
+    val n = verts.size
+    var pr = verts.map(v => v -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      dir.foreach { case (u, v) =>
+        m(v) = m.getOrElse(v, 0L) + pr(u) / deg(u)
+      }
+      pr = verts.map(v =>
+        v -> (150000000000L / n + 85L * m.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val expected = pr.toSeq.sortBy { case (v, p) => (-p, v) }.take(20)
+      .zipWithIndex.map { case ((v, p), i) => (v, p, i + 1) }
+    val got = SparkEntry.queries("q_pagerank")(spark, sf())
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == expected)
+  }
 }
