@@ -3,7 +3,6 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over a co-occurrence graph derived from the
   * relational tables — the supplier co-supply network (suppliers
@@ -49,7 +48,18 @@ object Graph {
     * identical plans across queries share the cache entry within a
     * session.
     */
-  private def topEdges(s: SparkSession, d: String): DataFrame = {
+  /** One materialized edge list per (session, corpus) — the graph
+    * both analyses read; the production shape is an edge table
+    * maintained at ingest and scanned by every graph job.
+    */
+  private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def topEdges(s: SparkSession, d: String): DataFrame =
+    edgeMemo.computeIfAbsent((s, d), _ => buildTopEdges(s, d))
+
+  private def buildTopEdges(s: SparkSession, d: String): DataFrame = {
     val co = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     val pw = co.alias("a")
@@ -58,10 +68,18 @@ object Graph {
           col("a.l_suppkey") < col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
       .agg(count(lit(1)).as("w"))
+    // Eager localCheckpoint, not lazy persist: the consumers reference
+    // this frame MANY times inside one job (deg, orientation, wedge
+    // and closing joins; every PageRank iteration), and a lazy cache
+    // is not yet filled when those subtrees execute concurrently — the
+    // whole edge build would re-run per reference. Materializing the
+    // ≤EDGE_TOP rows up front makes every consumer a cheap scan, and
+    // truncates the lineage the iterative consumer would otherwise
+    // re-plan (same rationale as canonicalFixpointHops).
     pw.orderBy(col("w").desc, col("sa"), col("sb"))
       .limit(EDGE_TOP)
       .select(col("sa"), col("sb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
   }
 
   /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]. */
@@ -94,7 +112,7 @@ object Graph {
     val o = keyed.select(
       when(aFirst, col("sa")).otherwise(col("sb")).as("u"),
       when(aFirst, col("sb")).otherwise(col("sa")).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ou = o.join(broadcast(deg.select(col("v"), col("d").as("dv"))),
       Seq("v"))
     val tri = ou.alias("a")
@@ -163,9 +181,11 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.IntegerType
     val edges = topEdges(s, d)
+    // Same eager-materialization rationale as topEdges: dir feeds the
+    // degree table plus every iteration's join.
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val verts = deg.select(col("u").as("v"))
     val nRow = verts.agg(count(lit(1)).as("n"))
