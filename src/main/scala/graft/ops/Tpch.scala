@@ -134,15 +134,57 @@ object Tpch {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q_tpch18
+  /** Q18 (large-volume customers): orders whose total line quantity
+    * exceeds the threshold, with their customer — the join-OVER-
+    * aggregate shape (semi-join against an aggregated subquery) the
+    * other anchors don't exercise.
+    *
+    * Scale: the heavy agg groups lineitem by orderkey (one exchange);
+    * the HAVING filter shrinks it to a handful of hot orders, which
+    * AQE then broadcasts into the orders⋈customer side. The decimal
+    * quantity sum keeps the threshold comparison exact.
+    */
+  private val Q18_QTY = 200
+
+  private def qTpch18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > Q18_QTY)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val qTpch18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${Det.dsumSql("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${Det.dsumSql("l_quantity")} > $Q18_QTY)
+       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch3"  -> qTpch3 _,
     "q_tpch5"  -> qTpch5 _,
-    "q_tpch10" -> qTpch10 _
+    "q_tpch10" -> qTpch10 _,
+    "q_tpch18" -> qTpch18 _
   )
 
   val oracles: Map[String, String] = Map(
     "q_tpch3"  -> qTpch3Sql,
     "q_tpch5"  -> qTpch5Sql,
-    "q_tpch10" -> qTpch10Sql
+    "q_tpch10" -> qTpch10Sql,
+    "q_tpch18" -> qTpch18Sql
   )
 }
