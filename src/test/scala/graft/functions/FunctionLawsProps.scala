@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based laws for the custom expression/aggregate kernels —
+  * the pure-function halves, so thousands of generated cases run
+  * without a SparkSession.
+  */
+object FunctionLawsProps extends Properties("FunctionLaws") {
+
+  // Unicode strings incl. supplementary-plane codepoints (the case
+  // where UTF-16 code units and codepoints diverge).
+  private val unicodeGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.choose(0x20, 0x7e),
+    2 -> Gen.choose(0xa0, 0x2fff),
+    1 -> Gen.choose(0x10000, 0x10fff)
+  )).map(cps => cps.map(Character.toChars(_).mkString).mkString)
+
+  /** Reference fold in the documented semantics: over CODEPOINTS. */
+  private def refHash(s: String): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  property("PolyHash.hash folds codepoints, not UTF-16 units") =
+    forAll(unicodeGen) { s => PolyHash.hash(s) == refHash(s) }
+
+  property("PolyHash.hash stays within [0, P)") =
+    forAll(unicodeGen) { s =>
+      val h = PolyHash.hash(s); h >= 0 && h < PolyHash.P
+    }
+
+  private val doubles = Gen.listOf(Gen.chooseNum(-1e9, 1e9))
+  private val kGen = Gen.choose(1, 8)
+
+  /** The spec TopKAggregate must satisfy regardless of partitioning. */
+  private def topK(xs: Seq[Double], k: Int): Seq[Double] =
+    xs.sortBy(-_).take(k)
+
+  property("TopKAggregate: any partitioning reduces+merges to sorted top-k") =
+    forAll(doubles, kGen, Gen.choose(0, 100)) { (xs, k, cut) =>
+      val agg = new TopKAggregate(k)
+      val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.length + 1))
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(bl, br)).toSeq
+      Prop(merged == topK(xs, k)) :| s"got $merged want ${topK(xs, k)}"
+    }
+
+  property("TopKAggregate: merge is commutative") =
+    forAll(doubles, doubles, kGen) { (a, b, k) =>
+      val agg = new TopKAggregate(k)
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(ba.clone(), bb.clone()).toSeq ==
+        agg.merge(bb.clone(), ba.clone()).toSeq
+    }
+
+  property("TopKAggregate: merge is associative") =
+    forAll(doubles, doubles, doubles, kGen) { (a, b, c, k) =>
+      val agg = new TopKAggregate(k)
+      def buf(xs: Seq[Double]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val (ba, bb, bc) = (buf(a), buf(b), buf(c))
+      agg.merge(agg.merge(ba.clone(), bb.clone()), bc.clone()).toSeq ==
+        agg.merge(ba.clone(), agg.merge(bb.clone(), bc.clone())).toSeq
+    }
+}
