@@ -852,6 +852,86 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
        |FROM agg""".stripMargin
 
+  // ----------------------------------------------------------- q_cooccur
+  /** Token co-occurrence with scaled PMI — the corpus-statistics pass
+    * behind collocation mining and word-association analysis: pairs
+    * of tokens within a forward window of [[COOCCUR_WIN]] positions,
+    * scored by ⌊c(a,b)·N·10⁶ / (c(a)·c(b))⌋ — the log-free monotone
+    * transform of pointwise mutual information (same move as
+    * q_tfidf's idf), integer-exact on both engines. Pairs ordered
+    * (a ≤ b) so each co-occurrence counts once; noise floor
+    * c(a,b) ≥ [[COOCCUR_MIN]]; top-50 by (pmi, a, b).
+    *
+    * Scale: pair generation is MAP-ONLY — pairs materialize inside
+    * the row from the token array (no doc-keyed self-join, which
+    * would shuffle the token stream twice); the only shuffles are the
+    * (pair → count) and (token → count) aggregations. Unigram counts
+    * and the N scalar are vocabulary-sized → '''broadcast''' into the
+    * scoring join. At warehouse scale the ·10⁶ products move to
+    * DECIMAL(38,0) (the q_bm25 discipline); bigint holds through the
+    * bench envelope.
+    */
+  private val COOCCUR_WIN = 2
+  private val COOCCUR_MIN = 5
+
+  private def qCooccur(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // CASE guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), not
+    // empty, so a doc shorter than the window needs the empty branch.
+    val pairCol = expr(
+      s"""flatten(transform(sequence(1, $COOCCUR_WIN), o ->
+         |  CASE WHEN size(tk) > o THEN
+         |    transform(sequence(1, size(tk) - o), i ->
+         |      struct(least(element_at(tk, i), element_at(tk, i + o)) AS a,
+         |             greatest(element_at(tk, i), element_at(tk, i + o)) AS b))
+         |  ELSE array() END))""".stripMargin)
+    val pairs = tk.select(explode(pairCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= COOCCUR_MIN)
+    val uni = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    pairs
+      .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n * 1000000) div (c_a * c_b)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  private val qCooccurSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, ${COOCCUR_WIN + 1}),
+       |      o -> list_transform(range(1, greatest(len(tk) - o, 0) + 1),
+       |        i -> {'a': least(tk[i], tk[i + o]),
+       |              'b': greatest(tk[i], tk[i + o])})))) AS p
+       |    FROM tk)
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $COOCCUR_MIN),
+       |uni AS (
+       |  SELECT unnest(tk) AS t FROM tk),
+       |cnt AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+       |SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+       |  (p.c_ab * (SELECT n FROM n) * 1000000) // (ca.c * cb.c)
+       |    AS pmi_scaled
+       |FROM pairs p
+       |JOIN cnt ca ON ca.t = p.a
+       |JOIN cnt cb ON cb.t = p.b
+       |ORDER BY pmi_scaled DESC, a, b
+       |LIMIT 50""".stripMargin
+
   // ------------------------------------------------------- q_span_corrupt
   /** Deterministic MLM-style corruption — the masking pass that turns
     * a curated corpus into masked-LM training pairs: token i of doc d
@@ -1002,6 +1082,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_fusion" -> qRankFusion _,
     "q_span_corrupt" -> qSpanCorrupt _,
+    "q_cooccur"     -> qCooccur _,
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
@@ -1025,6 +1106,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_rank_fusion" -> qRankFusionSql,
     "q_span_corrupt" -> qSpanCorruptSql,
+    "q_cooccur"     -> qCooccurSql,
     "q_bigram_novelty" -> qBigramNoveltySql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,
