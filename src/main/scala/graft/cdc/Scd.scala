@@ -145,15 +145,86 @@ object Scd {
       |  event_type AS last_type, value AS last_value
       |FROM r WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------------------- q_snapshot_diff
+  /** Changeset between two point-in-time snapshots — the "what changed
+    * between T1 and T2" CDC diff a mirror consumer runs to reconcile:
+    * latest-state per user as of [[DIFF_T1]] vs as of [[DIFF_T2]],
+    * full-outer joined and classified INSERT (key only after),
+    * UPDATE (both, different last event) or DELETE-candidate (key
+    * only before — impossible with append-only events, included for
+    * the general contract). NO-OPs (same last event) are filtered —
+    * the changeset carries only real changes.
+    *
+    * Scale: two filtered `max_by` aggregations over the same scan —
+    * both shuffles key on user_id, so the outer join that follows
+    * reuses the partitioning (one Exchange per side, join co-located).
+    * The changeset is bounded by keys-that-changed, not by event
+    * volume — the property that makes snapshot diffs shippable.
+    */
+  private val DIFF_T1 = "2024-01-15"
+  private val DIFF_T2 = "2024-02-01"
+
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def snap(cut: String, pfx: String): DataFrame =
+      graft.Tables.events(s, d)
+        .filter(col("ts") < lit(cut))
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("s"))
+        .select(col("user_id"),
+          col("s.event_id").as(s"${pfx}_event_id"),
+          col("s.event_type").as(s"${pfx}_type"))
+    snap(DIFF_T1, "old").join(snap(DIFF_T2, "new"), Seq("user_id"),
+        "full_outer")
+      .withColumn("op",
+        when(col("old_event_id").isNull, lit("INSERT"))
+          .when(col("new_event_id").isNull, lit("DELETE"))
+          .when(col("old_event_id") =!= col("new_event_id"), lit("UPDATE")))
+      .filter(col("op").isNotNull)
+      .select(col("user_id"), col("op"),
+        col("old_event_id"), col("old_type"),
+        col("new_event_id"), col("new_type"))
+  }
+
+  private val qSnapshotDiffSql: String =
+    s"""WITH so AS (
+       |  SELECT user_id, event_id AS old_event_id,
+       |    event_type AS old_type FROM (
+       |    SELECT user_id, event_id, event_type,
+       |      row_number() OVER (PARTITION BY user_id
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$DIFF_T1')
+       |  WHERE rn = 1),
+       |sn AS (
+       |  SELECT user_id, event_id AS new_event_id,
+       |    event_type AS new_type FROM (
+       |    SELECT user_id, event_id, event_type,
+       |      row_number() OVER (PARTITION BY user_id
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$DIFF_T2')
+       |  WHERE rn = 1),
+       |j AS (
+       |  SELECT coalesce(so.user_id, sn.user_id) AS user_id,
+       |    so.old_event_id, so.old_type, sn.new_event_id, sn.new_type,
+       |    CASE WHEN so.old_event_id IS NULL THEN 'INSERT'
+       |         WHEN sn.new_event_id IS NULL THEN 'DELETE'
+       |         WHEN so.old_event_id <> sn.new_event_id THEN 'UPDATE'
+       |    END AS op
+       |  FROM so FULL OUTER JOIN sn ON sn.user_id = so.user_id)
+       |SELECT user_id, op, old_event_id, old_type, new_event_id, new_type
+       |FROM j WHERE op IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"          -> (qScd2 _),
     "q_latest_state"  -> (qLatestState _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_point_in_time" -> (qPointInTime _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_scd2"          -> qScd2Sql,
     "q_latest_state"  -> qLatestStateSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_point_in_time" -> qPointInTimeSql
   )
 }
