@@ -44,6 +44,25 @@ object Det {
   def dsumExact(product: Column): Column =
     sum(product).cast(DoubleType)
 
+  /** Engine-stable decimal→double conversion: the scaled value is
+    * integral, so the BIGINT cast is exact in both engines, and
+    * bigint→double + ÷10⁴ are two correctly-rounded IEEE steps both
+    * engines share. A direct CAST(decimal AS DOUBLE) is ONE correct
+    * rounding in Spark (BigDecimal.doubleValue) but TWO in DuckDB
+    * (int→double, then scale divide) — a 1-ulp divergence that
+    * surfaced in q_stats' corr components at sf0.001. Envelope:
+    * |value|·10⁴ must fit int64 (holds with margin through sf0.1; at
+    * warehouse scale keep DECIMAL end to end instead). SQL twin:
+    * [[stableDoubleSql]].
+    */
+  def stableDouble(dec: Column): Column =
+    (dec * org.apache.spark.sql.functions.lit(10000)).cast("long") /
+      org.apache.spark.sql.functions.lit(10000.0)
+
+  /** DuckDB text of [[stableDouble]] over a decimal SQL expression. */
+  def stableDoubleSql(expr: String): String =
+    s"CAST(($expr) * 10000 AS BIGINT) / 10000.0"
+
   /** DuckDB-side SQL for [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"

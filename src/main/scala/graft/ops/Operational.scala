@@ -303,7 +303,7 @@ object Operational {
   private def qAnomaly(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def viaScaledLong(c: org.apache.spark.sql.Column) =
-      (c * lit(10000)).cast("long") / lit(10000.0)
+      graft.Det.stableDouble(c)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
     val stats = ev.groupBy(col("event_type"))

@@ -894,18 +894,10 @@ object RelationalQueries {
   private def qStats(s: SparkSession, d: String): DataFrame = {
     val q = col("l_quantity"); val p = col("l_extendedprice")
     // Component sums stay EXACT decimals through the aggregation; the
-    // one decimal→double conversion routes through a scaled BIGINT
-    // (value·10⁴ is integral, so the cast is exact in both engines,
-    // and bigint→double + ÷10⁴ are two correctly-rounded IEEE steps both
-    // engines share). A direct CAST(decimal AS DOUBLE) is a SINGLE
-    // correct rounding in Spark (BigDecimal.doubleValue) but TWO
-    // roundings in DuckDB (int→double, then scale divide) — a 1-ulp
-    // divergence that surfaced in the corr components at sf0.001.
-    // Envelope: |sum|·10⁴ < 2⁶³ holds through sf0.1 with margin; at
-    // warehouse scale keep the components DECIMAL end to end instead.
+    // one decimal→double conversion is the engine-stable shared route
+    // (rationale + envelope: Det.stableDouble scaladoc).
     import org.apache.spark.sql.types.DecimalType
-    def viaScaledLong(c: Column): Column =
-      (c * lit(10000)).cast("long") / lit(10000.0)
+    def viaScaledLong(c: Column): Column = Det.stableDouble(c)
     val g = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
