@@ -852,6 +852,67 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------- q_dataset_card
+  /** Dataset-card rollup — the corpus summary a dataset release
+    * prints: per (lang, source) cell plus per-lang, per-source, and
+    * grand-total margins (GROUPING SETS), each with document count,
+    * token total, exact-dup document count (docs whose fingerprint
+    * has an earlier copy), and mean chars. One composed pass over
+    * the stats the individual queries expose separately.
+    *
+    * Scale: the dup flag is the exact-dedup aggregation keyed by
+    * fingerprint (the q_dedup_exact shuffle) joined back
+    * co-partitioned; the rollup itself follows the two-level
+    * grouping-sets discipline (pre-aggregate to the finest (lang,
+    * source) grain, Expand over group-count rows — never over the
+    * corpus; see SCALE.md round-4 notes).
+    */
+  private def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val firstCopy = docs
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val flagged = docs
+      .withColumn("fp", fingerprint(col("text")))
+      .join(firstCopy, Seq("fp"))
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        (col("doc_id") =!= col("first_id")).cast("long").as("is_dup"))
+    val fine = flagged.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("pn"), sum(col("n_tok")).as("pt"),
+        sum(col("n_chars")).as("pc"), sum(col("is_dup")).as("pd"))
+    fine.createOrReplaceTempView("graft_card_pre")
+    s.sql(
+      """SELECT lang, source, SUM(pn) AS n_docs,
+        |  SUM(pt) AS total_tokens, SUM(pd) AS n_dups,
+        |  CAST(SUM(pc) AS DOUBLE) / SUM(pn) AS mean_chars
+        |FROM graft_card_pre
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"""
+        .stripMargin)
+  }
+
+  private val qDatasetCardSql: String =
+    """WITH f AS (
+      |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+      |    min(doc_id) AS first_id
+      |  FROM documents GROUP BY 1),
+      |base AS (
+      |  SELECT d.lang, d.source,
+      |    CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(length(d.text) AS BIGINT) AS n_chars,
+      |    CAST(d.doc_id <> f.first_id AS BIGINT) AS is_dup
+      |  FROM documents d
+      |  JOIN f ON f.fp = md5(trim(regexp_replace(regexp_replace(
+      |    lower(d.text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS BIGINT) AS mean_chars
+      |FROM base
+      |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin
+
   // ----------------------------------------------------------- q_cooccur
   /** Token co-occurrence with scaled PMI — the corpus-statistics pass
     * behind collocation mining and word-association analysis: pairs
@@ -1083,6 +1144,7 @@ object TextAnalysis {
     "q_rank_fusion" -> qRankFusion _,
     "q_span_corrupt" -> qSpanCorrupt _,
     "q_cooccur"     -> qCooccur _,
+    "q_dataset_card" -> qDatasetCard _,
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
@@ -1107,6 +1169,7 @@ object TextAnalysis {
     "q_rank_fusion" -> qRankFusionSql,
     "q_span_corrupt" -> qSpanCorruptSql,
     "q_cooccur"     -> qCooccurSql,
+    "q_dataset_card" -> qDatasetCardSql,
     "q_bigram_novelty" -> qBigramNoveltySql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,
