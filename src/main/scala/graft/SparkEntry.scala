@@ -18,6 +18,7 @@ object SparkEntry {
     (ops.Operational.queries, ops.Operational.oracles),
     (ops.Graph.queries, ops.Graph.oracles),
     (ops.Tpch.queries, ops.Tpch.oracles),
+    (ops.ModernSql.queries, ops.ModernSql.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),
