@@ -706,6 +706,51 @@ object Dedup {
     */
   private[llm] def canonicalSqlWith(src: String): String = canonSqlCtes(src)
 
+  // ------------------------------------------------------ q_golden_record
+  /** Survivorship / golden-record selection — the step after
+    * clustering in every entity-resolution pipeline: within each
+    * near-dup cluster, the surviving record is chosen by a QUALITY
+    * rule (here: most content, ties to the lowest id) rather than the
+    * arbitrary min-id canonical, and the cluster's record count rides
+    * along. The same `max_by(struct(...), struct(orderKey))` shape
+    * carries any richer survivorship rule (most recent, least nulls,
+    * source priority) — swap the order-key struct.
+    *
+    * Scale: one join of the corpus against the canonical map
+    * (both keyed doc_id) + one cluster-keyed aggregation whose buffer
+    * is a single record per cluster — no sort, no window over the
+    * corpus.
+    */
+  private def qGoldenRecord(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    canonicalMap(docs)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(
+          struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars")),
+          struct(col("n_chars"), -col("doc_id"))).as("g"))
+      .select(col("canonical_id"), col("n_members"),
+        col("g.doc_id").as("golden_doc_id"),
+        col("g.lang").as("golden_lang"),
+        col("g.source").as("golden_source"),
+        col("g.n_chars").as("golden_chars"))
+  }
+
+  private val qGoldenRecordSql: String =
+    s"""WITH ${canonSqlCtes("documents")},
+       |m AS (
+       |  SELECT c.canonical_id, d.doc_id, d.lang, d.source, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.canonical_id
+       |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+       |  FROM canon c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT canonical_id, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS golden_doc_id, lang AS golden_lang,
+       |  source AS golden_source, n_chars AS golden_chars
+       |FROM m WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------- q_dedup_cc
   /** TRUE connected-components canonicalization via the iterative
     * [[canonicalFixpoint]] loop — the fixpoint big sibling of
@@ -965,6 +1010,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_dedup_cc"      -> qDedupCc _,
+    "q_golden_record" -> qGoldenRecord _,
     "q_dedup_delta"   -> qDedupDelta _,
     "q_cluster_stats" -> qClusterStats _,
     "q_dedup_hops"    -> qDedupHops _,
@@ -980,6 +1026,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_dedup_cc"      -> qDedupCcSql,
+    "q_golden_record" -> qGoldenRecordSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_cluster_stats" -> qClusterStatsSql,
     "q_dedup_hops"    -> qDedupHopsSql,
