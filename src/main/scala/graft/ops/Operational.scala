@@ -341,8 +341,55 @@ object Operational {
       |FROM events e JOIN st ON st.event_type = e.event_type
       |WHERE abs(e.value - st.mean) > 3.0 * st.sd""".stripMargin
 
+  // ----------------------------------------------------------------- q_mad
+  /** Robust dispersion per event type: median and MAD (median absolute
+    * deviation), plus the ±3·1.4826·MAD robust outlier thresholds —
+    * the heavy-tail-safe complement of [[qAnomaly]]'s mean/σ rule
+    * (one wild value moves a mean; it cannot move a median). Exact
+    * interpolated medians via `percentile` ≡ DuckDB `quantile_cont`
+    * (identical interpolation on identical doubles — the q_percentiles
+    * discipline).
+    *
+    * Scale: two passes — per-type median, broadcast back, then the
+    * deviation median. Exact per-group percentiles sort within the
+    * group; at warehouse scale both passes switch to
+    * `percentile_approx` (t-digest sketches, one pass, mergeable)
+    * with the same query shape.
+    */
+  private def qMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("median"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("median"), col("mad"), col("n"),
+        (col("median") + lit(3.0) * lit(1.4826) * col("mad"))
+          .as("hi_threshold"),
+        (col("median") - lit(3.0) * lit(1.4826) * col("mad"))
+          .as("lo_threshold"))
+  }
+
+  private val qMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT e.event_type, max(med.med) AS median,
+      |    quantile_cont(abs(e.value - med.med), 0.5) AS mad,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events e JOIN med ON med.event_type = e.event_type
+      |  GROUP BY 1)
+      |SELECT event_type, median, mad, n,
+      |  median + 3.0 * 1.4826 * mad AS hi_threshold,
+      |  median - 3.0 * 1.4826 * mad AS lo_threshold
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"   -> qProfile _,
+    "q_mad"       -> qMad _,
     "q_histogram" -> qHistogram _,
     "q_incr_agg"  -> qIncrAgg _,
     "q_skew_join" -> qSkewJoin _,
@@ -353,6 +400,7 @@ object Operational {
 
   val oracles: Map[String, String] = Map(
     "q_profile"   -> qProfileSql,
+    "q_mad"       -> qMadSql,
     "q_histogram" -> qHistogramSql,
     "q_incr_agg"  -> qIncrAggSql,
     "q_skew_join" -> qSkewJoinSql,
