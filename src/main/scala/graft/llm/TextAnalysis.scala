@@ -287,6 +287,67 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------- q_leakage
+  /** Split-leakage audit — after carving train/val/test ([[qSplit]]'s
+    * hash rule), count how many eval documents share an exact content
+    * fingerprint with ANY train document: the contamination check a
+    * release pipeline runs on its own split (the intra-corpus
+    * complement of `q_contamination`, which audits against an
+    * EXTERNAL benchmark). Output: per split, total docs and docs
+    * whose content also appears in train.
+    *
+    * Scale: fingerprints are md5 (map-side); the train fingerprint
+    * set arrives via a LEFT SEMI join keyed on the fingerprint —
+    * shuffle carries (fp) only, never text; the verdict is one
+    * split-keyed aggregation. Exact-dup leakage only by design —
+    * NEAR-dup leakage composes the same audit with the MinHash band
+    * machinery (join through `bandCandidates` instead of equal fps).
+    */
+  private def qLeakage(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    val trainFps = docs.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+    val leaked = docs.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fp"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    docs.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double")
+          / col("n_docs")).as("leak_frac"))
+  }
+
+  private val qLeakageSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tr AS (SELECT DISTINCT fp FROM docs WHERE split = 'train'),
+      |ev AS (SELECT * FROM docs WHERE split <> 'train'),
+      |lk AS (
+      |  SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+      |  FROM ev WHERE fp IN (SELECT fp FROM tr) GROUP BY 1),
+      |tot AS (
+      |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM ev GROUP BY 1)
+      |SELECT t.split, t.n_docs,
+      |  coalesce(l.n_leaked, 0) AS n_leaked,
+      |  CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / t.n_docs AS leak_frac
+      |FROM tot t LEFT JOIN lk l ON l.split = t.split""".stripMargin
+
   // ---------------------------------------------------------------- q_pack
   /** Token-budget packing: fill context windows of `PACK_BUDGET`
     * whitespace tokens by running a prefix sum over a deterministic
@@ -1158,6 +1219,7 @@ object TextAnalysis {
     "q_chunk"       -> qChunk _,
     "q_curate"      -> qCurate _,
     "q_split"       -> qSplit _,
+    "q_leakage"     -> qLeakage _,
     "q_pack"        -> qPack _,
     "q_contamination" -> qContamination _,
     "q_stratified"  -> qStratified _,
@@ -1183,6 +1245,7 @@ object TextAnalysis {
     "q_chunk"       -> qChunkSql,
     "q_curate"      -> qCurateSql,
     "q_split"       -> qSplitSql,
+    "q_leakage"     -> qLeakageSql,
     "q_pack"        -> qPackSql,
     "q_contamination" -> qContaminationSql,
     "q_stratified"  -> qStratifiedSql,
