@@ -49,6 +49,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_pq_search top-k plans as TakeOrderedAndProject, not a global sort") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_pq_search")(spark, sf())
+        .queryExecution.executedPlan
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "expected TakeOrderedAndProject for the top-k")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_anomaly broadcasts the per-type stats side") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_anomaly")(spark, sf())
+        .queryExecution.executedPlan
+      val bcJoins = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bcJoins.nonEmpty,
+        "stats must broadcast onto the scan, not shuffle the events")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
