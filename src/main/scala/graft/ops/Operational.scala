@@ -341,6 +341,76 @@ object Operational {
       |FROM events e JOIN st ON st.event_type = e.event_type
       |WHERE abs(e.value - st.mean) > 3.0 * st.sd""".stripMargin
 
+  // -------------------------------------------------------------- q_basket
+  /** Market-basket association rules over parts bought together:
+    * for each part pair co-occurring in ≥ [[BASKET_MIN]] orders,
+    * integer-exact scaled support (⌊c_ab·10⁶/N⌋), confidence a→b
+    * (⌊c_ab·10⁶/c_a⌋), and lift (⌊c_ab·N·10⁶/(c_a·c_b)⌋) — the
+    * retail-analytics cousin of q_cooccur's PMI, framed on
+    * transactions with the standard rule metrics. Top-25 rules by
+    * (lift, pair).
+    *
+    * Scale: pair counts come from one within-order self-join of the
+    * distinct (order, part) frame — the join key is the order id, so
+    * work scales with Σ basket_size², not orders × parts; item counts
+    * and the N scalar are item-catalog-sized → '''broadcast'''. The
+    * top-25 is TakeOrderedAndProject.
+    */
+  private val BASKET_MIN = 3
+
+  private def qBasket(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val item = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = op.alias("x")
+      .join(op.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BASKET_MIN)
+    pairs
+      .join(broadcast(item.select(col("l_partkey").as("part_a"),
+        col("c").as("c_a"))), Seq("part_a"))
+      .join(broadcast(item.select(col("l_partkey").as("part_b"),
+        col("c").as("c_b"))), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("c_ab"),
+        expr("(c_ab * 1000000) div n").as("support_ppm"),
+        expr("(c_ab * 1000000) div c_a").as("conf_ppm"),
+        expr("(c_ab * n * 1000000) div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  private val qBasketSql: String =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (
+       |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+       |item AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+       |  FROM op GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+       |    CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey
+       |                     AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $BASKET_MIN)
+       |SELECT p.part_a, p.part_b, p.c_ab,
+       |  (p.c_ab * 1000000) // (SELECT n FROM n) AS support_ppm,
+       |  (p.c_ab * 1000000) // a.c AS conf_ppm,
+       |  (p.c_ab * (SELECT n FROM n) * 1000000) // (a.c * b.c) AS lift_ppm
+       |FROM pairs p
+       |JOIN item a ON a.l_partkey = p.part_a
+       |JOIN item b ON b.l_partkey = p.part_b
+       |ORDER BY lift_ppm DESC, part_a, part_b
+       |LIMIT 25""".stripMargin
+
   // ----------------------------------------------------------------- q_mad
   /** Robust dispersion per event type: median and MAD (median absolute
     * deviation), plus the ±3·1.4826·MAD robust outlier thresholds —
@@ -390,6 +460,7 @@ object Operational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"   -> qProfile _,
     "q_mad"       -> qMad _,
+    "q_basket"    -> qBasket _,
     "q_histogram" -> qHistogram _,
     "q_incr_agg"  -> qIncrAgg _,
     "q_skew_join" -> qSkewJoin _,
@@ -401,6 +472,7 @@ object Operational {
   val oracles: Map[String, String] = Map(
     "q_profile"   -> qProfileSql,
     "q_mad"       -> qMadSql,
+    "q_basket"    -> qBasketSql,
     "q_histogram" -> qHistogramSql,
     "q_incr_agg"  -> qIncrAggSql,
     "q_skew_join" -> qSkewJoinSql,
