@@ -50,6 +50,7 @@ object GraftExtensions {
     withArity("poly_hash", 1)(e => PolyHash(e.head)),
     withArity("shingle_hashes", 2)(e => ShinglePolyHash(e(0), e(1))),
     withArity("vec_dot", 2)(e => VecDot(e(0), e(1))),
-    withArity("lsh_bucket", 2)(e => LshBucket(e(0), e(1)))
+    withArity("lsh_bucket", 2)(e => LshBucket(e(0), e(1))),
+    withArity("nfc_normalize", 1)(e => NfcNormalize(e.head))
   )
 }

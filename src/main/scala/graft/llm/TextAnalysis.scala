@@ -1201,7 +1201,140 @@ object TextAnalysis {
        |FROM f""".stripMargin
   }
 
+  // --------------------------------------------------------- q_normalize
+  /** Unicode NFC normalization over the corpus — the byte-canonical
+    * pass that must precede any hash-based dedup ([[qFingerprint]],
+    * MinHash): decomposed `e`+U+0301 and precomposed `é` are equal
+    * text with unequal bytes, and un-normalized corpora split token
+    * statistics and under-deduplicate. The corpus here is ASCII, so
+    * the query CONSTRUCTS a decomposed suffix (`'e'` + combining
+    * acute) on every row, normalizes through the codegen'd
+    * [[graft.functions.NfcNormalize]] Expression (Spark ships no
+    * normalization built-in), and emits codepoint lengths before/after
+    * (composition shortens by exactly 1) plus the md5 of the
+    * normalized text — oracle-compared against DuckDB's utf8proc
+    * `nfc_normalize`, i.e. two independent UAX #15 implementations
+    * agreeing byte-for-byte.
+    *
+    * Scale: map-only, zero shuffle, inside whole-stage codegen with an
+    * isNormalized fast path (already-NFC rows — the common case — copy
+    * nothing).
+    */
+  private def qNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    val raw = concat(substring(col("text"), 1, 40), lit("e\u0301"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        graft.functions.NfcNormalize.nfc_normalize(col("raw")).as("norm"))
+      .select(col("doc_id"), col("len_raw"),
+        length(col("norm")).as("len_norm"),
+        md5(col("norm")).as("h"))
+  }
+
+  private val qNormalizeSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, substr(text, 1, 40) || 'e' || chr(769) AS raw
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(raw) AS INTEGER) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_norm,
+      |  md5(nfc_normalize(raw)) AS h
+      |FROM r""".stripMargin
+
+  // -------------------------------------------------------------- q_chi2
+  /** χ² token–label association — the classic feature-selection /
+    * drift-detection pass over a labeled corpus (which tokens are
+    * over-represented in one language?): for each (term, lang) pair,
+    * the 2×2 contingency table a = docs with term∧lang, b = term∧¬lang,
+    * c = ¬term∧lang, d = neither, scored by
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`. Pure integer
+    * arithmetic — no logs, no floats — scaled ·10⁶ in DECIMAL(38,0)
+    * (N·N⁴·10⁶ ≈ 10²⁴ at sf0.1 overflows bigint; the q_bm25
+    * discipline) with floor division spelled `(n − n % d) / d`, so
+    * both engines produce the identical ppm score. Noise floor: term
+    * must appear in ≥ [[CHI2_MIN_DF]] docs and not all docs (the
+    * all-docs column zeroes a denominator factor). Top-50 by
+    * (χ², term, lang).
+    *
+    * Scale: one distinct-(doc, term, lang) pass → one (term, lang)
+    * count agg; per-term df derives from THAT agg (vocabulary-sized —
+    * never a second corpus scan), and the per-lang/N scalars are
+    * metadata-sized → '''broadcast''' into the scoring join. The only
+    * corpus-wide shuffle carries (term, lang) pairs. Top-50 plans as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private val CHI2_MIN_DF = 10
+  private val CHI2_TOP    = 50
+
+  private def qChi2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val ctl = tok.groupBy(col("term"), col("lang"))
+      .agg(count(lit(1)).as("a"))
+    val ct = ctl.groupBy(col("term")).agg(sum(col("a")).as("df"))
+      .filter(col("df") >= CHI2_MIN_DF)
+    val cl = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    ctl
+      .join(broadcast(ct), Seq("term"))
+      .join(broadcast(cl), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") < col("n"))
+      .withColumn("det", expr(
+        // ad − bc with b = df−a, c = cl−a, d = n−df−cl+a simplifies to
+        // n·a − df·cl; keep the simplified form (fewer 38-digit ops).
+        "CAST(n AS DECIMAL(38,0)) * a - CAST(df AS DECIMAL(38,0)) * cl"))
+      .withColumn("num",
+        expr("CAST(n AS DECIMAL(38,0)) * det * det * 1000000"))
+      .withColumn("den", expr(
+        "CAST(df AS DECIMAL(38,0)) * (n - df) * cl * (n - cl)"))
+      .withColumn("chi2_ppm",
+        expr("CAST((num - num % den) / den AS BIGINT)"))
+      .orderBy(col("chi2_ppm").desc, col("term"), col("lang"))
+      .limit(CHI2_TOP)
+      .select(col("term"), col("lang"), col("a"), col("df"),
+        col("chi2_ppm"))
+  }
+
+  private val qChi2Sql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |ctl AS (
+       |  SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+       |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT term, CAST(sum(a) AS BIGINT) AS df FROM ctl GROUP BY 1
+       |  HAVING sum(a) >= $CHI2_MIN_DF),
+       |cl AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS cl
+       |  FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |scored AS (
+       |  SELECT ctl.term, ctl.lang, ctl.a, ct.df,
+       |    CAST((CAST(n.n AS HUGEINT) *
+       |          (n.n * ctl.a - ct.df * cl.cl) *
+       |          (n.n * ctl.a - ct.df * cl.cl) * 1000000)
+       |      // (CAST(ct.df AS HUGEINT) * (n.n - ct.df)
+       |          * cl.cl * (n.n - cl.cl)) AS BIGINT) AS chi2_ppm
+       |  FROM ctl
+       |  JOIN ct ON ct.term = ctl.term
+       |  JOIN cl ON cl.lang = ctl.lang
+       |  CROSS JOIN n
+       |  WHERE ct.df < n.n)
+       |SELECT term, lang, a, df, chi2_ppm
+       |FROM scored
+       |ORDER BY chi2_ppm DESC, term, lang
+       |LIMIT $CHI2_TOP""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2"        -> qChi2 _,
+    "q_normalize"   -> qNormalize _,
     "q_rank_fusion" -> qRankFusion _,
     "q_span_corrupt" -> qSpanCorrupt _,
     "q_cooccur"     -> qCooccur _,
@@ -1228,6 +1361,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chi2"        -> qChi2Sql,
+    "q_normalize"   -> qNormalizeSql,
     "q_rank_fusion" -> qRankFusionSql,
     "q_span_corrupt" -> qSpanCorruptSql,
     "q_cooccur"     -> qCooccurSql,

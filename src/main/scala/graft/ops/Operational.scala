@@ -457,7 +457,111 @@ object Operational {
       |  median - 3.0 * 1.4826 * mad AS lo_threshold
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q_ewma
+  /** Exponentially-decayed per-user engagement score — the recency
+    * weighting behind session scoring, trending detection, and decayed
+    * feature stores: for each event, a half-life-weighted sum of the
+    * user's last 8 values, `ewma = Σ_{j=0..7} v_{t−j}·2^{7−j} / 255`.
+    * Power-of-two weights make every multiply IEEE-EXACT and the
+    * explicitly left-associated 8-term sum evaluates in the identical
+    * order on both engines — bit-identical without any decimal
+    * routing, and independent of partitioning (the lag frame fixes the
+    * operand order, unlike a windowed SUM whose accumulation order is
+    * engine-private). A time-decay (rather than count-decay) variant
+    * swaps the lag chain for a ts-difference exponent.
+    *
+    * Scale: one window pass, ONE exchange on `user_id` (the sort
+    * within partitions is linear after the shuffle). Bounded lookback
+    * = bounded state: the same 8-lag chain runs streaming as a keyed
+    * 8-element buffer ([[graft.streaming.StreamingTopK]] pattern).
+    */
+  private def qEwma(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val num = (0 to 7).map { j =>
+      val v = if (j == 0) col("value") else lag(col("value"), j, 0.0).over(w)
+      v * lit((1L << (7 - j)).toDouble)
+    }.reduce(_ + _) // left fold ≡ SQL's left-associative `+` chain
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma", num / lit(255.0))
+  }
+
+  private val qEwmaSql: String = {
+    val terms = (0 to 7).map { j =>
+      val v = if (j == 0) "value" else s"lag(value, $j, 0.0) OVER w"
+      s"$v * ${(1L << (7 - j)).toDouble}"
+    }.mkString(" + ")
+    s"""SELECT user_id, event_id, ts, value, ($terms) / 255.0 AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------- q_winsorize
+  /** Winsorized (percentile-clamped) robust mean per event type — the
+    * outlier-capping preprocessing step run before any mean-based
+    * model feature: values below the exact interpolated p05 are raised
+    * to it, above p95 lowered to it, and the mean recomputed. The
+    * clamped mean decomposes as
+    * `(Σ_{p05≤v≤p95} v + n_lo·p05 + n_hi·p95) / n` — the interior sum
+    * runs through [[graft.Det.dsum]] (order-independent exact
+    * decimal), the two boundary products and the final three-term sum
+    * are single IEEE ops in a fixed order, so the result is
+    * bit-identical cross-engine AND partition-independent.
+    * Percentiles: `percentile` ≡ DuckDB `quantile_cont` (identical
+    * interpolation on identical doubles — the q_mad discipline).
+    *
+    * Scale: two passes over events (exact per-group percentile, then
+    * one agg with the broadcast thresholds) — same shape as [[qMad]];
+    * at warehouse scale the percentile pass switches to mergeable
+    * `percentile_approx` t-digests, one pass, same query shape.
+    */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val pct = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(pct), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        graft.Det.dsum(when(col("value") >= col("p05") &&
+          col("value") <= col("p95"), col("value"))).as("s_mid"))
+      .withColumn("win_mean",
+        (col("s_mid") + col("n_lo") * col("p05") + col("n_hi") * col("p95"))
+          / col("n"))
+      .select(col("event_type"), col("p05"), col("p95"), col("n"),
+        col("n_lo"), col("n_hi"), col("win_mean"))
+  }
+
+  private val qWinsorizeSql: String =
+    s"""WITH pct AS (
+       |  SELECT event_type,
+       |    quantile_cont(value, 0.05) AS p05,
+       |    quantile_cont(value, 0.95) AS p95
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT e.event_type, max(p.p05) AS p05, max(p.p95) AS p95,
+       |    count(*) AS n,
+       |    CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_lo,
+       |    CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hi,
+       |    ${graft.Det.dsumSql(
+             "CASE WHEN e.value >= p.p05 AND e.value <= p.p95 " +
+               "THEN e.value END")} AS s_mid
+       |  FROM events e JOIN pct p ON p.event_type = e.event_type
+       |  GROUP BY 1)
+       |SELECT event_type, p05, p95, n, n_lo, n_hi,
+       |  (s_mid + n_lo * p05 + n_hi * p95) / n AS win_mean
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma"      -> qEwma _,
+    "q_winsorize" -> qWinsorize _,
     "q_profile"   -> qProfile _,
     "q_mad"       -> qMad _,
     "q_basket"    -> qBasket _,
@@ -470,6 +574,8 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma"      -> qEwmaSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_profile"   -> qProfileSql,
     "q_mad"       -> qMadSql,
     "q_basket"    -> qBasketSql,

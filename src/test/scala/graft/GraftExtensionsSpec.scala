@@ -28,7 +28,9 @@ class GraftExtensionsSpec extends SparkSpec {
           |  vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS vd,
           |  shingle_hashes(array('a', 'b', 'c'), 2) AS sh,
           |  lsh_bucket(array(1.0d, -1.0d), array(1.0d, 0.0d, 0.0d, 1.0d))
-          |    AS lb""".stripMargin).collect().head
+          |    AS lb,
+          |  nfc_normalize('e\u0301clair') AS nn""".stripMargin)
+        .collect().head
       assert(row.getLong(0) == graft.functions.PolyHash.hash("the quick brown fox"))
       assert(row.getDouble(1) == 32.0)
       assert(row.getSeq[Long](2) == Seq(
@@ -36,6 +38,8 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.PolyHash.hash("b c")))
       // plane 0 = (1,0) → dot 1 >= 0 → bit 0; plane 1 = (0,1) → dot -1 → no bit
       assert(row.getLong(3) == 1L)
+      // decomposed e + U+0301 composes to precomposed U+00E9
+      assert(row.getString(4) == "\u00e9clair")
 
       // optimizer rule: levenshtein(a,b) <= k rewritten to the banded
       // threshold form levenshtein(a,b,k) >= 0 (parquet-backed source —
