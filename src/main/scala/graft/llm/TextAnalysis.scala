@@ -1201,6 +1201,51 @@ object TextAnalysis {
        |FROM f""".stripMargin
   }
 
+  // ------------------------------------------------------ q_feature_hash
+  /** Hashing-trick bucket audit — the collision profile of feature
+    * hashing (Weinberger et al.'s hashing trick: categorical/token
+    * features mapped to a fixed D-dimensional space by `hash mod D`,
+    * the standard vectorizer when the vocabulary is unbounded): per
+    * bucket, total token occurrences and DISTINCT terms sharing the
+    * bucket (the collision count that degrades model quality and
+    * drives the choice of D). Hash = the codegen'd
+    * [[graft.functions.PolyHash]] Expression; DuckDB replays the
+    * identical fold via `list_reduce` ([[Dedup.tokHashSql]]), so
+    * bucket assignment is bit-identical cross-engine.
+    *
+    * Scale: output is D rows regardless of corpus size. The distinct
+    * count is a SINGLE-distinct aggregate — Catalyst plans it as two
+    * hash aggregations keyed (bucket, term) then (bucket), partials
+    * map-side, NO Expand (the q_profile lesson); work ∝ corpus, state
+    * ∝ vocabulary.
+    */
+  private val FHASH_BUCKETS = 4096L
+
+  private def qFeatureHash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PolyHash.register(s)
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"),
+        pmod(graft.functions.PolyHash.poly_hash(col("term")),
+          lit(FHASH_BUCKETS)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_terms"))
+  }
+
+  private val qFeatureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |h AS (
+       |  SELECT term,
+       |    ${Dedup.tokHashSql("term")} % $FHASH_BUCKETS AS bucket
+       |  FROM tok WHERE term <> '')
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+       |FROM h GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- q_normalize
   /** Unicode NFC normalization over the corpus — the byte-canonical
     * pass that must precede any hash-based dedup ([[qFingerprint]],
@@ -1334,6 +1379,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi2"        -> qChi2 _,
+    "q_feature_hash" -> qFeatureHash _,
     "q_normalize"   -> qNormalize _,
     "q_rank_fusion" -> qRankFusion _,
     "q_span_corrupt" -> qSpanCorrupt _,
@@ -1362,6 +1408,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_chi2"        -> qChi2Sql,
+    "q_feature_hash" -> qFeatureHashSql,
     "q_normalize"   -> qNormalizeSql,
     "q_rank_fusion" -> qRankFusionSql,
     "q_span_corrupt" -> qSpanCorruptSql,

@@ -498,6 +498,37 @@ object Operational {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   }
 
+  // ------------------------------------------------------ q_rolling_median
+  /** Per-user rolling exact median over the last 5 values — the robust
+    * time-series smoother ([[qEwma]]'s outlier-immune sibling: one
+    * spike moves a decayed mean, it cannot move a median). Exact
+    * interpolated `percentile` over a ROWS frame ≡ DuckDB
+    * `quantile_cont` as a window aggregate — on a ≤5-element frame the
+    * interpolation is a single IEEE midpoint, bit-identical
+    * cross-engine (the q_mad discipline, windowed).
+    *
+    * Scale: one window pass, ONE exchange on `user_id`; the frame is
+    * O(1) per row, so the pass is linear after the shuffle — the same
+    * plan shape as [[qEwma]] and safely streamable as a keyed
+    * 5-element buffer.
+    */
+  private def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("med5", expr("percentile(value, 0.5)").over(w))
+  }
+
+  private val qRollingMedianSql: String =
+    """SELECT user_id, event_id, ts, value,
+      |  quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------- q_winsorize
   /** Winsorized (percentile-clamped) robust mean per event type — the
     * outlier-capping preprocessing step run before any mean-based
@@ -561,6 +592,7 @@ object Operational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma"      -> qEwma _,
+    "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
     "q_profile"   -> qProfile _,
     "q_mad"       -> qMad _,
@@ -575,6 +607,7 @@ object Operational {
 
   val oracles: Map[String, String] = Map(
     "q_ewma"      -> qEwmaSql,
+    "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_profile"   -> qProfileSql,
     "q_mad"       -> qMadSql,
