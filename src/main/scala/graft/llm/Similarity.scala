@@ -220,6 +220,93 @@ object Similarity {
        |FROM embeddings
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------- q_ann_recall
+  /** Recall@5 audit of the hyperplane-LSH index against brute-force
+    * ground truth — the calibration query that picks the plane count
+    * (the ANN sibling of `q_minhash_est`'s band calibration): for each
+    * probe, the top-5 among SAME-BUCKET candidates is compared with
+    * the exact top-5, emitting the candidate-set size (the work an
+    * index probe pays) and hits∩5 (the quality it buys). recall_ppm =
+    * hits·10⁶ div 5, integer-exact. A probe whose bucket holds no
+    * other vector emits 0 candidates / 0 hits, not a dropped row.
+    *
+    * Scale: ground truth is probe-bounded brute force (broadcast
+    * probes × one corpus scan — the [[bruteTopK]] shape); the LSH side
+    * scans only same-bucket rows via the bucket equi-join. The audit
+    * is run on a probe SAMPLE at warehouse scale; its plan never
+    * touches all-pairs.
+    */
+  private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    graft.functions.LshBucket.register(s)
+    val planes = typedlit((0 until PLANES).flatMap(planeLit))
+    val emb = embWithNorm(s, d)
+      .withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes))
+    val probePred = col("vec_id") < 10
+    val truth = bruteTopK(emb, probeSet(emb, probePred), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pb = emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val cand = broadcast(pb)
+      .join(emb, col("bucket") === col("qbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val hits = cand
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    emb.filter(probePred).select(col("vec_id").as("query_id"))
+      .join(broadcast(nCand), Seq("query_id"), "left_outer")
+      .join(broadcast(hits), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+  }
+
+  private lazy val qAnnRecallSql: String =
+    s"""WITH brute AS ($qAnnBruteSql),
+       |b AS (
+       |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM b q JOIN b e
+       |    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |nc AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM cand),
+       |h AS (
+       |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM lsh l
+       |  JOIN brute br ON br.query_id = l.query_id
+       |              AND br.neighbor_id = l.neighbor_id
+       |  WHERE l.rnk <= 5 GROUP BY 1)
+       |SELECT p.vec_id AS query_id,
+       |  coalesce(nc.n_candidates, 0) AS n_candidates,
+       |  coalesce(h.hits, 0) AS hits,
+       |  coalesce(h.hits, 0) * 1000000 // 5 AS recall_ppm
+       |FROM embeddings p
+       |LEFT JOIN nc ON nc.query_id = p.vec_id
+       |LEFT JOIN h ON h.query_id = p.vec_id
+       |WHERE p.vec_id < 10""".stripMargin
+
   // ------------------------------------------------------------- q_ivf_ann
   /** IVF (inverted-file) approximate nearest neighbor, nprobe=1:
     *  1. centroids = the first K=8 vectors (a deterministic stand-in
@@ -578,6 +665,7 @@ object Similarity {
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
     "q_ann_lsh"      -> qAnnLsh _,
+    "q_ann_recall"   -> qAnnRecall _,
     "q_ivf_ann"      -> qIvfAnn _,
     "q_kmeans_step"  -> qKmeansStep _,
     "q_kmeans_iter"  -> qKmeansIter _
@@ -589,6 +677,7 @@ object Similarity {
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,
     "q_ann_lsh"      -> qAnnLshSql,
+    "q_ann_recall"   -> qAnnRecallSql,
     "q_ivf_ann"      -> qIvfAnnSql,
     "q_kmeans_step"  -> qKmeansStepSql,
     "q_kmeans_iter"  -> qKmeansIterSql

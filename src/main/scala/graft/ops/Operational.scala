@@ -498,6 +498,63 @@ object Operational {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   }
 
+  // ------------------------------------------------------- q_transitions
+  /** Markov transition matrix over user event sequences — the
+    * sequence-mining pass behind next-event prediction, funnel
+    * discovery (which q_funnel then measures for a FIXED path), and
+    * bot detection (improbable transition chains): consecutive
+    * event-type pairs per user, restricted to gaps ≤
+    * [[TRANS_GAP_S]] s (the session boundary), counted and scored
+    * with integer-exact ⌊c·10⁶/total⌋ share.
+    *
+    * Scale: one lag window pass (ONE `user_id` exchange — the
+    * [[qEwma]] shape), then a 25-group aggregation whose partials
+    * collapse map-side; the total is a scalar '''broadcast''' into
+    * the share computation. Nothing here grows with more users.
+    */
+  private val TRANS_GAP_S = 1800L
+
+  private def qTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      // µs-exact gap (unix_micros ≡ DuckDB epoch_us): second-level
+      // truncation would misclassify boundary gaps differently per
+      // engine
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("prev_type").isNotNull &&
+        col("gap_us") <= TRANS_GAP_S * 1000000L)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val total = pairs.agg(sum(col("c")).as("total"))
+    pairs.crossJoin(broadcast(total))
+      .select(col("prev_type"), col("event_type"), col("c"),
+        expr("c * 1000000 div total").as("share_ppm"))
+  }
+
+  private val qTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, ts,
+       |    lag(event_type, 1) OVER w AS prev_type,
+       |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |pairs AS (
+       |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM seq
+       |  WHERE prev_type IS NOT NULL
+       |    AND gap_us <= ${TRANS_GAP_S * 1000000L}
+       |  GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM pairs)
+       |SELECT prev_type, event_type, c,
+       |  c * 1000000 // t.total AS share_ppm
+       |FROM pairs, t""".stripMargin
+
   // ------------------------------------------------------ q_rolling_median
   /** Per-user rolling exact median over the last 5 values — the robust
     * time-series smoother ([[qEwma]]'s outlier-immune sibling: one
@@ -592,6 +649,7 @@ object Operational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma"      -> qEwma _,
+    "q_transitions" -> qTransitions _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
     "q_profile"   -> qProfile _,
@@ -607,6 +665,7 @@ object Operational {
 
   val oracles: Map[String, String] = Map(
     "q_ewma"      -> qEwmaSql,
+    "q_transitions" -> qTransitionsSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_profile"   -> qProfileSql,

@@ -76,6 +76,51 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_chi2 broadcasts the scalar sides and plans top-k, not a global sort") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_chi2")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }
+      assert(bc.size >= 3, s"df/cl/N sides must broadcast, got ${bc.size}")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "expected TakeOrderedAndProject for the top-50")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_ewma and q_rolling_median shuffle exactly once (the user_id exchange)") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q_ewma", "q_rolling_median")) {
+        val plan = graft.SparkEntry.queries(q)(spark, sf())
+          .queryExecution.executedPlan
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.size == 1, s"$q: ${exchanges.size} exchanges, want 1")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_feature_hash single-distinct agg plans without Expand") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_feature_hash")(spark, sf())
+        .queryExecution.executedPlan
+      val expands = plan.collect { case e: ExpandExec => e }
+      assert(expands.isEmpty,
+        "single count_distinct must not replicate input through Expand")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
