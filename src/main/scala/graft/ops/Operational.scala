@@ -498,6 +498,132 @@ object Operational {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_drift
+  /** Distribution-drift audit — the monitoring pass that decides when
+    * a model needs retraining or a pipeline input changed shape: the
+    * per-type value histogram ([[qHistogram]]'s buckets) is compared
+    * between an early and a late period with the 2×K chi-square
+    * statistic, `Σ_i (a_i·B − b_i·A)² / (A·B·(a_i+b_i))` — the
+    * log-free alternative to PSI (same decision ordering, no floats).
+    * Each bucket term is floored at ·10⁶ in DECIMAL(38,0) (a·B
+    * squares past int64 at warehouse counts) and the per-type sum of
+    * floors is integer — bit-identical cross-engine.
+    *
+    * Scale: map-only (period, bucket) assignment, one hash agg keyed
+    * (type, bucket, period) with group count fixed at types×20×2 —
+    * partials collapse map-side; the per-type totals are
+    * metadata-sized and '''broadcast''' into the scoring. Nothing
+    * scales with row count but the scan.
+    */
+  private val DRIFT_SPLIT = "2024-01-16"
+
+  private def qDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / BUCKET_W), lit(0L)),
+          lit(N_BUCKETS - 1L)).cast("long").as("bucket"),
+        when(col("ts") < lit(DRIFT_SPLIT).cast("timestamp"), 1L)
+          .otherwise(0L).as("in_a"))
+    val cells = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("in_a")).as("a"),
+        sum(lit(1L) - col("in_a")).as("b"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("term", expr(
+        """CAST((CAST(a AS DECIMAL(38,0)) * n_b - CAST(b AS DECIMAL(38,0)) * n_a) *
+          |     (CAST(a AS DECIMAL(38,0)) * n_b - CAST(b AS DECIMAL(38,0)) * n_a) *
+          |     1000000 AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("den", expr(
+        "CAST(n_a AS DECIMAL(38,0)) * n_b * (a + b)"))
+      .withColumn("t_ppm", expr("CAST((term - term % den) / den AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("t_ppm")).as("drift_ppm"))
+  }
+
+  private val qDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(least(greatest(floor(value / $BUCKET_W), 0),
+       |               ${N_BUCKETS - 1}) AS BIGINT) AS bucket,
+       |    CASE WHEN ts < TIMESTAMP '$DRIFT_SPLIT' THEN 1 ELSE 0 END
+       |      AS in_a
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type, bucket,
+       |    CAST(sum(in_a) AS BIGINT) AS a,
+       |    CAST(sum(1 - in_a) AS BIGINT) AS b
+       |  FROM ev GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, CAST(sum(a) AS BIGINT) AS n_a,
+       |    CAST(sum(b) AS BIGINT) AS n_b
+       |  FROM cells GROUP BY 1),
+       |terms AS (
+       |  SELECT c.event_type, t.n_a, t.n_b,
+       |    CAST((CAST(c.a AS HUGEINT) * t.n_b - CAST(c.b AS HUGEINT) * t.n_a)
+       |       * (CAST(c.a AS HUGEINT) * t.n_b - CAST(c.b AS HUGEINT) * t.n_a)
+       |       * 1000000
+       |      // (CAST(t.n_a AS HUGEINT) * t.n_b * (c.a + c.b))
+       |      AS BIGINT) AS t_ppm
+       |  FROM cells c JOIN t ON t.event_type = c.event_type)
+       |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+       |  CAST(sum(t_ppm) AS BIGINT) AS drift_ppm
+       |FROM terms GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------- q_source_overlap
+  /** Audience overlap between event types — the segment-intersection
+    * profile behind dataset mixing and behavioral cohorting: for each
+    * type pair, how many users do both, and the user-set Jaccard.
+    * All counts exact integers; jaccard_ppm = ⌊c·10⁶/(n_a+n_b−c)⌋.
+    *
+    * Scale: the corpus collapses FIRST to distinct (user, type) —
+    * cardinality users×types, not events — and the pair counts come
+    * from a self-join of that reduced frame on `user_id` (each user
+    * contributes ≤ types² pairs). Per-type user counts are
+    * metadata-sized → '''broadcast''' into the scoring join. The
+    * event scan is the only data-sized pass.
+    */
+  private def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val n = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.alias("x")
+      .join(ut.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("c_both"))
+    pairs
+      .join(broadcast(n.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a")), Seq("type_a"))
+      .join(broadcast(n.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("c_both"),
+        expr("c_both * 1000000 div (n_a + n_b - c_both)")
+          .as("jaccard_ppm"))
+  }
+
+  private val qSourceOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS c_both
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, p.c_both,
+      |  p.c_both * 1000000 // (na.n + nb.n - p.c_both) AS jaccard_ppm
+      |FROM pairs p
+      |JOIN n na ON na.event_type = p.type_a
+      |JOIN n nb ON nb.event_type = p.type_b""".stripMargin
+
   // ------------------------------------------------------- q_transitions
   /** Markov transition matrix over user event sequences — the
     * sequence-mining pass behind next-event prediction, funnel
@@ -650,6 +776,8 @@ object Operational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
+    "q_drift"     -> qDrift _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
     "q_profile"   -> qProfile _,
@@ -666,6 +794,8 @@ object Operational {
   val oracles: Map[String, String] = Map(
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
+    "q_drift"     -> qDriftSql,
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_profile"   -> qProfileSql,
