@@ -121,6 +121,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_drift and q_source_overlap broadcast their totals sides") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q_drift", "q_source_overlap")) {
+        val plan = graft.SparkEntry.queries(q)(spark, sf())
+          .queryExecution.executedPlan
+        val bc = plan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }
+        assert(bc.nonEmpty, s"$q: totals must broadcast, not shuffle")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
