@@ -498,6 +498,65 @@ object Operational {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   }
 
+  // ------------------------------------------------------- q_attribution
+  /** First-touch attribution — the marketing/behavioral pass that
+    * credits each purchase to the user's FIRST `view` in the
+    * preceding [[ATTR_WINDOW_D]] days: a conditional `min` over a
+    * µs-exact RANGE frame (`unix_micros` ordering ≡ DuckDB
+    * `epoch_us`), so the window boundary can't be misclassified by
+    * second-level truncation. Purchases with no view in the window
+    * are `organic` (gap −1). Output: purchases per whole-day gap —
+    * the attribution-lag histogram.
+    *
+    * Scale: ONE user-keyed window pass (the [[qEwma]] exchange) over
+    * events projected to 3 columns; the day-gap rollup has ≤ 9 groups
+    * so partials collapse map-side. No self-join — the naive
+    * formulation (purchases ⋈ views per user) re-shuffles the event
+    * stream twice and explodes on power users; the range frame is
+    * the skew-proof shape.
+    */
+  private val ATTR_WINDOW_D = 7L
+
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = ATTR_WINDOW_D * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-winUs, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("first_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      // integer `div`, not `/`: double division of µs longs can round
+      // a hair under a day boundary up to the next integer
+      .withColumn("gap_day",
+        coalesce(expr(s"(ts_us - first_view_us) div ${86400L * 1000000L}"),
+          lit(-1L)))
+      .groupBy(col("gap_day"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  private val qAttributionSql: String = {
+    val winUs = ATTR_WINDOW_D * 86400L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |attr AS (
+       |  SELECT user_id, event_type, ts_us,
+       |    min(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_us
+       |      RANGE BETWEEN $winUs PRECEDING AND CURRENT ROW)
+       |      AS first_view_us
+       |  FROM e)
+       |SELECT coalesce((ts_us - first_view_us) // ${86400L * 1000000L},
+       |                -1) AS gap_day,
+       |  CAST(count(*) AS BIGINT) AS n_purchases
+       |FROM attr
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- q_drift
   /** Distribution-drift audit — the monitoring pass that decides when
     * a model needs retraining or a pipeline input changed shape: the
@@ -777,6 +836,7 @@ object Operational {
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
+    "q_attribution" -> qAttribution _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -795,6 +855,7 @@ object Operational {
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
+    "q_attribution" -> qAttributionSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
