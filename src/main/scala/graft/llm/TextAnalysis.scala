@@ -114,6 +114,42 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------------------- q_langid_confusion
+  /** Language-label quality audit — the confusion matrix between the
+    * DECLARED `lang` label and [[qLangId]]'s heuristic prediction,
+    * with per-true-lang recall in integer ppm. On a scraped corpus
+    * the declared label is often wrong; this is the audit that
+    * decides whether to trust metadata or re-classify (and, run per
+    * source, which feeds are mislabeled).
+    *
+    * Scale: the per-doc prediction is map-only (qLangId's shape); the
+    * matrix agg has ≤ langs² groups so partials collapse map-side,
+    * and the per-true-lang totals derive from the matrix itself
+    * (never a second corpus pass) and '''broadcast''' into the recall
+    * join.
+    */
+  private def qLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val cm = qLangId(s, d)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("true_lang")).agg(sum(col("n")).as("n_true"))
+    cm.join(broadcast(tot), Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 div n_true").as("recall_ppm"))
+  }
+
+  private val qLangidConfusionSql: String =
+    s"""WITH pred AS ($qLangIdSql),
+       |cm AS (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+       |  FROM cm GROUP BY 1)
+       |SELECT cm.true_lang, cm.pred_lang, cm.n,
+       |  cm.n * 1000000 // tot.n_true AS recall_ppm
+       |FROM cm JOIN tot ON tot.true_lang = cm.true_lang""".stripMargin
+
   // --------------------------------------------------------- q_token_count
   /** Corpus token accounting per source: whitespace tokens and a
     * BPE-ish regex token count (letter runs / digit runs / other).
@@ -1393,6 +1429,7 @@ object TextAnalysis {
     "q_vocab"       -> qVocab _,
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
+    "q_langid_confusion" -> qLangidConfusion _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_chunk"       -> qChunk _,
@@ -1422,6 +1459,7 @@ object TextAnalysis {
     "q_vocab"       -> qVocabSql,
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,
+    "q_langid_confusion" -> qLangidConfusionSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_chunk"       -> qChunkSql,
