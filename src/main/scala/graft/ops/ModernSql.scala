@@ -64,6 +64,15 @@ object ModernSql {
     * the engine instead of the driver. For unbounded-depth closures
     * at 100 TB prefer the driver loop (checkpoint cadence control);
     * the CTE form is the SQL-surface equivalent for bounded depth.
+    *
+    * Measured cost caveat (sf0.1 warm): Spark's UnionLoop re-evaluates
+    * the NON-recursive CTE chain (the co→pw→edges top-500 build)
+    * inside every iteration — ~10 s ≈ 4× the one-shot edge build,
+    * while the driver-loop graph queries sharing the memoized edge
+    * frame run the same build once (`q_triangles` 0.5 s warm). The
+    * identical-SQL-text design is the point of this query; when the
+    * text constraint is dropped, materialize the edge list first and
+    * recurse over it (the `ops/Graph` pattern).
     */
   private val reachSql: String =
     s"""WITH RECURSIVE co AS (
