@@ -207,6 +207,57 @@ object Dedup {
     s"""WITH ${candSqlCtes("documents")}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
+  // ------------------------------------------------------- q_dedup_sweep
+  /** Threshold-sweep calibration for the fuzzy-dedup cutoff — the
+    * operating-curve query run before committing a near-dup threshold
+    * corpus-wide: for each candidate Jaccard cutoff (50…90 %), how
+    * many band-candidate pairs pass the exact verify, as a pass-rate
+    * ppm. Read with [[qMinhashEst]] (per-pair estimate error) this
+    * picks the threshold; a cutoff passing 90 % of candidates means
+    * the bands are too tight, passing 2 % means wasted verify work.
+    *
+    * Scale: ONE banded candidate set + ONE exact-verify join (shared
+    * shapes with q_dedup_fuzzy), then a 5-group rollup over the
+    * exploded threshold grid — the grid multiplies only the bounded
+    * candidate-pair frame (×5), never the corpus.
+    */
+  private val SWEEP_PCTS = Seq(50, 60, 70, 80, 90)
+
+  private def qDedupSweep(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleHashSets(Tables.documents(s, d))
+    verifiedPairsFromSets(hs, threshold = 0.0)
+      .select(col("jaccard"),
+        explode(typedlit(SWEEP_PCTS)).as("threshold_pct"))
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= col("threshold_pct") / lit(100.0), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_ppm",
+        expr("n_pass * 1000000 div n_candidates"))
+  }
+
+  private val qDedupSweepSql: String =
+    s"""WITH ${candSqlCtes("documents")},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |j AS (
+       |  SELECT ${jaccardSqlExpr("a.hset", "b.hset")} AS jaccard
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b),
+       |t AS (SELECT unnest([${SWEEP_PCTS.mkString(", ")}])
+       |        AS threshold_pct)
+       |SELECT t.threshold_pct,
+       |  CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN j.jaccard >= t.threshold_pct / 100.0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN j.jaccard >= t.threshold_pct / 100.0
+       |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS pass_ppm
+       |FROM j CROSS JOIN t
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- q_minhash_est
   /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
     * signature-agreement estimate of Jaccard (matching hash slots / K)
@@ -1005,6 +1056,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExact _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_minhash_est"   -> qMinhashEst _,
+    "q_dedup_sweep"   -> qDedupSweep _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -1021,6 +1073,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExactSql,
     "q_minhash_lsh"   -> qMinhashLshSql,
     "q_minhash_est"   -> qMinhashEstSql,
+    "q_dedup_sweep"   -> qDedupSweepSql,
     "q_simhash"       -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

@@ -37,6 +37,37 @@ object FunctionLawsProps extends Properties("FunctionLaws") {
       val h = PolyHash.hash(s); h >= 0 && h < PolyHash.P
     }
 
+  // Strings biased toward canonical-equivalence material: ASCII plus
+  // combining marks (U+0300–U+036F) and precomposed Latin-1 letters —
+  // the inputs where NFC actually rewrites bytes.
+  private val combiningGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.choose(0x20, 0x7e),
+    3 -> Gen.choose(0x300, 0x36f),
+    2 -> Gen.choose(0xc0, 0xff),
+    1 -> Gen.choose(0x1100, 0x1112) // Hangul leading jamo
+  )).map(cps => cps.map(Character.toChars(_).mkString).mkString)
+
+  property("NfcNormalize.nfc is idempotent") =
+    forAll(combiningGen) { s =>
+      val once = NfcNormalize.nfc(s)
+      NfcNormalize.nfc(once) == once
+    }
+
+  property("NfcNormalize.nfc matches java.text.Normalizer") =
+    forAll(combiningGen) { s =>
+      NfcNormalize.nfc(s) ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  property("NfcNormalize.nfc preserves canonical equivalence class") =
+    forAll(combiningGen) { s =>
+      // NFD(nfc(s)) == NFD(s): normalization may rewrite bytes but
+      // never change which canonical class the text belongs to
+      java.text.Normalizer.normalize(NfcNormalize.nfc(s),
+        java.text.Normalizer.Form.NFD) ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    }
+
   private val doubles = Gen.listOf(Gen.chooseNum(-1e9, 1e9))
   private val kGen = Gen.choose(1, 8)
 
