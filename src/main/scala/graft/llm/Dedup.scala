@@ -165,10 +165,11 @@ object Dedup {
       .distinct()
   }
 
-  /** SQL CTE chain `tok/th/mh/bands` over the doc table `src` — the
-    * oracle twin of [[minhashSignatures]] + band-key construction.
+  /** SQL CTE chain `tok/th/mh` (shingles → hashes → K-slot signature
+    * rows) over the doc table `src` — the shared prefix of every
+    * MinHash oracle.
     */
-  private def bandsSqlCtes(src: String): String =
+  private def mhSqlCtes(src: String): String =
     s"""tok AS (
        |  ${shingleSql(src)}),
        |th AS (
@@ -177,7 +178,13 @@ object Dedup {
        |  SELECT doc_id, i,
        |    min((h * (i * 2 + 1) + i * 12345) % 1000000007) AS sig
        |  FROM th, range($K) r(i)
-       |  GROUP BY doc_id, i),
+       |  GROUP BY doc_id, i)""".stripMargin
+
+  /** [[mhSqlCtes]] + `bands` — the oracle twin of
+    * [[minhashSignatures]] + band-key construction.
+    */
+  private def bandsSqlCtes(src: String): String =
+    s"""${mhSqlCtes(src)},
        |bands AS (
        |  SELECT doc_id, i // $ROWS_PER_BAND AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
@@ -206,6 +213,71 @@ object Dedup {
   private val qMinhashLshSql: String =
     s"""WITH ${candSqlCtes("documents")}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
+
+  // -------------------------------------------------------- q_band_shape
+  /** Band-shape sweep — the third calibration axis alongside
+    * [[qMinhashEst]] (K / estimator error) and [[qDedupSweep]]
+    * (verify threshold): for each LSH band shape over the SAME K=8
+    * signature (8 bands × 1 row, 4 × 2, 2 × 4), the candidate count
+    * (the verify work the shape buys) and the share of candidates
+    * passing Jaccard ≥ 0.5 (its precision). More rows per band =
+    * tighter buckets = fewer, better candidates — this query measures
+    * the trade so the shape is chosen from data, not folklore.
+    *
+    * Scale: signatures computed ONCE (one agg pass, persisted); per
+    * shape one within-bucket band join + one bounded verify join —
+    * the q_dedup_fuzzy shapes ×3. Empty candidate sets surface as
+    * zero-count rows (NULL precision), not dropped rows.
+    */
+  private val SHAPE_RPBS = Seq(1, 2, 4)
+
+  private def qBandShape(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val hs = shingleHashSets(Tables.documents(s, d))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsFromSets(hs).persist(StorageLevel.MEMORY_AND_DISK)
+    SHAPE_RPBS.map { r =>
+      val pairs = bandCandidates(sigs, "doc_id", K, r)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      jaccardVerified(pairs, hs, "doc_a", "doc_b", threshold = 0.0)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("jaccard") >= 0.5).cast("long")).as("n_pass"))
+        .select(lit(r).as("rows_per_band"),
+          lit(K / r).as("n_bands"),
+          col("n_candidates"), col("n_pass"),
+          expr("n_pass * 1000000 div nullif(n_candidates, 0)")
+            .as("precision_ppm"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val qBandShapeSql: String =
+    s"""WITH ${mhSqlCtes("documents")},
+       |shapes AS (SELECT unnest([${SHAPE_RPBS.mkString(", ")}]) AS r),
+       |sbands AS (
+       |  SELECT doc_id, s.r AS r, i // s.r AS band,
+       |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM mh, shapes s GROUP BY doc_id, s.r, i // s.r),
+       |cand AS (
+       |  SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbands a
+       |  JOIN sbands b ON a.r = b.r AND a.band = b.band
+       |              AND a.key = b.key AND a.doc_id < b.doc_id),
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |j AS (
+       |  SELECT c.r, ${jaccardSqlExpr("a.hset", "b.hset")} AS jaccard
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b)
+       |SELECT s.r AS rows_per_band,
+       |  CAST($K // s.r AS INTEGER) AS n_bands,
+       |  CAST(count(j.jaccard) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CAST(j.jaccard >= 0.5 AS BIGINT)) AS BIGINT) AS n_pass,
+       |  CAST(sum(CAST(j.jaccard >= 0.5 AS BIGINT)) AS BIGINT) * 1000000
+       |    // nullif(CAST(count(j.jaccard) AS BIGINT), 0) AS precision_ppm
+       |FROM shapes s LEFT JOIN j ON j.r = s.r
+       |GROUP BY s.r""".stripMargin
 
   // ------------------------------------------------------- q_dedup_sweep
   /** Threshold-sweep calibration for the fuzzy-dedup cutoff — the
@@ -1057,6 +1129,7 @@ object Dedup {
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_minhash_est"   -> qMinhashEst _,
     "q_dedup_sweep"   -> qDedupSweep _,
+    "q_band_shape"    -> qBandShape _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -1074,6 +1147,7 @@ object Dedup {
     "q_minhash_lsh"   -> qMinhashLshSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_sweep"   -> qDedupSweepSql,
+    "q_band_shape"    -> qBandShapeSql,
     "q_simhash"       -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
