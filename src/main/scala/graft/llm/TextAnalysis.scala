@@ -114,6 +114,56 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // ----------------------------------------------------------- q_oov_rate
+  /** Out-of-vocabulary rate per source — the vocabulary-coverage audit
+    * run before committing a tokenizer: the share of token
+    * OCCURRENCES falling outside the corpus top-[[OOV_VOCAB]]
+    * vocabulary (by count, ties to term for determinism), as integer
+    * ppm per source. A source with a high OOV rate either needs a
+    * bigger vocab, byte-fallback tokenization, or is noise.
+    *
+    * Scale: the vocabulary is one token agg + a bounded top-K
+    * (TakeOrderedAndProject) → '''broadcast''' into a left-semi-style
+    * membership flag on the token stream; the per-source rollup has
+    * |sources| groups. Two corpus passes (vocab build, scoring), both
+    * map-collapsed.
+    */
+  private val OOV_VOCAB = 20
+
+  private def qOovRate(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(OOV_VOCAB)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
+
+  private val qOovRateSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |tk AS (SELECT source, term FROM tok WHERE term <> ''),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS c FROM tk GROUP BY 1
+       |    ORDER BY c DESC, term LIMIT $OOV_VOCAB))
+       |SELECT tk.source,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // CAST(count(*) AS BIGINT) AS oov_ppm
+       |FROM tk LEFT JOIN vocab v ON v.term = tk.term
+       |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------- q_langid_confusion
   /** Language-label quality audit — the confusion matrix between the
     * DECLARED `lang` label and [[qLangId]]'s heuristic prediction,
@@ -1430,6 +1480,7 @@ object TextAnalysis {
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_langid_confusion" -> qLangidConfusion _,
+    "q_oov_rate"    -> qOovRate _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_chunk"       -> qChunk _,
@@ -1460,6 +1511,7 @@ object TextAnalysis {
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,
     "q_langid_confusion" -> qLangidConfusionSql,
+    "q_oov_rate"    -> qOovRateSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_chunk"       -> qChunkSql,
