@@ -121,6 +121,43 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_attribution shuffles exactly once (the range-frame window pass)") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_attribution")(spark, sf())
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // window pass on user_id; the <= 9-group rollup rides the same
+      // exchange count (partials collapse map-side before one final)
+      assert(exchanges.size <= 2,
+        s"${exchanges.size} exchanges — the purchase-join-view shape leaked in")
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.isEmpty, "attribution must be a window pass, not a self-join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_oov_rate broadcasts the bounded vocabulary") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_oov_rate")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bc.nonEmpty, "vocabulary must broadcast onto the token stream")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "top-K vocabulary must plan as TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("q_drift and q_source_overlap broadcast their totals sides") {
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
