@@ -23,14 +23,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val clearEach = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("each")
+    // A throwing query records -1.0 (never a plausible wall time) and its
+    // name lands in the "errs" list on the stdout line — a broken query
+    // must not masquerade as a fast one.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Seq[(String, Double)] = {
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e")
+              failed += name
+              false
+            }
           val t = (System.nanoTime() - t0) / 1e9
           if (clearEach) spark.catalog.clearCache()
-          name -> t
+          name -> (if (ok) t else -1.0)
       }
       // Drop persisted intermediates at the pass boundary: identical
       // plan subtrees DO share caches within a pass (the production
@@ -62,8 +72,10 @@ object Bench {
     // file for profiling; stdout carries only the aggregate.
     val results = pass()
     val warm = pass()
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    // Totals sum successful queries only — a -1.0 failure marker must not
+    // subtract from the aggregate.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val warmTotal = warm.map(_._2).filter(_ >= 0).sum
     try {
       // Full precision here: the file is the profiling artifact and has
       // no stdout length constraint. cwd-relative target/ is created if
@@ -76,7 +88,8 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] warm profile write failed: $e")
     }
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)}}""")
+    val errsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}""")
     spark.stop()
   }
 }

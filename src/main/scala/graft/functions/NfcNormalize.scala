@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * a UDF: null-intolerant, whole-stage-codegen'd, no serialization
   * boundary.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+  // Analysis-time type check: a non-string argument fails with a clear
+  // analyzer error instead of a runtime ClassCastException in eval/codegen.
+  // (Seq[DataType] <: Seq[AbstractDataType] — the parent type is
+  // private[sql] and cannot be named here.)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =

@@ -232,10 +232,12 @@ object Dedup {
   private val SHAPE_RPBS = Seq(1, 2, 4)
 
   private def qBandShape(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val hs = shingleHashSets(Tables.documents(s, d))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = sigsFromSets(hs).persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint, not persist: a persisted entry would outlive
+    // the query (nothing downstream can unpersist a frame the caller still
+    // holds lazily), leaking two cache entries per invocation; checkpoint
+    // blocks are reclaimed by the ContextCleaner once unreferenced.
+    val hs = shingleHashSets(Tables.documents(s, d)).localCheckpoint(true)
+    val sigs = sigsFromSets(hs).localCheckpoint(true)
     SHAPE_RPBS.map { r =>
       val pairs = bandCandidates(sigs, "doc_id", K, r)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -346,10 +348,10 @@ object Dedup {
     * query adds one bounded join to the pipeline it audits.
     */
   private def qMinhashEst(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val hs = shingleHashSets(Tables.documents(s, d))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = sigsFromSets(hs).persist(StorageLevel.MEMORY_AND_DISK)
+    // Same leak-free sharing move as qBandShape: eager localCheckpoint,
+    // reclaimed by the ContextCleaner, instead of a never-unpersisted cache.
+    val hs = shingleHashSets(Tables.documents(s, d)).localCheckpoint(true)
+    val sigs = sigsFromSets(hs).localCheckpoint(true)
     val pairs = bandCandidates(sigs, "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
@@ -902,9 +904,21 @@ object Dedup {
       // feeds the signatures, both pair-join sides and the id universe.
       val hs = shingleHashSets(Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      canonicalFixpointHops(hs.select(col("doc_id")),
+      val labels = canonicalFixpointHops(hs.select(col("doc_id")),
         verifiedPairsFromSets(hs, JACCARD_T))
+      // The fixpoint is eagerly materialized (per-round localCheckpoint),
+      // so hs is fully consumed here — release its blocks instead of
+      // letting them live for the session.
+      hs.unpersist(false)
+      labels
     })
+
+  /** Drop the memoized canonical map for `dir` (all sessions) — call
+    * when the corpus at `dir` is rewritten in place, otherwise the memo
+    * would keep serving the stale materialization.
+    */
+  def invalidate(dir: String): Unit =
+    ccMemo.keySet.removeIf(_._2 == dir)
 
   private def qDedupCc(s: SparkSession, d: String): DataFrame =
     ccHopsShared(s, d).drop("hops")

@@ -886,13 +886,17 @@ object TextAnalysis {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"),
-        slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+        // Postings serialized to CSV: the harness hashes scalar cells, so
+        // the list is carried as a string in both engines (same 20-cap).
+        array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 20), ",")
+          .as("postings"))
 
   private val qInvertedSql: String =
     s"""WITH $termFreqSql
        |SELECT term, CAST(count(*) AS BIGINT) AS df,
        |  CAST(sum(tf) AS BIGINT) AS total_tf,
-       |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+       |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+       |    AS postings
        |FROM tf GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- q_redact
@@ -1075,9 +1079,9 @@ object TextAnalysis {
     * would shuffle the token stream twice); the only shuffles are the
     * (pair → count) and (token → count) aggregations. Unigram counts
     * and the N scalar are vocabulary-sized → '''broadcast''' into the
-    * scoring join. At warehouse scale the ·10⁶ products move to
-    * DECIMAL(38,0) (the q_bm25 discipline); bigint holds through the
-    * bench envelope.
+    * scoring join. The ·10⁶ product runs in DECIMAL(38,0) (the q_chi2
+    * discipline) — BIGINT would wrap silently past the bench envelope
+    * while the oracle errors.
     */
   private val COOCCUR_WIN = 2
   private val COOCCUR_MIN = 5
@@ -1108,7 +1112,11 @@ object TextAnalysis {
         Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
-        expr("(c_ab * n * 1000000) div (c_a * c_b)").as("pmi_scaled"))
+        // DECIMAL(38,0) routing (the q_chi2 discipline): c_ab·N·10⁶ wraps
+        // silently in BIGINT past the bench envelope while the oracle
+        // errors — decimal holds to 38 digits on both engines.
+        expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 1000000)" +
+          " div (c_a * c_b) AS BIGINT)").as("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("a"), col("b"))
       .limit(50)
   }
@@ -1132,7 +1140,8 @@ object TextAnalysis {
        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
        |SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
-       |  (p.c_ab * (SELECT n FROM n) * 1000000) // (ca.c * cb.c)
+       |  CAST((CAST(p.c_ab AS HUGEINT) * (SELECT n FROM n) * 1000000)
+       |       // (ca.c * cb.c) AS BIGINT)
        |    AS pmi_scaled
        |FROM pairs p
        |JOIN cnt ca ON ca.t = p.a
@@ -1414,7 +1423,10 @@ object TextAnalysis {
       .join(broadcast(ct), Seq("term"))
       .join(broadcast(cl), Seq("lang"))
       .crossJoin(broadcast(n))
-      .filter(col("df") < col("n"))
+      // df < n: the all-docs term zeroes the (n - df) denominator factor;
+      // cl < n: a single-language corpus zeroes (n - cl) the same way
+      // (DuckDB errors on the division, Spark yields null — guard both).
+      .filter(col("df") < col("n") && col("cl") < col("n"))
       .withColumn("det", expr(
         // ad − bc with b = df−a, c = cl−a, d = n−df−cl+a simplifies to
         // n·a − df·cl; keep the simplified form (fewer 38-digit ops).
@@ -1457,7 +1469,7 @@ object TextAnalysis {
        |  JOIN ct ON ct.term = ctl.term
        |  JOIN cl ON cl.lang = ctl.lang
        |  CROSS JOIN n
-       |  WHERE ct.df < n.n)
+       |  WHERE ct.df < n.n AND cl.cl < n.n)
        |SELECT term, lang, a, df, chi2_ppm
        |FROM scored
        |ORDER BY chi2_ppm DESC, term, lang

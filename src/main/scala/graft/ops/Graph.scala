@@ -56,8 +56,16 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
-  private def topEdges(s: SparkSession, d: String): DataFrame =
+  private[ops] def topEdges(s: SparkSession, d: String): DataFrame =
     edgeMemo.computeIfAbsent((s, d), _ => buildTopEdges(s, d))
+
+  /** Drop the memoized edge list for `dir` (all sessions) — call when
+    * the corpus at `dir` is rewritten in place, otherwise the memo
+    * would keep serving the stale materialization (same contract as
+    * [[graft.llm.Dedup.invalidate]]).
+    */
+  def invalidate(dir: String): Unit =
+    edgeMemo.keySet.removeIf(_._2 == dir)
 
   private def buildTopEdges(s: SparkSession, d: String): DataFrame = {
     val co = Tables.lineitem(s, d)
@@ -83,7 +91,7 @@ object Graph {
   }
 
   /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]. */
-  private val topEdgesSql: String =
+  private[ops] val topEdgesSql: String =
     s"""co AS (
        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
        |pw AS (

@@ -51,46 +51,31 @@ object ModernSql {
 
   // ---------------------------------------------------------------- q_reach
   /** Min-hop reachability from supplier 0 over the top-co-supply-edge
-    * graph via a RECURSIVE CTE — the SAME SQL text runs verbatim on
-    * Spark (4.x recursive CTE support) and DuckDB, so the oracle
+    * graph via a RECURSIVE CTE. The edge list is MATERIALIZED FIRST
+    * ([[Graph.topEdges]] — the memoized, localCheckpointed top-500
+    * frame shared with `q_triangles`/`q_pagerank`) and registered as
+    * the `reach_edges` view; the recursion then runs over that view.
+    * Spark's UnionLoop re-evaluates the non-recursive CTE prefix on
+    * every iteration, so recursing directly over the co→pw→edges
+    * build re-ran a corpus-wide DISTINCT + self-join + window per hop
+    * (~4× the one-shot cost at sf0.1, arbitrarily worse at 100 TB).
+    * With the edge table materialized, each iteration re-scans ≤500
+    * checkpointed rows — the same loop-body shape as the driver-side
+    * graph iterations.
+    *
+    * The RECURSIVE text ([[reachRecurseSql]]) is shared VERBATIM with
+    * the oracle — DuckDB gets the same `dir`/`paths` recursion over an
+    * identically-named `reach_edges` relation (built there as a CTE,
+    * where prefix CTEs evaluate once by design) — so the oracle still
     * compares two engines' recursion, not two formulations. Depth
     * capped at 3 (the UNION ALL recursion enumerates paths; the cap
     * bounds it on cyclic graphs, and the final min-hop aggregation
     * collapses paths to distances).
-    *
-    * Scale: each recursive step is one join of the frontier against
-    * the edge list — the same per-round shape as the iterative
-    * `canonicalFixpoint`/`q_pagerank` loops, with the loop driven by
-    * the engine instead of the driver. For unbounded-depth closures
-    * at 100 TB prefer the driver loop (checkpoint cadence control);
-    * the CTE form is the SQL-surface equivalent for bounded depth.
-    *
-    * Measured cost caveat (sf0.1 warm): Spark's UnionLoop re-evaluates
-    * the NON-recursive CTE chain (the co→pw→edges top-500 build)
-    * inside every iteration — ~10 s ≈ 4× the one-shot edge build,
-    * while the driver-loop graph queries sharing the memoized edge
-    * frame run the same build once (`q_triangles` 0.5 s warm). The
-    * identical-SQL-text design is the point of this query; when the
-    * text constraint is dropped, materialize the edge list first and
-    * recurse over it (the `ops/Graph` pattern).
     */
-  private val reachSql: String =
-    s"""WITH RECURSIVE co AS (
-       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |pw AS (
-       |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
-       |    CAST(count(*) AS BIGINT) AS w
-       |  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
-       |                     AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT sa, sb FROM (
-       |    SELECT sa, sb, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
-       |    FROM pw)
-       |  WHERE rk <= 500),
-       |dir AS (
-       |  SELECT sa AS u, sb AS v FROM edges
-       |  UNION ALL SELECT sb AS u, sa AS v FROM edges),
+  private val reachRecurseSql: String =
+    s"""dir AS (
+       |  SELECT sa AS u, sb AS v FROM reach_edges
+       |  UNION ALL SELECT sb AS u, sa AS v FROM reach_edges),
        |paths(v, hops) AS (
        |  SELECT CAST(0 AS BIGINT) AS v, 0 AS hops
        |  UNION ALL
@@ -100,9 +85,15 @@ object ModernSql {
        |SELECT v AS supplier, CAST(min(hops) AS INTEGER) AS hops
        |FROM paths GROUP BY 1""".stripMargin
 
+  private val reachOracleSql: String =
+    s"""WITH RECURSIVE ${Graph.topEdgesSql},
+       |reach_edges AS (SELECT sa, sb FROM edges),
+       |$reachRecurseSql""".stripMargin
+
   private def qReach(s: SparkSession, d: String): DataFrame = {
     Tables.registerViews(s, d)
-    s.sql(reachSql)
+    Graph.topEdges(s, d).createOrReplaceTempView("reach_edges")
+    s.sql(s"WITH RECURSIVE $reachRecurseSql")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,6 +103,6 @@ object ModernSql {
 
   val oracles: Map[String, String] = Map(
     "q_variant" -> qVariantSql,
-    "q_reach"   -> reachSql
+    "q_reach"   -> reachOracleSql
   )
 }

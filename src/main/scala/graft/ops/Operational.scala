@@ -381,7 +381,11 @@ object Operational {
       .select(col("part_a"), col("part_b"), col("c_ab"),
         expr("(c_ab * 1000000) div n").as("support_ppm"),
         expr("(c_ab * 1000000) div c_a").as("conf_ppm"),
-        expr("(c_ab * n * 1000000) div (c_a * c_b)").as("lift_ppm"))
+        // DECIMAL(38,0) routing (the q_chi2 discipline): c_ab·N·10⁶ wraps
+        // silently in BIGINT past the bench envelope while the oracle
+        // errors — decimal holds to 38 digits on both engines.
+        expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 1000000)" +
+          " div (c_a * c_b) AS BIGINT)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
       .limit(25)
   }
@@ -404,7 +408,8 @@ object Operational {
        |SELECT p.part_a, p.part_b, p.c_ab,
        |  (p.c_ab * 1000000) // (SELECT n FROM n) AS support_ppm,
        |  (p.c_ab * 1000000) // a.c AS conf_ppm,
-       |  (p.c_ab * (SELECT n FROM n) * 1000000) // (a.c * b.c) AS lift_ppm
+       |  CAST((CAST(p.c_ab AS HUGEINT) * (SELECT n FROM n) * 1000000)
+       |       // (a.c * b.c) AS BIGINT) AS lift_ppm
        |FROM pairs p
        |JOIN item a ON a.l_partkey = p.part_a
        |JOIN item b ON b.l_partkey = p.part_b

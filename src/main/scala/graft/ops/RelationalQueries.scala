@@ -714,30 +714,64 @@ object RelationalQueries {
 
   // -------------------------------------------------------------- q_approx
   /** Sketch-based approximate aggregates: HyperLogLog++ distinct counts
-    * and quantile sketches. No DuckDB oracle (different sketch
-    * implementations produce different estimates by design) — the
-    * driver records a rows-only check; exact twins `q_distinct` /
-    * `q_percentiles` are the oracle-checked counterparts. At 100 TB the
-    * sketches are the default: mergeable, bounded memory, one pass.
+    * (rsd and DataSketches forms), a quantile sketch, and a count-min
+    * sketch. Raw estimates differ per engine (different sketch
+    * implementations by design), so the ORACLE-COMPARABLE output is the
+    * exactness CONTRACT: exact values plus booleans asserting each
+    * engine's own sketch estimate lands within tolerance of that
+    * engine's exact value (5% — comfortably above the 1% rsd the
+    * sketches are configured for, so the booleans are deterministically
+    * true in both engines on any data). At 100 TB the sketches are the
+    * default: mergeable, bounded memory, one pass; HLL merges are
+    * register-wise max — order-independent, so the estimates (and the
+    * booleans) are stable under any partitioning.
     */
-  private def qApprox(s: SparkSession, d: String): DataFrame =
+  private def qApprox(s: SparkSession, d: String): DataFrame = {
+    val exactParts = count_distinct(col("l_partkey"))
+    val exactSupps = count_distinct(col("l_suppkey"))
+    val exactP50   = expr("percentile(l_extendedprice, 0.5)")
     Tables
       .lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_p50"),
+        exactParts.as("exact_parts"),
+        exactSupps.as("exact_supps"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.01) - exactParts)
+          * lit(20) <= exactParts).as("parts_within_tol"),
+        (abs(approx_count_distinct(col("l_suppkey"), 0.01) - exactSupps)
+          * lit(20) <= exactSupps).as("supps_within_tol"),
         // Apache DataSketches HLL: mergeable binary sketch + estimate —
         // the cross-cluster form (sketches union across partitions/days)
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
-          .as("hll_parts"),
-        // count-min: mergeable frequency sketch over the suppkey stream
-        expr("hex(substring(count_min_sketch(l_suppkey, 0.01d, 0.95d, 1), 1, 8))")
-          .as("cms_prefix"),
+        (abs(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          - exactParts) * lit(20) <= exactParts).as("hll_within_tol"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          - exactP50) <= exactP50 * lit(0.05)).as("p50_within_tol"),
+        // count-min: mergeable frequency sketch over the suppkey stream;
+        // bytes are engine-specific, so only its existence is asserted
+        expr("count_min_sketch(l_suppkey, 0.01d, 0.95d, 1) IS NOT NULL")
+          .as("cms_built"),
         count(lit(1)).as("n_rows")
       )
+  }
+
+  private val qApproxSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+      |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |    * 20 <= count(DISTINCT l_partkey) AS parts_within_tol,
+      |  abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
+      |    * 20 <= count(DISTINCT l_suppkey) AS supps_within_tol,
+      |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |    * 20 <= count(DISTINCT l_partkey) AS hll_within_tol,
+      |  abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
+      |      - median(CAST(l_extendedprice AS DOUBLE)))
+      |    <= median(CAST(l_extendedprice AS DOUBLE)) * 0.05
+      |    AS p50_within_tol,
+      |  TRUE AS cms_built,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------- q_not_in
   /** NOT IN subquery — plans as a null-aware anti join (a genuinely
@@ -1460,6 +1494,7 @@ object RelationalQueries {
     "q_bit_agg"    -> qBitAggSql,
     "q_date_series" -> qDateSeriesSql,
     "q_setops_all" -> qSetopsAllSql,
-    "q_gapfill"    -> qGapfillSql
+    "q_gapfill"    -> qGapfillSql,
+    "q_approx"     -> qApproxSql
   )
 }

@@ -7,10 +7,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle has a query; only sketch queries lack oracles") {
+  test("every oracle has a query; every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_approx")) // rows-only by design (sketches)
+    assert(noOracle.isEmpty) // q_approx now compares the exactness contract
   }
 
   test("registerViews exposes the tables to spark.sql") {

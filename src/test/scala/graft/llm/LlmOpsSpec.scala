@@ -244,7 +244,10 @@ class LlmOpsSpec extends SparkSpec {
     val rows = graft.SparkEntry.queries("q_inverted")(spark, sf()).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val p = r.getSeq[Long](r.fieldIndex("postings"))
+      // postings ride as a CSV string (the harness hashes scalar cells)
+      val raw = r.getAs[String]("postings")
+      val p = if (raw.isEmpty) Seq.empty[Long]
+        else raw.split(",").toSeq.map(_.toLong)
       assert(p == p.sorted && p.size <= 20)
       assert(p.size == math.min(r.getAs[Long]("df"), 20L))
     }
