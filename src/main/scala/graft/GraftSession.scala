@@ -40,5 +40,12 @@ object GraftSession {
     else b
   }
 
-  def get(): SparkSession = builder().getOrCreate()
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    // O5: route streaming-query lifecycle (incl. failures with their
+    // exceptions) to the log — the reference's uncaught-exception
+    // handler contract, in engine-native listener form.
+    graft.streaming.QueryEvents.register(spark)
+    spark
+  }
 }

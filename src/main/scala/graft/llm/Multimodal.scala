@@ -9,12 +9,14 @@ import org.apache.spark.sql.types.IntegerType
   * metadata, with decode/feature-extraction as per-partition batch
   * functions.
   *
-  * The container ships no image/audio codecs, so the decode itself is
-  * STUBBED (deterministic fake, clearly marked below). Everything
-  * Spark-side is real: schema, batch shape, partitioning, and the
-  * map-partitions execution pattern a Pandas-UDF (`mapInPandas`)
-  * pipeline uses — per-partition iterator in, iterator out, no
-  * per-row JVM↔native round trips.
+  * The container ships no image/audio codec libraries, so decode is a
+  * DISPATCH: real dependency-free header parses for BMP images and WAV
+  * audio ([[decodeBmp]]/[[decodeWav]]), a deterministic stub (clearly
+  * marked below) for every other format. Everything Spark-side is
+  * real: schema, batch shape, partitioning, and the map-partitions
+  * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
+  * per-partition iterator in, iterator out, no per-row JVM↔native
+  * round trips.
   *
   * Scale: media blobs are the widest column by orders of magnitude —
   * the layout keeps them in their own projected column so Parquet
@@ -56,6 +58,54 @@ object Multimodal {
     }
   }
 
+  private def le32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+
+  /** REAL codec path for BMP images — a dependency-free header parse
+    * (the format is public: "BM" magic, then BITMAPINFOHEADER with
+    * little-endian INT32 width at offset 18 and height at offset 22; a
+    * negative height is a top-down DIB). Returns None for anything
+    * that is not a plausible BMP, which routes the row to the stub.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 26 && payload(0) == 'B'.toByte &&
+        payload(1) == 'M'.toByte) {
+      val w = le32(payload, 18)
+      val h = le32(payload, 22)
+      if (w > 0 && h != 0) Some((w, math.abs(h))) else None
+    } else None
+
+  /** REAL codec path for WAV audio — RIFF/WAVE header parse: byte rate
+    * (bytes/sec) is the little-endian INT32 at offset 28 of the
+    * canonical 44-byte header, data payload follows; duration_ms =
+    * data_bytes · 1000 / byte_rate.
+    */
+  def decodeWav(payload: Array[Byte]): Option[Long] =
+    if (payload.length >= 44 &&
+        payload.startsWith("RIFF".getBytes("US-ASCII")) &&
+        payload.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))) {
+      val byteRate = le32(payload, 28)
+      val dataBytes = payload.length - 44
+      if (byteRate > 0) Some(dataBytes.toLong * 1000L / byteRate) else None
+    } else None
+
+  /** Codec dispatch: real header parses where the payload is a format
+    * this adapter understands (BMP images, WAV audio — both
+    * dependency-free), deterministic stub otherwise. This is the full
+    * adapter contract a production pipeline fills in per format.
+    */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Long) =
+    kind match {
+      case "image" =>
+        decodeBmp(payload).map { case (w, h) => (w, h, 0L) }
+          .getOrElse(decodeStub(kind, payload))
+      case "audio" =>
+        decodeWav(payload).map(ms => (0, 0, ms))
+          .getOrElse(decodeStub(kind, payload))
+      case _ => decodeStub(kind, payload)
+    }
+
   /** Per-partition feature extraction — the Scala analog of a
     * `mapInPandas` batch UDF: one iterator per partition, codec state
     * initialized once per partition (here: the fold constant), rows
@@ -69,7 +119,7 @@ object Multimodal {
         val checksum =
           m.payload.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) %
             1000000007L)
-        val (w, h, dur) = decodeStub(m.kind, m.payload)
+        val (w, h, dur) = decode(m.kind, m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length, checksum, w, h,
           dur)
       }

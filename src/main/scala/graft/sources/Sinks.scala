@@ -117,6 +117,39 @@ object Sinks {
           ()
       }
 
+  /** Fixed-delay restart supervision (SURVEY §2.1 O1) — the in-code
+    * analog of the reference's
+    * `RestartStrategies.fixedDelayRestart(3, 10 s)`
+    * (`DebeziumTransactionReconstructor.java:36`): run the query to
+    * termination and, on failure, restart it up to `retries` times
+    * with `delayMs` between attempts. `start` must build a FRESH query
+    * each attempt over the SAME checkpoint location — Spark then
+    * resumes from the last committed offsets, exactly like a Flink
+    * restart from the last checkpoint; with an idempotent sink (see
+    * [[withDeadLetter]]/[[upsertSnapshot]]) the replayed batch
+    * overwrites any partial output.
+    *
+    * Returns the number of restarts consumed on eventual success;
+    * rethrows the final failure once retries are exhausted.
+    */
+  def supervise(start: () => StreamingQuery, retries: Int = 3,
+      delayMs: Long = 10000L): Int = {
+    var attempt = 0
+    while (true) {
+      val q = start()
+      try {
+        q.awaitTermination()
+        return attempt
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (attempt >= retries) throw e
+          attempt += 1
+          Thread.sleep(delayMs)
+      }
+    }
+    attempt // unreachable
+  }
+
   /** The newest committed snapshot version under `tablePath`. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       tablePath: String): DataFrame = {

@@ -146,11 +146,17 @@ class StreamingReconstructionV2Spec extends SparkSpec {
       val out = StreamingReconstructionV2.reconstruct(
         changes.toDS(), txns.toDS(),
         ttl = Some(java.time.Duration.ofSeconds(18)))
+      val t0 = System.currentTimeMillis() // earliest possible e1 write
       changes.addData(ChangeEvent("t1", "c", 100L, None, None))
       runOnce(out, tmp)               // e1 written at ~T0, expiry T0+18
       Thread.sleep(10000)
       changes.addData(ChangeEvent("t1", "u", 200L, None, None))
       runOnce(out, tmp)               // e2 + REWRITE of e1 → expiry reset
+      // On an overloaded host the touch batch itself can slip past e1's
+      // original expiry, making the scenario undefined — cancel (not
+      // fail) rather than report a false regression.
+      assume(System.currentTimeMillis() - t0 < 18000,
+        "host too slow: touch batch missed the TTL window")
       Thread.sleep(10000)             // now ~T0+20: past e1's ORIGINAL expiry
       txns.addData(TxnEvent("t1", "END", Some(2L)))
       runOnce(out, tmp)
@@ -235,14 +241,19 @@ class StreamingReconstructionV2Spec extends SparkSpec {
       val txns = MemoryStream[TxnEvent]
       val out = StreamingReconstructionV2.reconstruct(
         changes.toDS(), txns.toDS(), countGated = true,
-        ttl = Some(java.time.Duration.ofSeconds(6)))
+        ttl = Some(java.time.Duration.ofSeconds(12)))
+      val t0 = System.currentTimeMillis() // earliest possible END write
       changes.addData(ChangeEvent("t1", "c", 100L, None, None))
       txns.addData(TxnEvent("t1", "END", Some(2L)))
       runOnce(out, tmp)               // 1 of 2 → held; END stored ~T0
-      Thread.sleep(3500)
+      Thread.sleep(7000)
       txns.addData(TxnEvent("t1", "BEGIN", None))
       runOnce(out, tmp)               // BEGIN no-op must re-arm END too
-      Thread.sleep(3500)              // ~T0+7: past END's ORIGINAL expiry
+      // cancel (not fail) if the BEGIN batch itself slipped past the
+      // original expiry — the scenario is undefined on that slow a host
+      assume(System.currentTimeMillis() - t0 < 12000,
+        "host too slow: BEGIN batch missed the TTL window")
+      Thread.sleep(7000)              // ~T0+14: past END's ORIGINAL expiry
       changes.addData(ChangeEvent("t1", "u", 200L, None, None))
       runOnce(out, tmp)               // 2 of 2 → emit
       val recs = spark.read.parquet(s"$tmp/out")

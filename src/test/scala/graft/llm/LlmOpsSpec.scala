@@ -101,6 +101,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(img.forall(m => m.width < 1920 && m.height < 1080))
   }
 
+  test("multimodal: real BMP/WAV header parses return true dims/duration") {
+    // Craft a minimal 2×3 bottom-up BMP: "BM" magic, 54-byte headers,
+    // width=2 at offset 18, height=3 at offset 22 (little-endian).
+    def putLe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v & 0xff).toByte
+      a(off + 1) = ((v >> 8) & 0xff).toByte
+      a(off + 2) = ((v >> 16) & 0xff).toByte
+      a(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val bmp = new Array[Byte](54 + 24)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+    putLe32(bmp, 2, bmp.length) // file size
+    putLe32(bmp, 10, 54)        // pixel data offset
+    putLe32(bmp, 14, 40)        // BITMAPINFOHEADER size
+    putLe32(bmp, 18, 2)         // width
+    putLe32(bmp, 22, 3)         // height (bottom-up)
+    assert(Multimodal.decodeBmp(bmp).contains((2, 3)))
+    // top-down DIB: negative height decodes to |height|
+    putLe32(bmp, 22, -3)
+    assert(Multimodal.decodeBmp(bmp).contains((2, 3)))
+    // not a BMP → None (stub path)
+    assert(Multimodal.decodeBmp("plain text".getBytes).isEmpty)
+
+    // Canonical 44-byte WAV header, byte rate 8000 B/s, 4000 data bytes
+    // → 500 ms.
+    val wav = new Array[Byte](44 + 4000)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, wav, 0, 4)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, wav, 8, 4)
+    putLe32(wav, 28, 8000)
+    assert(Multimodal.decodeWav(wav).contains(500L))
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
+
+    // End-to-end through the Spark mapPartitions path: real dims/duration
+    // come out of extractFeatures for BMP/WAV rows, stub for others.
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", bmp, "t"),
+      Multimodal.MediaItem(2L, "audio", wav, "t"),
+      Multimodal.MediaItem(3L, "image", "not a bmp".getBytes, "t")
+    ).toDS()
+    val out = Multimodal.extractFeatures(items).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 2 && out(1L).height == 3)
+    assert(out(2L).duration_ms == 500L)
+    val (sw, sh, _) = Multimodal.decodeStub("image", "not a bmp".getBytes)
+    assert(out(3L).width == sw && out(3L).height == sh)
+  }
+
   test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
     val items = Multimodal.mediaFromDocuments(spark, sf())
     val one = items.filter(col("media_id") === 1).collect().head

@@ -173,6 +173,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_basket broadcasts item counts and N; top-25 is TakeOrderedAndProject") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_basket")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }
+      assert(bc.size >= 3,
+        s"item counts (×2) and N must broadcast, got ${bc.size}")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "top-25 rules must plan as TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_golden_record survivorship is one agg, no corpus-wide window") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_golden_record")(spark, sf())
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        "survivorship must be max_by aggregation, not a row_number window")
+      val aggs = plan.collect { case a: BaseAggregateExec => a }
+      assert(aggs.nonEmpty, "expected the cluster-keyed max_by aggregate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
