@@ -24,7 +24,8 @@ object SparkEntry {
     (llm.Similarity.queries, llm.Similarity.oracles),
     (llm.Embeddings.queries, llm.Embeddings.oracles),
     (llm.Mixing.queries, llm.Mixing.oracles),
-    (llm.Multimodal.queries, llm.Multimodal.oracles)
+    (llm.Multimodal.queries, llm.Multimodal.oracles),
+    (llm.Tokenization.queries, llm.Tokenization.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

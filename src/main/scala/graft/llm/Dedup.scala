@@ -207,7 +207,7 @@ object Dedup {
     * rows).
     */
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
-    bandCandidates(minhashSignatures(Tables.documents(s, d)), "doc_id")
+    bandCandidates(sharedSigs(s, d), "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
 
   private val qMinhashLshSql: String =
@@ -232,12 +232,8 @@ object Dedup {
   private val SHAPE_RPBS = Seq(1, 2, 4)
 
   private def qBandShape(s: SparkSession, d: String): DataFrame = {
-    // Eager localCheckpoint, not persist: a persisted entry would outlive
-    // the query (nothing downstream can unpersist a frame the caller still
-    // holds lazily), leaking two cache entries per invocation; checkpoint
-    // blocks are reclaimed by the ContextCleaner once unreferenced.
-    val hs = shingleHashSets(Tables.documents(s, d)).localCheckpoint(true)
-    val sigs = sigsFromSets(hs).localCheckpoint(true)
+    val hs = sharedShingleSets(s, d)
+    val sigs = sharedSigs(s, d)
     SHAPE_RPBS.map { r =>
       val pairs = bandCandidates(sigs, "doc_id", K, r)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -298,8 +294,7 @@ object Dedup {
   private val SWEEP_PCTS = Seq(50, 60, 70, 80, 90)
 
   private def qDedupSweep(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleHashSets(Tables.documents(s, d))
-    verifiedPairsFromSets(hs, threshold = 0.0)
+    verifiedPairsShared(s, d, threshold = 0.0)
       .select(col("jaccard"),
         explode(typedlit(SWEEP_PCTS)).as("threshold_pct"))
       .groupBy(col("threshold_pct"))
@@ -348,10 +343,8 @@ object Dedup {
     * query adds one bounded join to the pipeline it audits.
     */
   private def qMinhashEst(s: SparkSession, d: String): DataFrame = {
-    // Same leak-free sharing move as qBandShape: eager localCheckpoint,
-    // reclaimed by the ContextCleaner, instead of a never-unpersisted cache.
-    val hs = shingleHashSets(Tables.documents(s, d)).localCheckpoint(true)
-    val sigs = sigsFromSets(hs).localCheckpoint(true)
+    val hs = sharedShingleSets(s, d)
+    val sigs = sharedSigs(s, d)
     val pairs = bandCandidates(sigs, "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
@@ -401,15 +394,11 @@ object Dedup {
   private val BITS = 16
 
   private def qSimhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.ShinglePolyHash.register(s)
-    // SimHash sums ±1 per DISTINCT shingle — dedupe by hash (both the
-    // engine and the oracle dedupe on the hash value, so a same-doc
-    // hash collision cannot cause a cross-engine mismatch).
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.ShinglePolyHash
-          .shingle_hashes(split(lower(col("text")), " "), lit(3))))
-          .as("h"))
+    // SimHash sums ±1 per DISTINCT shingle — exactly the exploded
+    // shared hash-set frame (hset is already distinct), so the scan +
+    // shingle pass is shared with the whole dedup family.
+    val tok = sharedShingleSets(s, d)
+      .select(col("doc_id"), explode(col("hset")).as("h"))
     val bitCols = (0 until BITS).map { b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
     }
@@ -453,12 +442,8 @@ object Dedup {
   private val HAM_T = 3
 
   private def simhashWide(s: SparkSession, d: String): DataFrame = {
-    graft.functions.ShinglePolyHash.register(s)
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.ShinglePolyHash
-          .shingle_hashes(split(lower(col("text")), " "), lit(3))))
-          .as("h"))
+    val tok = sharedShingleSets(s, d)
+      .select(col("doc_id"), explode(col("hset")).as("h"))
     val bitCols = (0 until SIM_BITS).map { b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
     }
@@ -536,7 +521,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"),
       array_distinct(split(lower(col("text")), " ")).as("toks"))
-    bandCandidates(minhashSignatures(docs), "doc_id")
+    bandCandidates(sharedSigs(s, d), "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         Seq("doc_a"))
@@ -602,6 +587,32 @@ object Dedup {
         split(lower(col("text")), " "), lit(3))).as("hset"))
   }
 
+  /** Session-scoped memos of the two frames EVERY dedup-family query
+    * starts from — the shingle-hash sets (doc_id, hset) and the K-slot
+    * MinHash signatures: computed once per (session, corpus) and
+    * shared by all consumers (band/est/sweep/shape, fuzzy, delta, CC,
+    * simhash, golden record), exactly the materialized-intermediate
+    * discipline of [[ccMemo]]. At 100 TB these are maintained tables a
+    * curation run writes once and every dedup job scans. Eager
+    * localCheckpoint, NOT persist: checkpoint blocks are reclaimed by
+    * the ContextCleaner once unreferenced (see [[invalidate]]) — a
+    * lazy persist entry would live in the SQL cache for the session.
+    */
+  private val hsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+  private val sigsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[llm] def sharedShingleSets(s: SparkSession, d: String): DataFrame =
+    hsMemo.computeIfAbsent((s, d), _ =>
+      shingleHashSets(Tables.documents(s, d)).localCheckpoint(true))
+
+  private[llm] def sharedSigs(s: SparkSession, d: String): DataFrame =
+    sigsMemo.computeIfAbsent((s, d), _ =>
+      sigsFromSets(sharedShingleSets(s, d)).localCheckpoint(true))
+
   /** MinHash signatures derived from the (distinct) shingle-hash sets:
     * min() is insensitive to duplicates, so the sigs are identical to
     * [[minhashSignatures]] — but computing them off an already-built
@@ -663,6 +674,17 @@ object Dedup {
   def verifiedPairs(docs: DataFrame, threshold: Double = JACCARD_T)
       : DataFrame =
     verifiedPairsFromSets(shingleHashSets(docs), threshold)
+
+  /** [[verifiedPairsFromSets]] over the memoized shared hs/sigs frames
+    * — the form every full-corpus query uses.
+    */
+  private def verifiedPairsShared(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    jaccardVerified(
+      bandCandidates(sharedSigs(s, d), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+      sharedShingleSets(s, d), "doc_a", "doc_b", threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Canonical pick from an undirected pair list: two unrolled
     * min-propagation passes (pointer jumping). `ids` must contain every
@@ -815,8 +837,16 @@ object Dedup {
        |  SELECT x.doc_id, y.c1 AS canonical_id
        |  FROM c1 x JOIN c1 y ON x.c1 = y.doc_id)""".stripMargin
 
+  /** [[canonicalMap]] over the shared memoized frames — the full-corpus
+    * form qDedupFuzzy / qGoldenRecord use.
+    */
+  private def canonicalMapShared(s: SparkSession, d: String): DataFrame =
+    canonicalFromPairs(
+      sharedShingleSets(s, d).select(col("doc_id")),
+      verifiedPairsShared(s, d, JACCARD_T))
+
   private def qDedupFuzzy(s: SparkSession, d: String): DataFrame =
-    canonicalMap(Tables.documents(s, d))
+    canonicalMapShared(s, d)
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
 
@@ -848,7 +878,7 @@ object Dedup {
     */
   private def qGoldenRecord(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    canonicalMap(docs)
+    canonicalMapShared(s, d)
       .join(docs, Seq("doc_id"))
       .groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -899,26 +929,23 @@ object Dedup {
       DataFrame]()
 
   private def ccHopsShared(s: SparkSession, d: String): DataFrame =
-    ccMemo.computeIfAbsent((s, d), _ => {
-      // Same shared-scan shape as canonicalMap: the hash-set frame
-      // feeds the signatures, both pair-join sides and the id universe.
-      val hs = shingleHashSets(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = canonicalFixpointHops(hs.select(col("doc_id")),
-        verifiedPairsFromSets(hs, JACCARD_T))
-      // The fixpoint is eagerly materialized (per-round localCheckpoint),
-      // so hs is fully consumed here — release its blocks instead of
-      // letting them live for the session.
-      hs.unpersist(false)
-      labels
-    })
+    ccMemo.computeIfAbsent((s, d), _ =>
+      canonicalFixpointHops(
+        sharedShingleSets(s, d).select(col("doc_id")),
+        verifiedPairsShared(s, d, JACCARD_T)))
 
-  /** Drop the memoized canonical map for `dir` (all sessions) — call
-    * when the corpus at `dir` is rewritten in place, otherwise the memo
-    * would keep serving the stale materialization.
+  /** Drop every memoized frame for `dir` (all sessions) — call when
+    * the corpus at `dir` is rewritten in place, otherwise the memos
+    * would keep serving the stale materializations. The dropped
+    * localCheckpoint blocks are reclaimed by the ContextCleaner once
+    * the frames are unreferenced.
     */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     ccMemo.keySet.removeIf(_._2 == dir)
+    hsMemo.keySet.removeIf(_._2 == dir)
+    sigsMemo.keySet.removeIf(_._2 == dir)
+    ()
+  }
 
   private def qDedupCc(s: SparkSession, d: String): DataFrame =
     ccHopsShared(s, d).drop("hops")
@@ -954,9 +981,8 @@ object Dedup {
     */
   private def qDedupDelta(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val hs = shingleHashSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandKeys(sigsFromSets(hs), "doc_id", K, ROWS_PER_BAND)
+    val hs = sharedShingleSets(s, d)
+    val bands = bandKeys(sharedSigs(s, d), "doc_id", K, ROWS_PER_BAND)
     val cand = bands.filter(col("doc_id") % 5 === 4).alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
