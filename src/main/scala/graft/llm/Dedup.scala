@@ -1066,6 +1066,81 @@ object Dedup {
        |                         AND w.root = c.canonical_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- q_containment
+  /** Directional overlap audit over the LSH candidate pairs —
+    * symmetric Jaccard hides CONTAINMENT (a short document pasted
+    * verbatim inside a longer one scores low Jaccard but 100%
+    * containment of the short side), and containment pairs need
+    * different curation treatment (drop the contained quote-extract,
+    * keep the superset) than mutual near-dups (keep one canonical).
+    * For each candidate pair: |A∩B|, both set sizes, both directional
+    * containments (ppm, integer-exact), and the relation class at the
+    * [[CONTAIN_T_PPM]] threshold — `mutual` / `a_in_b` / `b_in_a` /
+    * `overlap`.
+    *
+    * Scale: candidates come from the banded self-join (never all
+    * pairs), both set-side joins read the memoized
+    * [[sharedShingleSets]] frame, and the per-pair arithmetic is
+    * map-side — the audit adds zero shuffles beyond the candidate
+    * generation it shares with the rest of the family.
+    */
+  private val CONTAIN_T_PPM = 900000L
+
+  private def qContainment(s: SparkSession, d: String): DataFrame =
+    containmentAudit(
+      bandCandidates(sharedSigs(s, d), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+      sharedShingleSets(s, d))
+
+  /** The per-pair directional-overlap core over (doc_a, doc_b)
+    * candidates and a (doc_id, hset) frame — see [[qContainment]].
+    */
+  private[llm] def containmentAudit(cand: DataFrame, hs: DataFrame)
+      : DataFrame =
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
+        Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        size(col("ha")).cast("long").as("size_a"),
+        size(col("hb")).cast("long").as("size_b"))
+      .filter(col("inter") > 0)
+      .withColumn("cont_a_ppm", expr("inter * 1000000 div size_a"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000 div size_b"))
+      .withColumn("relation",
+        when(col("cont_a_ppm") >= CONTAIN_T_PPM &&
+          col("cont_b_ppm") >= CONTAIN_T_PPM, "mutual")
+          .when(col("cont_a_ppm") >= CONTAIN_T_PPM, "a_in_b")
+          .when(col("cont_b_ppm") >= CONTAIN_T_PPM, "b_in_a")
+          .otherwise("overlap"))
+
+  private val qContainmentSql: String =
+    s"""WITH ${candSqlCtes("documents")},
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset
+       |  FROM th GROUP BY doc_id),
+       |x AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(a.hset, e -> list_contains(b.hset, e)))
+       |      AS BIGINT) AS inter,
+       |    CAST(len(a.hset) AS BIGINT) AS size_a,
+       |    CAST(len(b.hset) AS BIGINT) AS size_b
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter, size_a, size_b,
+       |  inter * 1000000 // size_a AS cont_a_ppm,
+       |  inter * 1000000 // size_b AS cont_b_ppm,
+       |  CASE
+       |    WHEN inter * 1000000 // size_a >= $CONTAIN_T_PPM
+       |     AND inter * 1000000 // size_b >= $CONTAIN_T_PPM THEN 'mutual'
+       |    WHEN inter * 1000000 // size_a >= $CONTAIN_T_PPM THEN 'a_in_b'
+       |    WHEN inter * 1000000 // size_b >= $CONTAIN_T_PPM THEN 'b_in_a'
+       |    ELSE 'overlap' END AS relation
+       |FROM x WHERE inter > 0""".stripMargin
+
   // ----------------------------------------------------- q_cluster_stats
   /** Near-dup cluster-size distribution — the corpus-health dashboard
     * number a curation team watches (how much of the corpus is
@@ -1074,7 +1149,7 @@ object Dedup {
     * pipeline; the second groups a cluster-count-sized frame.
     */
   private def qClusterStats(s: SparkSession, d: String): DataFrame =
-    canonicalMap(Tables.documents(s, d))
+    canonicalMapShared(s, d)
       .groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -1179,7 +1254,8 @@ object Dedup {
     "q_dedup_delta"   -> qDedupDelta _,
     "q_cluster_stats" -> qClusterStats _,
     "q_dedup_hops"    -> qDedupHops _,
-    "q_levenshtein"   -> qLevenshtein _
+    "q_levenshtein"   -> qLevenshtein _,
+    "q_containment"   -> qContainment _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,6 +1273,7 @@ object Dedup {
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_cluster_stats" -> qClusterStatsSql,
     "q_dedup_hops"    -> qDedupHopsSql,
-    "q_levenshtein"   -> qLevenshteinSql
+    "q_levenshtein"   -> qLevenshteinSql,
+    "q_containment"   -> qContainmentSql
   )
 }

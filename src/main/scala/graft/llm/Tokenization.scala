@@ -67,34 +67,217 @@ object Tokenization {
        |  FROM agg)
        |WHERE rnk <= $BPE_TOP""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_iter
+  /** Three rounds of the ACTUAL BPE training loop — [[qBpeMerge]] is
+    * one pair-count pass; a trainer alternates count → merge-winner →
+    * rewrite, and the rewrite is what makes round N+1's counts differ
+    * from round N's. The merged pair collapses to one private-use-area
+    * symbol char (U+E000, U+E001), so every round's "adjacent pair" is
+    * still a 2-char substring and the same counting kernel applies
+    * unchanged; output pairs are expanded back to their original
+    * character spelling. Merge application is literal left-to-right
+    * non-overlapping `replace` — identical semantics in the JVM and
+    * DuckDB (`"aaa" merge "aa" → [aa, a]`).
+    *
+    * Scale: every round runs over the VOCABULARY frame (word, freq) —
+    * corpus text is scanned once to build it — and each winner is a
+    * 1-row broadcast; a full 50k-merge trainer is this loop with the
+    * vocabulary kept materialized between rounds.
+    */
+  private def qBpeIter(s: SparkSession, d: String): DataFrame =
+    bpeIter(Tables.documents(s, d))
+
+  private[llm] def bpeIter(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def pairCounts(df: DataFrame): DataFrame = df
+      .filter(char_length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+    def top1(pc: DataFrame, m: String, n: String): DataFrame =
+      pc.orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as(m), col("n").as(n))
+    val t1 = top1(pairCounts(wc), "m1", "n1")
+    val wc2 = wc.crossJoin(broadcast(t1))
+      .select(expr("replace(w, m1, '')").as("w"), col("c"))
+    val t2 = top1(pairCounts(wc2), "m2", "n2")
+    val wc3 = wc2.crossJoin(broadcast(t2))
+      .select(expr("replace(w, m2, '')").as("w"), col("c"))
+    val t3 = top1(pairCounts(wc3), "m3", "n3")
+    // Per-round frames unioned (not one 3-way crossJoin): a toy
+    // vocabulary can exhaust its pairs before round 3, and an empty
+    // later round must not erase the earlier merges — mirroring the
+    // oracle's UNION ALL over independently-empty CTEs.
+    val r1 = t1.select(lit(1).as("round"), col("m1").as("merge"),
+      col("n1").as("n"))
+    val r2 = t2.crossJoin(broadcast(t1))
+      .select(lit(2).as("round"),
+        expr("replace(m2, '', m1)").as("merge"), col("n2").as("n"))
+    val r3 = t3.crossJoin(broadcast(t2)).crossJoin(broadcast(t1))
+      .select(lit(3).as("round"),
+        expr("replace(replace(m3, '', replace(m2, '', m1))," +
+          " '', m1)").as("merge"), col("n3").as("n"))
+    r1.unionAll(r2).unionAll(r3)
+      .select(col("round").cast(IntegerType).as("round"),
+        col("merge"), col("n"))
+  }
+
+  /** DuckDB pair-count CTE body over vocabulary CTE `src`. */
+  private def pairSql(src: String): String =
+    s"""SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+       |    SELECT unnest(list_transform(range(1, length(w)),
+       |      i -> substring(w, i, 2))) AS pair, c
+       |    FROM $src WHERE length(w) >= 2) GROUP BY 1""".stripMargin
+
+  private val qBpeIterSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM w WHERE w <> '' GROUP BY 1),
+       |p1 AS (${pairSql("wc")}),
+       |t1 AS (SELECT pair AS m1, n AS n1 FROM p1
+       |       ORDER BY n DESC, pair LIMIT 1),
+       |wc2 AS (SELECT replace(w, (SELECT m1 FROM t1), chr(57344)) AS w, c
+       |        FROM wc),
+       |p2 AS (${pairSql("wc2")}),
+       |t2 AS (SELECT pair AS m2, n AS n2 FROM p2
+       |       ORDER BY n DESC, pair LIMIT 1),
+       |wc3 AS (SELECT replace(w, (SELECT m2 FROM t2), chr(57345)) AS w, c
+       |        FROM wc2),
+       |p3 AS (${pairSql("wc3")}),
+       |t3 AS (SELECT pair AS m3, n AS n3 FROM p3
+       |       ORDER BY n DESC, pair LIMIT 1)
+       |SELECT 1 AS round, m1 AS merge, n1 AS n FROM t1
+       |UNION ALL
+       |SELECT 2, replace(m2, chr(57344), (SELECT m1 FROM t1)), n2 FROM t2
+       |UNION ALL
+       |SELECT 3, replace(replace(m3, chr(57345),
+       |    (SELECT replace(m2, chr(57344), (SELECT m1 FROM t1)) FROM t2)),
+       |  chr(57344), (SELECT m1 FROM t1)), n3 FROM t3""".stripMargin
+
+  // ----------------------------------------------------------- q_fertility
+  /** Subword-fertility audit per language — tokens-per-word is THE
+    * number a tokenizer team watches per language (a fertility of 2×
+    * on one language doubles its effective training cost and halves
+    * its effective context window). Whitespace words vs the BPE-ish
+    * regex segmentation of [[TextAnalysis]]'s token accounting, plus
+    * chars-per-subword; ratios ·10⁶ integer-exact.
+    */
+  private def qFertility(s: SparkSession, d: String): DataFrame =
+    fertility(Tables.documents(s, d))
+
+  private[llm] def fertility(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long"))
+          .as("ws_tokens"),
+        sum(regexp_count(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))).as("subword_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility_ppm",
+        expr("subword_tokens * 1000000 div ws_tokens"))
+      .withColumn("chars_per_subword_ppm",
+        expr("total_chars * 1000000 div subword_tokens"))
+
+  private val qFertilitySql: String =
+    """SELECT *,
+      |  subword_tokens * 1000000 // ws_tokens AS fertility_ppm,
+      |  total_chars * 1000000 // subword_tokens AS chars_per_subword_ppm
+      |FROM (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+      |      AS ws_tokens,
+      |    CAST(SUM(len(regexp_extract_all(lower(text),
+      |        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS subword_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY lang)""".stripMargin
+
+  // --------------------------------------------------------- q_code_detect
+  /** Code-vs-prose gate — web-scale corpora route code and prose to
+    * different mixture buckets, and the first-pass router is exactly
+    * this: structural-symbol density and digit density per document
+    * (braces/brackets/operators are rare in prose, dense in code).
+    * Integer ppm ratios; `is_code` at 3% symbol density. Map-only.
+    */
+  private val CODE_T_PPM = 30000L
+
+  private def qCodeDetect(s: SparkSession, d: String): DataFrame =
+    codeDetect(Tables.documents(s, d))
+
+  private[llm] def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        // long from the start: symbol_n * 1000000 in INT wraps silently
+        // past ~2147 symbols (non-ANSI), and the oracle is BIGINT.
+        regexp_count(col("text"), lit("[{}\\[\\]();=<>#]")).cast("long")
+          .as("symbol_n"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_n"),
+        col("n_chars"))
+      .withColumn("symbol_ppm",
+        coalesce(expr("symbol_n * 1000000 div nullif(n_chars, 0)"),
+          lit(0L)))
+      .withColumn("digit_ppm",
+        coalesce(expr("digit_n * 1000000 div nullif(n_chars, 0)"), lit(0L)))
+      .withColumn("is_code", col("symbol_ppm") >= CODE_T_PPM)
+      .drop("n_chars")
+
+  private val qCodeDetectSql: String =
+    s"""SELECT doc_id, symbol_n, digit_n,
+       |  coalesce(symbol_n * 1000000 // nullif(n_chars, 0), 0)
+       |    AS symbol_ppm,
+       |  coalesce(digit_n * 1000000 // nullif(n_chars, 0), 0) AS digit_ppm,
+       |  coalesce(symbol_n * 1000000 // nullif(n_chars, 0), 0)
+       |    >= $CODE_T_PPM AS is_code
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>#]'))
+       |      AS BIGINT) AS symbol_n,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+       |      AS digit_n,
+       |    n_chars
+       |  FROM documents)""".stripMargin
+
   // -------------------------------------------------------- q_substring_dup
   /** Substring-level exact-duplication audit — the signal behind
     * suffix-array dedup of training data (long verbatim spans repeated
     * across documents, invisible to whole-document fingerprints and
-    * diluted in shingle-set Jaccard): hash a [[WIN_CHARS]]-char window
-    * at every [[WIN_STRIDE]]-char position of each doc, mark windows
-    * whose hash occurs in ≥2 DISTINCT docs, and report each doc's
-    * duplicated-window fraction (ppm) with a keep/flag verdict. The
-    * stride trades recall for cost exactly like suffix-array sampling;
-    * stride ≤ window/2 still catches any duplicated span ≥ 2·window.
+    * diluted in shingle-set Jaccard). Winnowing-style fingerprinting
+    * (Schleimer et al., MOSS): hash the [[WIN_CHARS]]-codepoint window
+    * at EVERY position (O(n) total via the rolling
+    * [[graft.functions.RollingHashWindows]] kernel), keep the windows
+    * whose hash ≡ 0 mod [[WINNOW_MOD]] — selection is CONTENT-keyed,
+    * so a verbatim span selects the same fingerprints in every
+    * document that contains it regardless of its offset (a strided /
+    * positional sample would only catch copies whose alignment agrees
+    * modulo the stride). Mark fingerprints occurring in ≥2 distinct
+    * docs and report each doc's duplicated-fingerprint fraction (ppm)
+    * with a keep/flag verdict.
     *
-    * Scale: window hashing is MAP-ONLY (fixed-width md5 per position —
-    * text never shuffles, hashes do); the cross-doc count is one hash-
-    * keyed agg (single count_distinct — Expand-free) and the per-doc
-    * rollup joins windows against the bounded duplicated-hash set.
+    * Scale: fingerprinting is MAP-ONLY and O(n) per doc — text never
+    * shuffles, only the ~1/[[WINNOW_MOD]] selected hashes do; the
+    * cross-doc count is one hash-keyed agg (single count_distinct —
+    * Expand-free) and the per-doc rollup joins fingerprints against
+    * the bounded duplicated-hash set.
     */
   private val WIN_CHARS = 32
-  private val WIN_STRIDE = 16
+  private val WINNOW_MOD = 16
   private val DUP_FLAG_PPM = 500000L
 
-  private def qSubstringDup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def qSubstringDup(s: SparkSession, d: String): DataFrame =
+    substringDup(Tables.documents(s, d))
+
+  private[llm] def substringDup(docs: DataFrame): DataFrame = {
+    graft.functions.RollingHashWindows.register(docs.sparkSession)
     val win = docs.select(col("doc_id"), explode(expr(
-      s"""CASE WHEN char_length(text) >= $WIN_CHARS THEN
-         |  transform(sequence(1, char_length(text) - ${WIN_CHARS - 1},
-         |                     $WIN_STRIDE),
-         |            p -> md5(substring(text, p, $WIN_CHARS)))
-         |ELSE array() END""".stripMargin)).as("h"))
+      s"filter(rolling_hashes(text, $WIN_CHARS)," +
+        s" h -> h % $WINNOW_MOD = 0)")).as("h"))
     val dup = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -115,12 +298,14 @@ object Tokenization {
 
   private val qSubstringDupSql: String =
     s"""WITH win AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(
-       |      range(1, greatest(length(text) - ${WIN_CHARS - 1}, 0) + 1,
-       |            $WIN_STRIDE),
-       |      p -> md5(substring(text, p, $WIN_CHARS)))) AS h
-       |  FROM documents),
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        range(1, greatest(length(text) - ${WIN_CHARS - 1}, 0) + 1),
+       |        p -> ${Dedup.tokHashSql(s"substring(text, p, $WIN_CHARS)")}))
+       |        AS h
+       |    FROM documents)
+       |  WHERE h % $WINNOW_MOD = 0),
        |dup AS (
        |  SELECT h FROM win GROUP BY h
        |  HAVING count(DISTINCT doc_id) >= 2),
@@ -141,11 +326,17 @@ object Tokenization {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merge"     -> qBpeMerge _,
+    "q_bpe_iter"      -> qBpeIter _,
+    "q_fertility"     -> qFertility _,
+    "q_code_detect"   -> qCodeDetect _,
     "q_substring_dup" -> qSubstringDup _
   )
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merge"     -> qBpeMergeSql,
+    "q_bpe_iter"      -> qBpeIterSql,
+    "q_fertility"     -> qFertilitySql,
+    "q_code_detect"   -> qCodeDetectSql,
     "q_substring_dup" -> qSubstringDupSql
   )
 }

@@ -184,6 +184,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("containment audit: subset scores a_in_b, identical mutual") {
+    // Doc 1's shingles are a strict subset of doc 2's (prefix text);
+    // docs 3/4 are identical (mutual); sizes make directions explicit.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 14).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, base), (3L, other), (4L, other))
+      .toDF("doc_id", "text")
+    val hs = Dedup.shingleHashSets(docs)
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val m = Dedup.containmentAudit(cand, hs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[String]("relation"), r.getAs[Long]("cont_a_ppm"))).toMap
+    assert(m((1L, 2L)) == (("a_in_b", 1000000L)))
+    assert(m((3L, 4L))._1 == "mutual")
+  }
+
   test("canonical pick: second pass resolves chains (pointer jumping)") {
     // pairs 1-2, 2-3 but NOT 1-3: one min pass leaves 3 → 2; the
     // unrolled second pass jumps 3 → canonical(2) = 1.
