@@ -208,6 +208,44 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_substring_dup fingerprint count is Expand-free; text never shuffles") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_substring_dup")(spark, sf())
+        .queryExecution.executedPlan
+      val expands = plan.collect { case e: ExpandExec => e }
+      assert(expands.isEmpty,
+        "single count_distinct must not replicate fingerprints through Expand")
+      // No shuffle may carry the text column — only doc_id + hashes move.
+      val shuffledText = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.output.exists(_.name == "text") => e
+      }
+      assert(shuffledText.isEmpty, "document text must never shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_bpe_iter round winners are 1-row broadcasts, counts are top-1") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_bpe_iter")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bc.size >= 4,
+        s"each round's winner must broadcast into the rewrite, got ${bc.size}")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.size >= 3,
+        s"per-round top-1 must plan as TakeOrderedAndProject, got ${toap.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
