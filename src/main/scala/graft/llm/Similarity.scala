@@ -134,7 +134,10 @@ object Similarity {
     * grows — unlike a fixed-cardinality natural key, which pins the
     * block count while block sizes grow linearly.
     */
-  private def qCosinePairs(s: SparkSession, d: String): DataFrame = {
+  private def qCosinePairs(s: SparkSession, d: String): DataFrame =
+    cosinePairs(s, d)
+
+  private def cosinePairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
     graft.functions.LshBucket.register(s)
     val planes = typedlit((0 until PLANES).flatMap(planeLit))
@@ -165,6 +168,55 @@ object Similarity {
        |FROM b a
        |JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3""".stripMargin
+
+  // ------------------------------------------------------ q_semantic_dedup
+  /** Embedding-space near-dup dedup to a canonical map — the semantic
+    * sibling of [[graft.llm.Dedup]]'s shingle pipeline: LSH-bucketed
+    * cosine pairs above [[SEM_T]] become edges, and the same two-pass
+    * min-propagation canonical pick ([[Dedup.canonicalFromPairs]])
+    * labels every vector with its cluster canonical. Catches
+    * paraphrase-level duplicates that share no 3-gram shingles —
+    * the dedup layer text fingerprints cannot see.
+    *
+    * Scale: pair generation is the bucket-blocked self-join (plane
+    * count grows buckets with the corpus), edges are (id, id) longs,
+    * and the canonical pick shuffles id pairs only — embeddings never
+    * leave the map side.
+    */
+  private val SEM_T = 0.5
+
+  private def qSemanticDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalFromPairs(
+      Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+      cosinePairs(s, d).filter(col("cos") > SEM_T)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+
+  private lazy val qSemanticDedupSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST(${bucketSql} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |ver AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM b a
+       |  JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} > $SEM_T),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM ver
+       |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
+       |minn AS (
+       |  SELECT doc_a, min(doc_b) AS mn FROM edges GROUP BY doc_a),
+       |c1 AS (
+       |  SELECT e.vec_id AS doc_id, least(e.vec_id, coalesce(m.mn, e.vec_id))
+       |    AS c1
+       |  FROM embeddings e LEFT JOIN minn m ON m.doc_a = e.vec_id),
+       |canon AS (
+       |  SELECT x.doc_id, y.c1 AS canonical_id
+       |  FROM c1 x JOIN c1 y ON x.c1 = y.doc_id)
+       |SELECT doc_id AS vec_id, canonical_id,
+       |  doc_id <> canonical_id AS is_dup
+       |FROM canon""".stripMargin
 
   // ------------------------------------------------------------- q_ann_lsh
   /** Random-hyperplane LSH: 8 sign bits from dot products with
@@ -664,6 +716,7 @@ object Similarity {
     "q_quantize"     -> qQuantize _,
     "q_ann_brute"    -> qAnnBrute _,
     "q_cosine_pairs" -> qCosinePairs _,
+    "q_semantic_dedup" -> qSemanticDedup _,
     "q_ann_lsh"      -> qAnnLsh _,
     "q_ann_recall"   -> qAnnRecall _,
     "q_ivf_ann"      -> qIvfAnn _,
@@ -676,6 +729,7 @@ object Similarity {
     "q_quantize"     -> qQuantizeSql,
     "q_ann_brute"    -> qAnnBruteSql,
     "q_cosine_pairs" -> qCosinePairsSql,
+    "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_lsh"      -> qAnnLshSql,
     "q_ann_recall"   -> qAnnRecallSql,
     "q_ivf_ann"      -> qIvfAnnSql,

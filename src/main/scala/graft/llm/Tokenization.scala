@@ -273,7 +273,7 @@ object Tokenization {
   private def qSubstringDup(s: SparkSession, d: String): DataFrame =
     substringDup(Tables.documents(s, d))
 
-  private[llm] def substringDup(docs: DataFrame): DataFrame = {
+  private[graft] def substringDup(docs: DataFrame): DataFrame = {
     graft.functions.RollingHashWindows.register(docs.sparkSession)
     val win = docs.select(col("doc_id"), explode(expr(
       s"filter(rolling_hashes(text, $WIN_CHARS)," +
