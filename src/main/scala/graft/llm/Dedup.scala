@@ -510,6 +510,74 @@ object Dedup {
        |WHERE bit_count(xor(sa, sb)) <= $HAM_T""".stripMargin
   }
 
+  // --------------------------------------------------- q_dedup_agreement
+  /** Detector-agreement audit across the near-dup family — MinHash
+    * (set overlap) and SimHash (weighted-profile distance) catch
+    * overlapping but distinct duplicate populations, and the operating
+    * decision (which detector, which thresholds, or both) needs the
+    * confusion structure, not anecdotes: every pair either detector
+    * fires on, classified `both` / `minhash_only` / `simhash_only`.
+    * MinHash side = band candidates verified at Jaccard ≥
+    * [[JACCARD_T]]; SimHash side = banded 30-bit signatures at
+    * hamming ≤ [[HAM_T]].
+    *
+    * Scale: both detectors are the bucket-blocked pipelines they are
+    * standalone (and share the memoized shingle frame); the agreement
+    * join is a full-outer over two candidate-sized pair lists.
+    */
+  private def qDedupAgreement(s: SparkSession, d: String): DataFrame =
+    verifiedPairsShared(s, d, JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("minhash_hit"))
+      .join(qSimhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("simhash_hit")),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("minhash_hit"), lit(0)).as("minhash_hit"),
+        coalesce(col("simhash_hit"), lit(0)).as("simhash_hit"))
+      .withColumn("agreement",
+        when(col("minhash_hit") === 1 && col("simhash_hit") === 1, "both")
+          .when(col("minhash_hit") === 1, "minhash_only")
+          .otherwise("simhash_only"))
+
+  // lazy: interpolates JACCARD_T, declared further down the operator
+  // narrative — an eager val here would fold the uninitialized 0.0.
+  private lazy val qDedupAgreementSql: String = {
+    val bitSums = (0 until SIM_BITS)
+      .map(b => s"SUM((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
+    val sim = (0 until SIM_BITS)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${verSqlCtes("documents")},
+       |sth AS (SELECT DISTINCT doc_id, h FROM th),
+       |sbits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM sth GROUP BY doc_id),
+       |ssh AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM sbits),
+       |sbands AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash >> 15 AS key FROM ssh
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1 AS band, simhash % 32768 AS key
+       |  FROM ssh),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbands a
+       |  JOIN sbands b ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAM_T)
+       |SELECT
+       |  coalesce(m.doc_a, s.doc_a) AS doc_a,
+       |  coalesce(m.doc_b, s.doc_b) AS doc_b,
+       |  CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS minhash_hit,
+       |  CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS simhash_hit,
+       |  CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+       |       WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+       |       ELSE 'simhash_only' END AS agreement
+       |FROM ver m
+       |FULL OUTER JOIN spairs s
+       |  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b""".stripMargin
+  }
+
   // ----------------------------------------------------- q_ngram_jaccard
   /** Exact n-gram (unigram token set) Jaccard over the LSH band
     * candidates — the verify stage of the fuzzy pipeline as its own
@@ -1255,7 +1323,8 @@ object Dedup {
     "q_cluster_stats" -> qClusterStats _,
     "q_dedup_hops"    -> qDedupHops _,
     "q_levenshtein"   -> qLevenshtein _,
-    "q_containment"   -> qContainment _
+    "q_containment"   -> qContainment _,
+    "q_dedup_agreement" -> qDedupAgreement _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1274,6 +1343,7 @@ object Dedup {
     "q_cluster_stats" -> qClusterStatsSql,
     "q_dedup_hops"    -> qDedupHopsSql,
     "q_levenshtein"   -> qLevenshteinSql,
-    "q_containment"   -> qContainmentSql
+    "q_containment"   -> qContainmentSql,
+    "q_dedup_agreement" -> qDedupAgreementSql
   )
 }
