@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 /** TPC-H-shaped whole queries (Q3 / Q5 / Q10, adapted to the
   * driver-generated schema and 1995–2001 date domain) — end-to-end
@@ -174,17 +174,408 @@ object Tpch {
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q_tpch6
+  /** Q6 (forecast revenue change): one-pass filter + global aggregate
+    * — the pure predicate-pushdown anchor. All three filters sit on
+    * the lineitem scan (PushedFilters), the aggregate is a map-side
+    * partial + 1-row final; nothing shuffles but 32 partial rows.
+    */
+  private def qTpch6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Det.dsumExact(Det.money2(col("l_extendedprice")) *
+          Det.factor2(col("l_discount"))).as("revenue"),
+        count(lit(1)).cast(IntegerType).as("n_lines"))
+
+  private val qTpch6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS INTEGER) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- q_tpch4
+  /** Q4 (order priority checking), adapted: the schema has no
+    * `l_commitdate`/`l_receiptdate`, so "late" = a line shipped more
+    * than 60 days after the order date — the correlated-EXISTS shape
+    * is unchanged (count orders per priority having at least one late
+    * line).
+    *
+    * Scale: Catalyst plans the EXISTS as a LEFT SEMI hash join on
+    * orderkey with the cross-table date predicate as the join filter;
+    * the quarter filter prunes orders at the scan before the shuffle.
+    */
+  private def qTpch4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(IntegerType).as("order_count"))
+
+  private val qTpch4Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS INTEGER) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch12
+  /** Q12 (shipping modes / critical priority), adapted: no
+    * `l_shipmode`, so lines group by `l_returnflag`; "late" as in
+    * [[qTpch4]]. The shape — join + conditional counts splitting one
+    * pass by a priority predicate — is Q12's.
+    */
+  private def qTpch12(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1).otherwise(0)).cast(IntegerType)
+          .as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).cast(IntegerType)
+          .as("low_line_count"))
+  }
+
+  private val qTpch12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS INTEGER) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 0 ELSE 1 END) AS INTEGER) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch14
+  /** Q14 (promotion effect): share of one month's revenue from
+    * promo-typed parts (`p_type = 'PROMO'` — the schema's types are
+    * single words). The percentage is reported as integer ppm over
+    * exactly-scaled decimal sums, so the ratio is bit-identical (no
+    * double division); both revenue columns go through the
+    * [[Det.stableDouble]] bigint path.
+    */
+  private def qTpch14(s: SparkSession, d: String): DataFrame = {
+    val prod = Det.money2(col("l_extendedprice")) *
+      Det.factor2(lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", prod)).as("pd"),
+        sum(prod).as("td"))
+      .select(
+        coalesce((col("pd") * 10000).cast("long"), lit(0L)).as("ps"),
+        (col("td") * 10000).cast("long").as("ts"))
+      .select((col("ps") / lit(10000.0)).as("promo_revenue"),
+        (col("ts") / lit(10000.0)).as("total_revenue"),
+        expr("ps * 1000000 div ts").as("promo_ppm"))
+  }
+
+  private val qTpch14Sql: String =
+    """WITH j AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * CAST(1 - l_discount AS DECIMAL(4,2)) AS prod, p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+      |s AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN prod END)
+      |              * 10000, 0) AS BIGINT) AS ps,
+      |    CAST(SUM(prod) * 10000 AS BIGINT) AS ts
+      |  FROM j)
+      |SELECT ps / 10000.0 AS promo_revenue, ts / 10000.0 AS total_revenue,
+      |  ps * 1000000 // ts AS promo_ppm
+      |FROM s""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch15
+  /** Q15 (top supplier): suppliers whose quarter revenue equals the
+    * maximum — the aggregate-then-scalar-subquery shape. The revenue
+    * stays DECIMAL through the max comparison (exact equality; a
+    * double round-trip could merge near-ties), converting to double
+    * only on output.
+    *
+    * Scale: the revenue agg shuffles lineitem once on suppkey to
+    * supplier cardinality; the 1-row max broadcasts back over it, and
+    * the supplier join is a broadcast of the surviving handful.
+    */
+  private def qTpch15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Det.money2(col("l_extendedprice")) *
+        Det.factor2(lit(1) - col("l_discount"))).as("rdec"))
+    rev.join(broadcast(rev.agg(max(col("rdec")).as("maxr"))),
+        col("rdec") === col("maxr"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        Det.stableDouble(col("rdec")).as("total_revenue"))
+  }
+
+  private val qTpch15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * CAST(1 - l_discount AS DECIMAL(4,2))) AS rdec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, ${Det.stableDoubleSql("rdec")} AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rdec = (SELECT max(rdec) FROM rev)""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch16
+  /** Q16 (parts/supplier relationship), adapted: the schema has no
+    * `partsupp`, so observed supply pairs come from DISTINCT
+    * (l_partkey, l_suppkey) over lineitem; "complaint" suppliers =
+    * negative account balance, excluded with the NOT IN → LEFT ANTI
+    * shape; the payload is Q16's COUNT(DISTINCT suppkey) per part
+    * attribute group.
+    *
+    * Scale: the pair-distinct is the one heavy exchange (hash on the
+    * pair); part joins broadcast after its selective filter, the
+    * anti side is 6 rows.
+    */
+  private def qTpch16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#45" &&
+          col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).cast(IntegerType)
+        .as("supplier_cnt"))
+
+  private val qTpch16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS INTEGER) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch17
+  /** Q17 (small-quantity-order revenue): lines of one brand whose
+    * quantity is below 20 % of that part's average — the
+    * aggregate-subquery-in-predicate shape. The comparison runs in
+    * scaled integers (5·qty·cnt·10⁴ < Σqty·10⁴), never dividing, so
+    * both engines agree exactly.
+    *
+    * Scale: the per-part average is a partkey-grouped agg joined back
+    * on partkey (no window over the fact table); the brand filter
+    * shrinks part to a broadcastable dimension first.
+    */
+  private def qTpch17(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("sq"),
+        count(lit(1)).as("cnt"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") * 10000 <
+        col("sq"))
+      .agg((Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).cast(IntegerType).as("n_lines"))
+  }
+
+  private val qTpch17Sql: String =
+    s"""WITH per_part AS (
+       |  SELECT l_partkey AS a_partkey,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS sq,
+       |    count(*) AS cnt
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ${Det.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly,
+       |  CAST(count(*) AS INTEGER) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN per_part ON l_partkey = a_partkey
+       |WHERE p_brand = 'Brand#23'
+       |  AND CAST(l_quantity AS BIGINT) * 5 * cnt * 10000 < sq""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch19
+  /** Q19 (discounted revenue, disjunctive predicates): three OR'd
+    * (brand, size-range, quantity-range) conjuncts — the anchor for
+    * disjunction handling. Catalyst extracts the common
+    * `l_quantity <= 30`-style bounds where it can and evaluates the
+    * residual OR post-join; the part side prunes to the three brands.
+    */
+  private def qTpch19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(revenue.as("revenue"),
+        count(lit(1)).cast(IntegerType).as("n_lines"))
+
+  private val qTpch19Sql: String =
+    s"""SELECT $revenueSql AS revenue,
+       |  CAST(count(*) AS INTEGER) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch21
+  /** Q21 (suppliers who kept orders waiting), adapted: with no
+    * commit/receipt dates, the "waiting" line is one shipped > 60
+    * days after the order date on a finalized multi-supplier order
+    * where NO other supplier shipped later — the EXISTS + NOT EXISTS
+    * double-correlation shape, planned as LEFT SEMI then LEFT ANTI
+    * self-joins of lineitem on orderkey.
+    *
+    * Scale: all three lineitem legs hash on orderkey (one exchange
+    * each, AQE-coalesced); the supplier join broadcasts; top-25 is
+    * TakeOrderedAndProject with the (numwait, name) total order.
+    */
+  private def qTpch21(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l1 = li.toDF("o1", "s1", "d1")
+    val l2 = li.toDF("o2", "s2", "d2")
+    val l3 = li.toDF("o3", "s3", "d3")
+    l1.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o1") === col("o_orderkey") &&
+          col("d1") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .join(l2, col("o2") === col("o1") && col("s2") =!= col("s1"),
+        "left_semi")
+      .join(l3, col("o3") === col("o1") && col("s3") =!= col("s1") &&
+          col("d3") > col("d1"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).cast(IntegerType).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  private val qTpch21Sql: String =
+    """SELECT s_name, CAST(count(*) AS INTEGER) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch22
+  /** Q22 (global sales opportunity), adapted: no `c_phone`, so the
+    * "country code" cohort is a nationkey subset, and "dormant" = no
+    * order since 2000 (every synthetic customer has SOME order). The
+    * shape is Q22's: scalar subquery (average positive balance of the
+    * cohort) in the predicate + NOT EXISTS anti-join + group-count.
+    *
+    * Scale: the scalar average broadcasts; the anti join hashes
+    * customer against date-pruned orders; customer-cardinality work
+    * only.
+    */
+  private def qTpch22(s: SparkSession, d: String): DataFrame = {
+    val cohort = Tables.customer(s, d)
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+    cohort
+      .crossJoin(broadcast(cohort.filter(col("c_acctbal") > 0)
+        .agg(Det.davg(col("c_acctbal")).as("ab"))))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast(IntegerType).as("numcust"),
+        Det.dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  private val qTpch22Sql: String =
+    s"""SELECT c_nationkey, CAST(count(*) AS INTEGER) AS numcust,
+       |  ${Det.dsumSql("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+       |  AND c_acctbal > (SELECT ${Det.davgSql("c_acctbal")}
+       |                   FROM customer
+       |                   WHERE c_acctbal > 0
+       |                     AND c_nationkey IN (1, 3, 5, 7, 9))
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch3"  -> qTpch3 _,
+    "q_tpch4"  -> qTpch4 _,
     "q_tpch5"  -> qTpch5 _,
+    "q_tpch6"  -> qTpch6 _,
     "q_tpch10" -> qTpch10 _,
-    "q_tpch18" -> qTpch18 _
+    "q_tpch12" -> qTpch12 _,
+    "q_tpch14" -> qTpch14 _,
+    "q_tpch15" -> qTpch15 _,
+    "q_tpch16" -> qTpch16 _,
+    "q_tpch17" -> qTpch17 _,
+    "q_tpch18" -> qTpch18 _,
+    "q_tpch19" -> qTpch19 _,
+    "q_tpch21" -> qTpch21 _,
+    "q_tpch22" -> qTpch22 _
   )
 
   val oracles: Map[String, String] = Map(
     "q_tpch3"  -> qTpch3Sql,
+    "q_tpch4"  -> qTpch4Sql,
     "q_tpch5"  -> qTpch5Sql,
+    "q_tpch6"  -> qTpch6Sql,
     "q_tpch10" -> qTpch10Sql,
-    "q_tpch18" -> qTpch18Sql
+    "q_tpch12" -> qTpch12Sql,
+    "q_tpch14" -> qTpch14Sql,
+    "q_tpch15" -> qTpch15Sql,
+    "q_tpch16" -> qTpch16Sql,
+    "q_tpch17" -> qTpch17Sql,
+    "q_tpch18" -> qTpch18Sql,
+    "q_tpch19" -> qTpch19Sql,
+    "q_tpch21" -> qTpch21Sql,
+    "q_tpch22" -> qTpch22Sql
   )
 }
