@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -1231,6 +1232,49 @@ object Dedup {
        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
        |FROM cs GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------- q_dedup_cap
+  /** Cluster-capped survivorship — the dedup policy between "keep
+    * everything" and "keep one per cluster": each near-dup cluster
+    * keeps its top-[[DEDUP_CAP]] documents by quality (most content,
+    * ties to lowest id), preserving some intra-cluster variation for
+    * training while bounding how much any duplicated template can
+    * dominate the corpus. Emits the per-document decision (the frame
+    * a pipeline actually applies as its keep-filter).
+    *
+    * Scale: composition over the shared canonical map; both windows
+    * partition by canonical_id (cluster-bounded, never corpus-wide)
+    * and share one exchange.
+    */
+  private val DEDUP_CAP = 2
+
+  private def qDedupCap(s: SparkSession, d: String): DataFrame = {
+    val byCluster = Window.partitionBy(col("canonical_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(canonicalMapShared(s, d), Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("qrank", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        col("qrank").cast(IntegerType).as("qrank"),
+        (col("qrank") <= DEDUP_CAP).as("kept"))
+  }
+
+  private val qDedupCapSql: String =
+    s"""WITH ${canonSqlCtes("documents")},
+       |sized AS (
+       |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM canon GROUP BY 1),
+       |ranked AS (
+       |  SELECT d.doc_id, c.canonical_id, s.cluster_size,
+       |    row_number() OVER (PARTITION BY c.canonical_id
+       |                       ORDER BY d.n_chars DESC, d.doc_id) AS qrank
+       |  FROM documents d
+       |  JOIN canon c ON d.doc_id = c.doc_id
+       |  JOIN sized s ON s.canonical_id = c.canonical_id)
+       |SELECT doc_id, canonical_id, cluster_size,
+       |  CAST(qrank AS INTEGER) AS qrank, qrank <= $DEDUP_CAP AS kept
+       |FROM ranked""".stripMargin
+
   // ----------------------------------------------------- q_levenshtein
   /** Edit-distance near-dup detection with content-scaled blocking:
     * pairwise work runs on DISTINCT part names (the classic
@@ -1324,7 +1368,8 @@ object Dedup {
     "q_dedup_hops"    -> qDedupHops _,
     "q_levenshtein"   -> qLevenshtein _,
     "q_containment"   -> qContainment _,
-    "q_dedup_agreement" -> qDedupAgreement _
+    "q_dedup_agreement" -> qDedupAgreement _,
+    "q_dedup_cap"     -> qDedupCap _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1344,6 +1389,7 @@ object Dedup {
     "q_dedup_hops"    -> qDedupHopsSql,
     "q_levenshtein"   -> qLevenshteinSql,
     "q_containment"   -> qContainmentSql,
-    "q_dedup_agreement" -> qDedupAgreementSql
+    "q_dedup_agreement" -> qDedupAgreementSql,
+    "q_dedup_cap"     -> qDedupCapSql
   )
 }

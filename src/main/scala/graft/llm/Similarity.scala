@@ -711,7 +711,126 @@ object Similarity {
        |  FROM assign)
        |WHERE rn <= 10""".stripMargin
 
+  // ------------------------------------------------------ q_hard_negatives
+  /** Hard-negative mining — the contrastive-training prep step: for
+    * each query vector, the top-5 most-similar vectors carrying a
+    * DIFFERENT label (the near-misses a retrieval/classification
+    * model must learn to separate; random negatives are too easy).
+    * Same guarded brute shape as [[qAnnBrute]] — probe side broadcast,
+    * corpus streamed, one fold per pair — with the label-mismatch
+    * predicate fused into the join so same-label pairs never score.
+    * At 100 TB the probe set is the (bounded) training batch; the
+    * corpus-side scan is the same one the plain ANN path makes.
+    */
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("query_label"), col("v").as("q"),
+        col("nrm").as("qnrm"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(emb, col("query_label") =!= col("label"))
+      .withColumn("cos", dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("cos"), col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qHardNegativesSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    e.vec_id AS neighbor_id, e.label AS neighbor_label,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings e ON q.label <> e.label
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+       |  CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // ---------------------------------------------------- q_centroid_classify
+  /** Nearest-centroid classification audit — the cheap embedding-
+    * quality probe: per-label mean centroids, every vector assigned
+    * to its nearest centroid by cosine, and the label-vs-predicted
+    * confusion counts. A healthy embedding space classifies its own
+    * labels; rows off the diagonal localize which classes bleed into
+    * each other.
+    *
+    * Determinism: centroid components are scaled-integer sums
+    * (floor(x·10⁶) per dim, the [[qKmeansStep]] discipline) divided
+    * once — bit-identical in both engines regardless of row order.
+    * Scale: the centroid build is one (label, dim)-grouped agg (640
+    * rows); scoring is a map-side cross with the 10-row broadcast
+    * centroid frame; the confusion agg is 100 rows.
+    */
+  private def qCentroidClassify(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cents = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("x") * 1000000).cast("long")).as("num"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label").as("centroid_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("num").cast("double") / col("n")).as("m")))),
+        t => t.getField("m")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_label").asc)
+    emb.withColumn("nrm", norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("centroid_label").as("pred_label"))
+      .agg(count(lit(1)).cast(IntegerType).as("n"))
+  }
+
+  private val qCentroidClassifySql: String =
+    s"""WITH dims AS (
+       |  SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings),
+       |sums AS (
+       |  SELECT label, dim,
+       |    SUM(CAST(floor(x * 1000000) AS BIGINT)) AS num, count(*) AS n
+       |  FROM dims GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT label AS centroid_label,
+       |    list(CAST(num AS DOUBLE) / n ORDER BY dim) AS cv
+       |  FROM sums GROUP BY 1),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.centroid_label,
+       |    ${cosSql("e.embedding", "c.cv")} AS cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |pick AS (
+       |  SELECT vec_id, label, centroid_label,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, centroid_label ASC) AS rn
+       |  FROM scored)
+       |SELECT label, centroid_label AS pred_label,
+       |  CAST(count(*) AS INTEGER) AS n
+       |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> qHardNegatives _,
+    "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
     "q_quantize"     -> qQuantize _,
     "q_ann_brute"    -> qAnnBrute _,
@@ -725,6 +844,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,
     "q_quantize"     -> qQuantizeSql,
     "q_ann_brute"    -> qAnnBruteSql,
