@@ -1003,6 +1003,109 @@ object TextAnalysis {
        |  CAST(n_oov AS DOUBLE) / n_bigrams > 0.5 AS high_novelty
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------- q_bigram_lm
+  /** Bigram LM estimation — the count/condition step of n-gram
+    * language-model training (the model behind KenLM-style quality
+    * filters): the top-[[LM_K]] word transitions with their history
+    * counts and conditional probability P(w2|w1) in integer ppm
+    * (`c(w1,w2)·10⁶ div c(w1·)` — no floating point, no log).
+    *
+    * Scale: ONE corpus pass — bigrams aggregate to (w1, w2, count)
+    * directly (map-side partials carry pairs, never documents), and
+    * the history count derives from the aggregated pair frame by a
+    * second vocabulary-sized agg rather than re-scanning the corpus.
+    * Top-k is TakeOrderedAndProject.
+    */
+  private val LM_K = 50
+
+  private def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+    pairs
+      .join(pairs.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1")),
+        Seq("w1"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(LM_K)
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
+        expr("c_bigram * 1000000 div c_w1").as("p_cond_ppm"))
+  }
+
+  private val qBigramLmSql: String =
+    s"""WITH tok AS (
+       |  SELECT string_split(lower(text), ' ') AS tk FROM documents),
+       |bgidx AS (
+       |  SELECT tk, unnest(range(len(tk) - 1)) AS i
+       |  FROM tok WHERE len(tk) >= 2),
+       |bg AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2 FROM bgidx),
+       |pairs AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+       |  FROM bg GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1
+       |  FROM pairs GROUP BY 1)
+       |SELECT p.w1, p.w2, p.c_bigram, h.c_w1,
+       |  p.c_bigram * 1000000 // h.c_w1 AS p_cond_ppm
+       |FROM pairs p JOIN hist h ON p.w1 = h.w1
+       |ORDER BY p.c_bigram DESC, p.w1, p.w2
+       |LIMIT $LM_K""".stripMargin
+
+  // ----------------------------------------------------- q_vocab_growth
+  /** Heaps-law vocabulary growth curve — the corpus-composition
+    * diagnostic behind "is more data still adding new vocabulary":
+    * per [[GROWTH_BUCKET]]-document bucket, token volume and FIRST-
+    * SEEN word count, with cumulative totals. A flattening cum_vocab
+    * curve says the corpus is saturating; a linear one says it keeps
+    * contributing.
+    *
+    * Scale: each word's first bucket is one (token → min bucket) agg;
+    * the cumulative windows run over the BUCKET-count-sized frame
+    * (corpus_size / 50 rows — thousands at warehouse scale, never the
+    * corpus), so the unpartitioned window is bounded by construction.
+    */
+  private val GROWTH_BUCKET = 50
+
+  private def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(expr(s"doc_id div $GROWTH_BUCKET").as("bucket"),
+        explode(tokens(col("text"))).as("token"))
+    val cum = Window.orderBy(col("bucket"))
+    tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+      .join(tok.groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_words")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("cum_vocab", sum(col("new_words")).over(cum))
+  }
+
+  private val qVocabGrowthSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id // $GROWTH_BUCKET AS bucket,
+       |    unnest(string_split(lower(text), ' ')) AS token
+       |  FROM documents),
+       |bt AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY 1),
+       |fw AS (SELECT token, min(bucket) AS bucket FROM tok GROUP BY 1),
+       |nw AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS new_words
+       |  FROM fw GROUP BY 1)
+       |SELECT b.bucket, b.n_tokens,
+       |  coalesce(nw.new_words, 0) AS new_words,
+       |  CAST(SUM(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(coalesce(nw.new_words, 0)) OVER (ORDER BY b.bucket)
+       |    AS BIGINT) AS cum_vocab
+       |FROM bt b LEFT JOIN nw ON b.bucket = nw.bucket""".stripMargin
+
   // ------------------------------------------------------- q_dataset_card
   /** Dataset-card rollup — the corpus summary a dataset release
     * prints: per (lang, source) cell plus per-lang, per-source, and
@@ -1484,6 +1587,8 @@ object TextAnalysis {
     "q_cooccur"     -> qCooccur _,
     "q_dataset_card" -> qDatasetCard _,
     "q_bigram_novelty" -> qBigramNovelty _,
+    "q_bigram_lm"   -> qBigramLm _,
+    "q_vocab_growth" -> qVocabGrowth _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
     "q_inverted"    -> qInverted _,
@@ -1515,6 +1620,8 @@ object TextAnalysis {
     "q_cooccur"     -> qCooccurSql,
     "q_dataset_card" -> qDatasetCardSql,
     "q_bigram_novelty" -> qBigramNoveltySql,
+    "q_bigram_lm"   -> qBigramLmSql,
+    "q_vocab_growth" -> qVocabGrowthSql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,
     "q_inverted"    -> qInvertedSql,

@@ -192,6 +192,43 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_tpch21 plans the correlations as semi+anti joins; top-25 is TakeOrderedAndProject") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_tpch21")(spark, sf())
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("LeftSemi"),
+        "EXISTS must plan as a LEFT SEMI join, not a distinct+inner rewrite")
+      assert(planStr.contains("LeftAnti"),
+        "NOT EXISTS must plan as a LEFT ANTI join")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "top-25 must plan as TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_hard_negatives broadcasts the probe side; corpus never shuffles for the join") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_hard_negatives")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }
+      assert(bc.nonEmpty,
+        "probe set must broadcast against the streamed corpus")
+      val smj = plan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.isEmpty, "the scoring join must not sort-merge the corpus")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("q_golden_record survivorship is one agg, no corpus-wide window") {
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
