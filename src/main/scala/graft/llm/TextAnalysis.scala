@@ -1064,24 +1064,30 @@ object TextAnalysis {
     * curve says the corpus is saturating; a linear one says it keeps
     * contributing.
     *
-    * Scale: each word's first bucket is one (token → min bucket) agg;
-    * the cumulative windows run over the BUCKET-count-sized frame
-    * (corpus_size / 50 rows — thousands at warehouse scale, never the
-    * corpus), so the unpartitioned window is bounded by construction.
+    * Scale: ONE corpus pass, linear pipeline — the explode aggregates
+    * straight to the (bucket, token) frame (vocabulary×buckets-sized,
+    * map-side partials; plan-pinned single scan), each word's first
+    * bucket is a token-partitioned window min over that frame (never
+    * the corpus), and a row is a "new word" exactly when its bucket IS
+    * the first. The cumulative windows run over the BUCKET-count-sized
+    * frame (corpus_size / 50 rows — thousands at warehouse scale), so
+    * the unpartitioned window is bounded by construction.
     */
   private val GROWTH_BUCKET = 50
 
   private def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val cum = Window.orderBy(col("bucket"))
+    Tables.documents(s, d)
       .select(expr(s"doc_id div $GROWTH_BUCKET").as("bucket"),
         explode(tokens(col("text"))).as("token"))
-    val cum = Window.orderBy(col("bucket"))
-    tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
-      .join(tok.groupBy(col("token")).agg(min(col("bucket")).as("bucket"))
-          .groupBy(col("bucket")).agg(count(lit(1)).as("new_words")),
-        Seq("bucket"), "left")
-      .select(col("bucket"), col("n_tokens"),
-        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .groupBy(col("bucket"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("fb",
+        min(col("bucket")).over(Window.partitionBy(col("token"))))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("bucket") === col("fb"), 1L).otherwise(0L))
+          .as("new_words"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
       .withColumn("cum_vocab", sum(col("new_words")).over(cum))
   }
