@@ -324,9 +324,112 @@ object Tokenization {
        |    >= $DUP_FLAG_PPM AS flagged
        |FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_apply
+  /** Tokenizer EVALUATION — the other half of the [[qBpeIter]]
+    * lifecycle: merges trained on the TRAIN split (doc_id mod 10 < 8,
+    * the same 3-round count → winner → rewrite loop) are applied in
+    * training order to the HELD-OUT split's vocabulary, measuring the
+    * total symbol count after each round and the compression ratio vs
+    * raw characters (integer ppm). This is the generalization check a
+    * tokenizer release runs: merges earn their vocabulary slots by
+    * compressing text they were NOT trained on. (Deliberately
+    * re-derives the training chain rather than sharing [[bpeIter]]'s
+    * internals: apply needs the RAW private-use-area merge symbols the
+    * audit query expands away.)
+    *
+    * Scale: training runs over the train split's (word, freq) frame;
+    * application is three broadcast-1-row rewrites of the held-out
+    * vocabulary — corpus text is scanned once per split to build the
+    * frames, everything after is vocabulary-sized, and the repeated
+    * subtrees (vocab aggs, winner broadcasts) are identical subplans
+    * Spark's exchange reuse dedupes.
+    */
+  private def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def vocab(df: DataFrame): DataFrame = df
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def pairCounts(df: DataFrame): DataFrame = df
+      .filter(char_length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+    def top1(pc: DataFrame, m: String): DataFrame =
+      pc.orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as(m))
+    val wc = vocab(docs.filter(col("doc_id") % 10 < 8))
+    val t1 = top1(pairCounts(wc), "m1")
+    val wc2 = wc.crossJoin(broadcast(t1))
+      .select(expr("replace(w, m1, '')").as("w"), col("c"))
+    val t2 = top1(pairCounts(wc2), "m2")
+    val wc3 = wc2.crossJoin(broadcast(t2))
+      .select(expr("replace(w, m2, '')").as("w"), col("c"))
+    val t3 = top1(pairCounts(wc3), "m3")
+    val ho = vocab(docs.filter(col("doc_id") % 10 >= 8))
+    val ho1 = ho.crossJoin(broadcast(t1))
+      .select(expr("replace(w, m1, '')").as("w"), col("c"))
+    val ho2 = ho1.crossJoin(broadcast(t2))
+      .select(expr("replace(w, m2, '')").as("w"), col("c"))
+    val ho3 = ho2.crossJoin(broadcast(t3))
+      .select(expr("replace(w, m3, '')").as("w"), col("c"))
+    def symbols(df: DataFrame, r: Int): DataFrame =
+      df.agg(sum(col("c") * char_length(col("w"))).as("n_symbols"))
+        .select(lit(r).cast(IntegerType).as("round"), col("n_symbols"))
+    val r0 = symbols(ho, 0)
+    r0.unionAll(symbols(ho1, 1))
+      .unionAll(symbols(ho2, 2))
+      .unionAll(symbols(ho3, 3))
+      .crossJoin(broadcast(r0.select(col("n_symbols").as("base"))))
+      .select(col("round"), col("n_symbols"),
+        expr("n_symbols * 1000000 div base").as("ratio_ppm"))
+  }
+
+  private val qBpeApplySql: String =
+    s"""WITH wtr AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE doc_id % 10 < 8),
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM wtr WHERE w <> '' GROUP BY 1),
+       |p1 AS (${pairSql("wc")}),
+       |t1 AS (SELECT pair AS m1 FROM p1 ORDER BY n DESC, pair LIMIT 1),
+       |wc2 AS (SELECT replace(w, (SELECT m1 FROM t1), chr(57344)) AS w, c
+       |        FROM wc),
+       |p2 AS (${pairSql("wc2")}),
+       |t2 AS (SELECT pair AS m2 FROM p2 ORDER BY n DESC, pair LIMIT 1),
+       |wc3 AS (SELECT replace(w, (SELECT m2 FROM t2), chr(57345)) AS w, c
+       |        FROM wc2),
+       |p3 AS (${pairSql("wc3")}),
+       |t3 AS (SELECT pair AS m3 FROM p3 ORDER BY n DESC, pair LIMIT 1),
+       |who AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE doc_id % 10 >= 8),
+       |ho AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM who WHERE w <> '' GROUP BY 1),
+       |ho1 AS (SELECT replace(w, (SELECT m1 FROM t1), chr(57344)) AS w, c
+       |        FROM ho),
+       |ho2 AS (SELECT replace(w, (SELECT m2 FROM t2), chr(57345)) AS w, c
+       |        FROM ho1),
+       |ho3 AS (SELECT replace(w, (SELECT m3 FROM t3), chr(57346)) AS w, c
+       |        FROM ho2),
+       |r AS (
+       |  SELECT 0 AS round,
+       |    CAST(sum(c * length(w)) AS BIGINT) AS n_symbols FROM ho
+       |  UNION ALL SELECT 1, CAST(sum(c * length(w)) AS BIGINT) FROM ho1
+       |  UNION ALL SELECT 2, CAST(sum(c * length(w)) AS BIGINT) FROM ho2
+       |  UNION ALL SELECT 3, CAST(sum(c * length(w)) AS BIGINT) FROM ho3)
+       |SELECT CAST(round AS INTEGER) AS round, n_symbols,
+       |  n_symbols * 1000000
+       |    // (SELECT n_symbols FROM r WHERE round = 0) AS ratio_ppm
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merge"     -> qBpeMerge _,
     "q_bpe_iter"      -> qBpeIter _,
+    "q_bpe_apply"     -> qBpeApply _,
     "q_fertility"     -> qFertility _,
     "q_code_detect"   -> qCodeDetect _,
     "q_substring_dup" -> qSubstringDup _
@@ -335,6 +438,7 @@ object Tokenization {
   val oracles: Map[String, String] = Map(
     "q_bpe_merge"     -> qBpeMergeSql,
     "q_bpe_iter"      -> qBpeIterSql,
+    "q_bpe_apply"     -> qBpeApplySql,
     "q_fertility"     -> qFertilitySql,
     "q_code_detect"   -> qCodeDetectSql,
     "q_substring_dup" -> qSubstringDupSql
