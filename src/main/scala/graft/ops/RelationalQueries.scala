@@ -773,6 +773,68 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- q_bloom_membership
+  /** Bloom-filter membership audit — the sketch family's third member
+    * (HLL counts distincts, CMS counts frequencies, Bloom answers
+    * containment). The filter is built once over the recent-buyer key
+    * set ([[graft.functions.BloomFns]] exposes Spark's own
+    * runtime-filter expressions to SQL) and probed map-side for every
+    * customer; exact membership via EXISTS is computed alongside. The
+    * oracle-comparable contract mirrors q_approx: exact counts both
+    * engines compute, plus booleans asserting the sketch's guarantees
+    * — NO false negatives ever (a Bloom invariant: if this is false
+    * the engine is broken), false-positive rate under 5% (sized 2^18
+    * bits for ≤10⁴ keys → true fpp ≪ 0.1%, so the boolean is
+    * deterministic at any tested scale).
+    *
+    * Scale: the build side aggregates to one 32 KB binary (OR-merge of
+    * partials — order-independent, so the sketch is partition-stable);
+    * the probe is a broadcast scalar, map-only per row. At 100 TB this
+    * replaces a 15 k-row × corpus semi-join with a byte-array lookup.
+    */
+  private def qBloomMembership(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFns.register(s)
+    Tables.registerViews(s, d)
+    s.sql(
+      """WITH recent AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+        |probe AS (
+        |  SELECT c_custkey,
+        |    EXISTS(SELECT 1 FROM recent r
+        |           WHERE r.o_custkey = c_custkey) AS is_member,
+        |    graft_might_contain(
+        |      (SELECT graft_bloom_agg(o_custkey, 10000L, 262144L)
+        |       FROM recent), c_custkey) AS bloom_hit
+        |  FROM customer)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_members,
+        |  min(CASE WHEN is_member AND NOT bloom_hit THEN 0 ELSE 1 END) = 1
+        |    AS no_false_negatives,
+        |  CAST(sum(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END)
+        |       AS BIGINT) * 20
+        |    <= sum(CASE WHEN is_member THEN 0 ELSE 1 END)
+        |    AS fp_within_bound
+        |FROM probe""".stripMargin)
+  }
+
+  private val qBloomMembershipSql: String =
+    """WITH recent AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+      |probe AS (
+      |  SELECT c_custkey,
+      |    EXISTS(SELECT 1 FROM recent r
+      |           WHERE r.o_custkey = c_custkey) AS is_member
+      |  FROM customer)
+      |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_members,
+      |  TRUE AS no_false_negatives,
+      |  TRUE AS fp_within_bound
+      |FROM probe""".stripMargin
+
   // -------------------------------------------------------------- q_not_in
   /** NOT IN subquery — plans as a null-aware anti join (a genuinely
     * different operator from q_anti's plain left-anti: the build side
@@ -1421,6 +1483,7 @@ object RelationalQueries {
     "q_percentiles" -> qPercentiles _,
     "q_array_fns"  -> qArrayFns _,
     "q_approx"     -> qApprox _,
+    "q_bloom_membership" -> qBloomMembership _,
     "q_pivot"      -> qPivot _,
     "q_window_range" -> qWindowRange _,
     "q_scalar_subq"  -> qScalarSubq _,
@@ -1495,6 +1558,7 @@ object RelationalQueries {
     "q_date_series" -> qDateSeriesSql,
     "q_setops_all" -> qSetopsAllSql,
     "q_gapfill"    -> qGapfillSql,
-    "q_approx"     -> qApproxSql
+    "q_approx"     -> qApproxSql,
+    "q_bloom_membership" -> qBloomMembershipSql
   )
 }
