@@ -1232,6 +1232,45 @@ object Dedup {
        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
        |FROM cs GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ q_source_xdup
+  /** Cross-source near-dup contamination matrix — which sources copy
+    * from which: every verified near-dup pair mapped to the (source,
+    * source) cell of its endpoints (unordered, lexicographic so each
+    * cell counts once), with the within-source diagonal kept as the
+    * baseline. The provenance question behind licensing audits and
+    * mixture weighting: a heavy off-diagonal cell means two "sources"
+    * are substantially the same feed.
+    *
+    * Scale: the pair list is candidate-sized (shared banded pipeline);
+    * the doc→source map joins are corpus-keyed hash joins projecting
+    * two columns; the matrix is ≤ sources² rows.
+    */
+  private def qSourceXdup(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    verifiedPairsShared(s, d, JACCARD_T)
+      .join(src.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "source" -> "sa")), Seq("doc_a"))
+      .join(src.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "source" -> "sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
+  private lazy val qSourceXdupSql: String =
+    s"""WITH ${verSqlCtes("documents")}
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(da.source, db.source) <> greatest(da.source, db.source)
+       |    AS cross_source
+       |FROM ver
+       |JOIN documents da ON da.doc_id = ver.doc_a
+       |JOIN documents db ON db.doc_id = ver.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   // -------------------------------------------------------- q_dedup_cap
   /** Cluster-capped survivorship — the dedup policy between "keep
     * everything" and "keep one per cluster": each near-dup cluster
@@ -1369,7 +1408,8 @@ object Dedup {
     "q_levenshtein"   -> qLevenshtein _,
     "q_containment"   -> qContainment _,
     "q_dedup_agreement" -> qDedupAgreement _,
-    "q_dedup_cap"     -> qDedupCap _
+    "q_dedup_cap"     -> qDedupCap _,
+    "q_source_xdup"   -> qSourceXdup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,6 +1430,7 @@ object Dedup {
     "q_levenshtein"   -> qLevenshteinSql,
     "q_containment"   -> qContainmentSql,
     "q_dedup_agreement" -> qDedupAgreementSql,
-    "q_dedup_cap"     -> qDedupCapSql
+    "q_dedup_cap"     -> qDedupCapSql,
+    "q_source_xdup"   -> qSourceXdupSql
   )
 }
