@@ -324,6 +324,87 @@ object Tokenization {
        |    >= $DUP_FLAG_PPM AS flagged
        |FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id""".stripMargin
 
+  // ------------------------------------------------------- q_content_chunks
+  /** Content-defined chunking — the storage-dedup splitter (LBFS /
+    * backup-tool lineage): a chunk boundary falls after every
+    * [[CDC_W]]-codepoint window whose rolling hash ≡ 0 mod [[CDC_M]]
+    * (expected chunk ≈ 64 chars), so INSERTIONS shift boundaries only
+    * locally — unlike fixed-size blocks, where one inserted byte
+    * re-chunks everything downstream. Chunks are then deduplicated by
+    * content hash corpus-wide; the output is the storage story: total
+    * vs distinct chunk bytes and the dedup ratio in ppm.
+    *
+    * Scale: chunking is MAP-ONLY array math inside the row (the
+    * [[graft.functions.RollingHashWindows]] O(n) codegen pass →
+    * boundary filter → span zip); only (hash, size) pairs shuffle,
+    * grouped by (h, sz) so a poly-hash collision between
+    * different-length chunks cannot make the output order-dependent.
+    */
+  private val CDC_W = 16
+  private val CDC_M = 64
+
+  private def qContentChunks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHashWindows.register(s)
+    graft.functions.PolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(char_length(col("text")) > 0)
+      .withColumn("hs", graft.functions.RollingHashWindows
+        .rolling_hashes(col("text"), lit(CDC_W)))
+      .withColumn("bounds", expr(
+        s"array_distinct(concat(array(0), " +
+          s"transform(filter(sequence(0, size(hs) - 1)," +
+          s" i -> hs[i] % $CDC_M = 0), i -> i + $CDC_W), " +
+          "array(char_length(text))))"))
+      .select(col("text"), explode(expr(
+        "transform(sequence(0, size(bounds) - 2), " +
+          "i -> struct(bounds[i] AS st, bounds[i + 1] - bounds[i] AS sz))"))
+        .as("sp"))
+      .select(expr("poly_hash(substring(text, sp.st + 1, sp.sz))").as("h"),
+        col("sp.sz").as("sz"))
+      .groupBy(col("h"), col("sz"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("n") * col("sz")).as("total_bytes"),
+        sum(col("sz").cast("long")).as("distinct_bytes"))
+      .withColumn("dedup_ppm",
+        expr("(total_bytes - distinct_bytes) * 1000000 div total_bytes"))
+  }
+
+  private val qContentChunksSql: String =
+    s"""WITH nz AS (
+       |  SELECT text FROM documents WHERE length(text) > 0),
+       |cb AS (
+       |  SELECT text,
+       |    list_sort(list_distinct(list_concat(list_concat(
+       |      [0],
+       |      list_transform(
+       |        list_filter(range(1, greatest(length(text) - ${CDC_W - 1}, 0) + 1),
+       |          p -> ${Dedup.tokHashSql(s"substring(text, p, $CDC_W)")}
+       |            % $CDC_M = 0),
+       |        p -> p + ${CDC_W - 1})),
+       |      [length(text)]))) AS bounds
+       |  FROM nz),
+       |spans AS (
+       |  SELECT
+       |    ${Dedup.tokHashSql(
+              "substring(text, bounds[i + 1] + 1, bounds[i + 2] - bounds[i + 1])")}
+       |      AS h,
+       |    bounds[i + 2] - bounds[i + 1] AS sz
+       |  FROM (SELECT text, bounds, unnest(range(len(bounds) - 1)) AS i
+       |        FROM cb)),
+       |byh AS (
+       |  SELECT h, sz, CAST(count(*) AS BIGINT) AS n
+       |  FROM spans GROUP BY 1, 2)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(sum(n * sz) AS BIGINT) AS total_bytes,
+       |  CAST(sum(sz) AS BIGINT) AS distinct_bytes,
+       |  (CAST(sum(n * sz) AS BIGINT) - CAST(sum(sz) AS BIGINT)) * 1000000
+       |    // CAST(sum(n * sz) AS BIGINT) AS dedup_ppm
+       |FROM byh""".stripMargin
+
   // ------------------------------------------------------------ q_bpe_apply
   /** Tokenizer EVALUATION — the other half of the [[qBpeIter]]
     * lifecycle: merges trained on the TRAIN split (doc_id mod 10 < 8,
@@ -430,6 +511,7 @@ object Tokenization {
     "q_bpe_merge"     -> qBpeMerge _,
     "q_bpe_iter"      -> qBpeIter _,
     "q_bpe_apply"     -> qBpeApply _,
+    "q_content_chunks" -> qContentChunks _,
     "q_fertility"     -> qFertility _,
     "q_code_detect"   -> qCodeDetect _,
     "q_substring_dup" -> qSubstringDup _
@@ -439,6 +521,7 @@ object Tokenization {
     "q_bpe_merge"     -> qBpeMergeSql,
     "q_bpe_iter"      -> qBpeIterSql,
     "q_bpe_apply"     -> qBpeApplySql,
+    "q_content_chunks" -> qContentChunksSql,
     "q_fertility"     -> qFertilitySql,
     "q_code_detect"   -> qCodeDetectSql,
     "q_substring_dup" -> qSubstringDupSql
