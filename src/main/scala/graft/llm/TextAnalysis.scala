@@ -512,6 +512,58 @@ object TextAnalysis {
        |ORDER BY tf DESC, t
        |LIMIT $VOCAB_K""".stripMargin
 
+  // ----------------------------------------------------- q_vocab_coverage
+  /** Vocabulary coverage curve — the vocab-SIZING audit ([[qVocab]]
+    * extracts the vocabulary, `q_oov_rate` audits one fixed cutoff;
+    * this sweeps the cutoff): what fraction of all token occurrences
+    * the top-K vocabulary covers, at K ∈ {100, 500, 2000}. The knee of
+    * this curve is where a tokenizer stops earning coverage per slot —
+    * the number a vocab-size decision actually needs.
+    *
+    * Scale: one corpus pass to the (token, tf) frame; each cutoff is a
+    * TakeOrderedAndProject top-K over the vocabulary frame followed by
+    * a K-row sum — never a corpus-wide rank. The repeated vocabulary
+    * agg is an identical subplan across branches (runtime exchange
+    * reuse dedupes it).
+    */
+  private val COVERAGE_KS = Seq(100, 500, 2000)
+
+  private def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    def cov(k: Int): DataFrame = tf
+      .orderBy(col("tf").desc, col("token").asc).limit(k)
+      .agg(sum(col("tf")).as("top_tokens"))
+      .select(lit(k).cast(IntegerType).as("k"), col("top_tokens"))
+    COVERAGE_KS.map(cov).reduce(_ unionAll _)
+      .crossJoin(broadcast(tf.agg(sum(col("tf")).as("total_tokens"))))
+      .select(col("k"), col("top_tokens"), col("total_tokens"),
+        expr("top_tokens * 1000000 div total_tokens").as("coverage_ppm"))
+  }
+
+  private val qVocabCoverageSql: String = {
+    val branches = COVERAGE_KS.map(k =>
+      s"""SELECT $k AS k,
+         |    CAST(sum(CASE WHEN r <= $k THEN tf END) AS BIGINT)
+         |      AS top_tokens FROM rk""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH tf AS (
+       |  SELECT t AS token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents)
+       |  GROUP BY 1),
+       |rk AS (
+       |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS r
+       |  FROM tf),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+       |ks AS (
+       |  $branches)
+       |SELECT CAST(k AS INTEGER) AS k, top_tokens, total_tokens,
+       |  top_tokens * 1000000 // total_tokens AS coverage_ppm
+       |FROM ks, tot""".stripMargin
+  }
+
   // ----------------------------------------------------- q_weighted_sample
   /** Weighted sampling without replacement — priority sampling
     * (Duffield–Lund–Thorup): each doc gets priority u/w where u is a
@@ -1595,6 +1647,7 @@ object TextAnalysis {
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_bigram_lm"   -> qBigramLm _,
     "q_vocab_growth" -> qVocabGrowth _,
+    "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
     "q_inverted"    -> qInverted _,
@@ -1628,6 +1681,7 @@ object TextAnalysis {
     "q_bigram_novelty" -> qBigramNoveltySql,
     "q_bigram_lm"   -> qBigramLmSql,
     "q_vocab_growth" -> qVocabGrowthSql,
+    "q_vocab_coverage" -> qVocabCoverageSql,
     "q_repetition"  -> qRepetitionSql,
     "q_bm25"        -> qBm25Sql,
     "q_inverted"    -> qInvertedSql,
