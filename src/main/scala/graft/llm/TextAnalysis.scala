@@ -1636,7 +1636,132 @@ object TextAnalysis {
        |ORDER BY chi2_ppm DESC, term, lang
        |LIMIT $CHI2_TOP""".stripMargin
 
+  // --------------------------------------------------- q_doc_surprisal
+  /** Per-document surprisal under the corpus bigram LM — the
+    * model-based quality signal behind KenLM-style perplexity
+    * filters, kept integer-exact: each bigram's surprisal proxy is
+    * the inverse conditional probability `c(w1·)·10⁶ div c(w1,w2)`
+    * (high when the transition is rare for its history — no log, no
+    * float), and a document scores the ppm-average over its bigrams.
+    * Top-[[SURPRISAL_K]] most-surprising documents surface for
+    * review — exactly how an LM filter flags low-quality/outlier
+    * text for exclusion.
+    *
+    * Scale: the LM is ONE corpus pass aggregated to (w1, w2, count)
+    * with the history count derived from the pair frame (vocab²-
+    * bounded, not corpus-bounded); per-document bigrams then join the
+    * LM on (w1, w2) — a hash join between a corpus-scale token frame
+    * and a vocab-scale count frame, never doc×doc. A document's own
+    * bigrams are in the counts, so every join matches (no null
+    * probability) and the divisor is ≥ 1.
+    */
+  private val SURPRISAL_K = 50
+
+  private def qDocSurprisal(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = docBigrams
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+    val lm = pairs.join(
+      pairs.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1")),
+      Seq("w1"))
+    docBigrams.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("c_w1 * 1000000 div c_bigram")).as("total_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("total_surprisal div n_bigrams").as("avg_surprisal_ppm"))
+      .orderBy(col("avg_surprisal_ppm").desc, col("doc_id"))
+      .limit(SURPRISAL_K)
+  }
+
+  private val qDocSurprisalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents),
+       |bgidx AS (
+       |  SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+       |  FROM tok WHERE len(tk) >= 2),
+       |bg AS (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 FROM bgidx),
+       |pairs AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+       |  FROM bg GROUP BY 1, 2),
+       |lm AS (
+       |  SELECT p.w1, p.w2, p.c_bigram, h.c_w1
+       |  FROM pairs p
+       |  JOIN (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1
+       |        FROM pairs GROUP BY 1) h ON p.w1 = h.w1),
+       |scored AS (
+       |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(lm.c_w1 * 1000000 // lm.c_bigram) AS BIGINT)
+       |      AS total_surprisal
+       |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  total_surprisal // n_bigrams AS avg_surprisal_ppm
+       |FROM scored
+       |ORDER BY avg_surprisal_ppm DESC, doc_id
+       |LIMIT $SURPRISAL_K""".stripMargin
+
+  // ------------------------------------------------------ q_source_hhi
+  /** Per-source vocabulary concentration — the Herfindahl–Hirschman
+    * index (Σ share², the Simpson-diversity complement) over unigram
+    * frequencies, in exact integer ppm: `Σc²·10⁶ div N²`. A source
+    * whose token mass concentrates on few types (boilerplate, spam,
+    * template farms) scores high; a diverse source scores near the
+    * uniform floor. Reported with vocabulary size and the top type's
+    * share — the dashboard row a mixture designer reads before
+    * weighting sources. (Entropy needs a log; HHI carries the same
+    * concentration signal in pure integer arithmetic, so both
+    * engines agree bit-for-bit.)
+    *
+    * Scale: one corpus pass to (source, word, count) — map-side
+    * combinable — then a vocabulary-sized re-agg per source. The Σc²
+    * and N² products stay in BIGINT; envelope |N|·10³ < 2³¹ ⇒
+    * Σc²·10⁶ < 2⁶³ holds through sf0.1 with 10⁴× margin (at
+    * warehouse scale route the two products through DECIMAL(38,0)).
+    */
+  private def qSourceHhi(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("c") * col("c")).as("ssq"),
+        max(col("c")).as("top_c"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        expr("ssq * 1000000 div (n_tokens * n_tokens)").as("hhi_ppm"),
+        expr("top_c * 1000000 div n_tokens").as("top_share_ppm"))
+
+  private val qSourceHhiSql: String =
+    """WITH wc AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM wc GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_vocab,
+      |    CAST(SUM(c * c) AS BIGINT) AS ssq, MAX(c) AS top_c
+      |  FROM cnt GROUP BY 1)
+      |SELECT source, n_tokens, n_vocab,
+      |  ssq * 1000000 // (n_tokens * n_tokens) AS hhi_ppm,
+      |  top_c * 1000000 // n_tokens AS top_share_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_surprisal" -> qDocSurprisal _,
+    "q_source_hhi"  -> qSourceHhi _,
     "q_chi2"        -> qChi2 _,
     "q_feature_hash" -> qFeatureHash _,
     "q_normalize"   -> qNormalize _,
@@ -1671,6 +1796,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_doc_surprisal" -> qDocSurprisalSql,
+    "q_source_hhi"  -> qSourceHhiSql,
     "q_chi2"        -> qChi2Sql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_normalize"   -> qNormalizeSql,

@@ -545,7 +545,424 @@ object Tpch {
        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q_tpch1
+  /** Q1 (pricing summary report): the canonical scan-heavy
+    * full-table aggregate — 8 aggregates over 2 grouping columns,
+    * everything map-side combinable. All money sums route through
+    * exact decimals; `sum_charge` carries scale 6 (two 2-dp factors),
+    * so its stable-double path scales by 10⁶ before the BIGINT cast
+    * (the ×10⁴ path would truncate in Spark but round in DuckDB on
+    * the residual fraction). Averages are [[Det.davg]]: one exact
+    * decimal sum, one correctly-rounded IEEE division, identical in
+    * both engines.
+    *
+    * Scale: single lineitem pass, partial aggregation before the
+    * 6-row exchange; the shipdate filter is on the scan.
+    */
+  private val Q1_CUT = "2001-09-01"
+
+  private def qTpch1(s: SparkSession, d: String): DataFrame = {
+    val disc   = Det.money2(col("l_extendedprice")) *
+      Det.factor2(lit(1) - col("l_discount"))
+    val charge = disc * Det.factor2(lit(1) + col("l_tax"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(Q1_CUT))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsumExact(disc).as("sum_disc_price"),
+        ((sum(charge) * 1000000).cast("long") / lit(1000000.0))
+          .as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).cast(IntegerType).as("count_order"))
+  }
+
+  private val qTpch1Sql: String = {
+    val disc   = """CAST(l_extendedprice AS DECIMAL(12,2))
+                   |      * CAST(1 - l_discount AS DECIMAL(4,2))""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM($disc) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($disc * CAST(1 + l_tax AS DECIMAL(4,2))) * 1000000
+       |       AS BIGINT) / 1000000.0 AS sum_charge,
+       |  ${Det.davgSql("l_quantity")} AS avg_qty,
+       |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+       |  ${Det.davgSql("l_discount")} AS avg_disc,
+       |  CAST(count(*) AS INTEGER) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$Q1_CUT'
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q_tpch2
+  /** Q2 (minimum-cost supplier), adapted: the schema has no
+    * `partsupp`, so observed supply pairs come from lineitem with
+    * `ps_supplycost` surrogated by the minimum 2-dp line price each
+    * supplier ever charged for the part. The shape is Q2's:
+    * dimension-filtered candidates joined against a per-part
+    * correlated MIN, top-100 by account balance. Decimal equality
+    * against the min is exact, so near-tie costs can't merge or split
+    * across engines.
+    *
+    * Scale: the pair-agg is the one heavy exchange (hash on the
+    * pair); region/nation broadcast, the filtered part side
+    * broadcasts, and the per-part min is a partkey-grouped agg of the
+    * already-filtered candidates — never a window over lineitem.
+    */
+  private def qTpch2(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"))
+    val cand = ps
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 10)),
+        col("l_partkey") === col("p_partkey"))
+    val minc = cand.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("cost_dec")).as("min_cost"))
+    cand.join(minc, col("p_partkey") === col("m_partkey") &&
+        col("cost_dec") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        ((col("cost_dec") * 100).cast("long") / lit(100.0)).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  private val qTpch2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+      |  FROM lineitem GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_dec
+      |  FROM ps
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  CAST(cost_dec * 100 AS BIGINT) / 100.0 AS supply_cost
+      |FROM cand
+      |WHERE cost_dec = (SELECT MIN(c2.cost_dec) FROM cand c2
+      |                  WHERE c2.p_partkey = cand.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- q_tpch7
+  /** Q7 (volume shipping): bilateral trade between two nations by
+    * ship year — the double-dimension-role anchor (nation joined once
+    * as supplier country, once as customer country).
+    *
+    * Scale: both nation legs broadcast pre-filtered to the two
+    * nations of interest; the residual pair predicate (exclude
+    * domestic flows) evaluates post-join on broadcast columns. Fact
+    * joins hash on orderkey/custkey/suppkey as usual.
+    */
+  private def qTpch7(s: SparkSession, d: String): DataFrame = {
+    val two = Seq("NATION_1", "NATION_2")
+    val n1 = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+      .agg(revenue.as("revenue"))
+  }
+
+  private val qTpch7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       |  $revenueSql AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+       |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q_tpch8
+  /** Q8 (national market share): one nation's share of a region's
+    * STANDARD-part order volume by order year. The share is integer
+    * ppm over ×10⁴-scaled decimal sums (integer division, no double
+    * ratio), so both engines agree bit-for-bit; the two revenue
+    * columns come back through the shared scaled-bigint path.
+    *
+    * Scale: part (filtered) and the two nation legs broadcast; the
+    * numerator is a conditional sum in the same single aggregation
+    * pass as the denominator — no second scan, no self-join.
+    */
+  private def qTpch8(s: SparkSession, d: String): DataFrame = {
+    val vol = Det.money2(col("l_extendedprice")) *
+      Det.factor2(lit(1) - col("l_discount"))
+    val suppN = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(suppN, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(
+        coalesce((sum(when(col("supp_nation") === "NATION_3", vol)) * 10000)
+          .cast("long"), lit(0L)).as("ns"),
+        (sum(vol) * 10000).cast("long").as("ts"))
+      .select(col("o_year"),
+        (col("ns") / lit(10000.0)).as("nation_revenue"),
+        (col("ts") / lit(10000.0)).as("total_revenue"),
+        expr("ns * 1000000 div ts").as("mkt_ppm"))
+  }
+
+  private val qTpch8Sql: String =
+    """WITH j AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol,
+      |    ns.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |g AS (
+      |  SELECT CAST(yr AS INTEGER) AS o_year,
+      |    CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END)
+      |                  * 10000, 0) AS BIGINT) AS ns,
+      |    CAST(SUM(vol) * 10000 AS BIGINT) AS ts
+      |  FROM j GROUP BY 1)
+      |SELECT o_year, ns / 10000.0 AS nation_revenue,
+      |  ts / 10000.0 AS total_revenue, ns * 1000000 // ts AS mkt_ppm
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------- q_tpch9
+  /** Q9 (product-type profit), adapted: with no `ps_supplycost`,
+    * line cost is surrogated by `p_retailprice · l_quantity` (both
+    * 2-dp decimals), so profit = discounted revenue − retail cost per
+    * '%bolt%' part, grouped by supplier nation × order year. Scale-4
+    * decimal sums return through the ×10⁴ stable path.
+    *
+    * Scale: part (LIKE-filtered) and nation broadcast; the profit
+    * expression folds into the single fact aggregation — the
+    * orderkey/suppkey joins are the only exchanges.
+    */
+  private def qTpch9(s: SparkSession, d: String): DataFrame = {
+    val amount = Det.money2(col("l_extendedprice")) *
+      Det.factor2(lit(1) - col("l_discount")) -
+      Det.money2(col("p_retailprice")) * Det.money2(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(((sum(amount) * 10000).cast("long") / lit(10000.0))
+        .as("sum_profit"))
+  }
+
+  private val qTpch9Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(1 - l_discount AS DECIMAL(4,2))
+      |           - CAST(p_retailprice AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)
+      |    / 10000.0 AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch11
+  /** Q11 (important stock), adapted: supply "value" per part is the
+    * sum of the per-pair cost surrogate ([[qTpch2]]'s min line
+    * price) over ASIA suppliers; parts whose value exceeds 1/1000 of
+    * the cohort total (≈2× the average part's share) survive. The
+    * threshold comparison runs in ×100-scaled integers
+    * (`value·10³ > total`), never dividing — the
+    * aggregate-vs-scalar-subquery shape with exact semantics.
+    *
+    * Scale: the pair-agg exchange dominates; the cohort total is a
+    * 1-row broadcast over the per-part aggregate (customer-free plan,
+    * no window).
+    */
+  private def qTpch11(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val perPart = ps.groupBy(col("l_partkey").as("ps_partkey"))
+      .agg((sum(col("cost_dec")) * 100).cast("long").as("val_cents"))
+    perPart
+      .crossJoin(broadcast(
+        perPart.agg(sum(col("val_cents")).as("total_cents"))))
+      .filter(col("val_cents") * 1000 > col("total_cents"))
+      .select(col("ps_partkey"),
+        (col("val_cents") / lit(100.0)).as("part_value"))
+  }
+
+  private val qTpch11Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+      |  FROM lineitem GROUP BY 1, 2),
+      |asia AS (
+      |  SELECT l_partkey, cost_dec
+      |  FROM ps
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |per_part AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    CAST(SUM(cost_dec) * 100 AS BIGINT) AS val_cents
+      |  FROM asia GROUP BY 1)
+      |SELECT ps_partkey, val_cents / 100.0 AS part_value
+      |FROM per_part
+      |WHERE val_cents * 1000 > (SELECT SUM(val_cents) FROM per_part)""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch13
+  /** Q13 (customer order-count distribution): LEFT OUTER join with an
+    * ON-clause filter (not WHERE — zero-order customers must survive)
+    * + double aggregation into a histogram. `o_orderpriority <>
+    * '1-URGENT'` stands in for the absent comment LIKE filter.
+    *
+    * Scale: one custkey exchange for the join+count, then a
+    * tiny histogram re-agg; COUNT(o_orderkey) (null-skipping) keeps
+    * the unmatched customers at 0.
+    */
+  private def qTpch13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).cast(IntegerType).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).cast(IntegerType).as("custdist"))
+
+  private val qTpch13Sql: String =
+    """SELECT c_count, CAST(count(*) AS INTEGER) AS custdist
+      |FROM (SELECT c_custkey,
+      |        CAST(count(o_orderkey) AS INTEGER) AS c_count
+      |      FROM customer
+      |      LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_tpch20
+  /** Q20 (potential part promotion), adapted: suppliers in AMERICA
+    * holding a 'small%' part whose surrogate availability (total line
+    * count for the pair) exceeds a quarter of the 1996 quantity
+    * shipped — the nested-subquery → semi-join shape. The comparison
+    * runs in scaled integers (cnt·4·10⁴ > Σqty·10⁴).
+    *
+    * Scale: ONE lineitem pass computes both the availability count
+    * and the conditional 1996 quantity sum per pair (no second scan);
+    * part broadcasts after its LIKE filter; the surviving pair list
+    * semi-joins into supplier.
+    */
+  private def qTpch20(s: SparkSession, d: String): DataFrame = {
+    val qty96 = when(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"),
+      col("l_quantity")).otherwise(lit(0))
+    val pairs = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(qty96.cast(DecimalType(18, 4))) * 10000).cast("long").as("sq"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("cnt") * 4 * 10000 > col("sq"))
+    Tables.supplier(s, d)
+      .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val qTpch20Sql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey
+      |    FROM (SELECT l_partkey, l_suppkey, count(*) AS cnt,
+      |            CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |                       AND l_shipdate < TIMESTAMP '1997-01-01'
+      |                     THEN CAST(l_quantity AS DECIMAL(18,4))
+      |                     ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000
+      |                 AS BIGINT) AS sq
+      |          FROM lineitem GROUP BY 1, 2)
+      |    JOIN part ON l_partkey = p_partkey
+      |    WHERE p_name LIKE 'small%' AND cnt * 4 * 10000 > sq)
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch1"  -> qTpch1 _,
+    "q_tpch2"  -> qTpch2 _,
+    "q_tpch7"  -> qTpch7 _,
+    "q_tpch8"  -> qTpch8 _,
+    "q_tpch9"  -> qTpch9 _,
+    "q_tpch11" -> qTpch11 _,
+    "q_tpch13" -> qTpch13 _,
+    "q_tpch20" -> qTpch20 _,
     "q_tpch3"  -> qTpch3 _,
     "q_tpch4"  -> qTpch4 _,
     "q_tpch5"  -> qTpch5 _,
@@ -563,6 +980,14 @@ object Tpch {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch1"  -> qTpch1Sql,
+    "q_tpch2"  -> qTpch2Sql,
+    "q_tpch7"  -> qTpch7Sql,
+    "q_tpch8"  -> qTpch8Sql,
+    "q_tpch9"  -> qTpch9Sql,
+    "q_tpch11" -> qTpch11Sql,
+    "q_tpch13" -> qTpch13Sql,
+    "q_tpch20" -> qTpch20Sql,
     "q_tpch3"  -> qTpch3Sql,
     "q_tpch4"  -> qTpch4Sql,
     "q_tpch5"  -> qTpch5Sql,

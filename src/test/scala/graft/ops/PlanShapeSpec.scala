@@ -298,6 +298,76 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("q_tpch1 is one lineitem pass: single exchange, no Expand") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_tpch1")(spark, sf())
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"Q1 must shuffle only 6 partial-agg rows, got ${exchanges.size} exchanges")
+      assert(plan.collect { case e: ExpandExec => e }.isEmpty,
+        "Q1's 8 aggregates must share one pass, not Expand the input")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_tpch2 broadcasts every dimension and plans top-100 as TakeOrdered") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_tpch2")(spark, sf())
+        .queryExecution.executedPlan
+      val bc = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bc.size >= 3,
+        s"nation/region/part must broadcast, got ${bc.size} broadcast joins")
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "top-100 must be TakeOrderedAndProject, not a global sort")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_tpch20 scans lineitem exactly once and semi-joins the pair list") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_tpch20")(spark, sf())
+        .queryExecution.executedPlan
+      val liScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("lineitem")) => f
+      }
+      assert(liScans.size == 1,
+        s"availability + 1996 quantity must share ONE lineitem pass, " +
+          s"got ${liScans.size} scans")
+      assert(plan.toString.contains("LeftSemi"),
+        "supplier filter must plan as a semi join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_doc_surprisal joins hash (never nested-loop) and top-k is bounded") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_doc_surprisal")(spark, sf())
+        .queryExecution.executedPlan
+      val nested = plan.collect {
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(nested.isEmpty,
+        "LM join must stay a hash join — nested-loop means a missing equi-key")
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "top-50 must be TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("grouping-sets family expands group partials, not input rows") {
     // AQE wraps the plan adaptively; the static plan is what carries
     // the Expand/aggregate nesting being asserted.
