@@ -21,23 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (ns since epoch) via
-    * the legacy conf and truncate to microseconds — exactly what DuckDB
-    * does on scan, so oracle comparison stays bit-identical. Integer
-    * `div` (not `/`) because ns-since-epoch exceeds double's 2^53 exact
+  /** `events.ts` arrives in whatever parquet timestamp flavor the data
+    * generator used — TIMESTAMP(NANOS) (older drops; Spark's vectorized
+    * reader rejects it, so it is read as a long via the legacy conf and
+    * truncated to micros) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (current drops; Spark infers TIMESTAMP_NTZ). Both are normalized
+    * to session-TZ TIMESTAMP here: the session runs in UTC
+    * ([[GraftSession]]), so reinterpreting the naive wall-clock as UTC
+    * is exactly DuckDB's treatment of a naive timestamp in epoch
+    * functions — oracle comparison stays bit-identical. Integer `div`
+    * (not `/`) because ns-since-epoch exceeds double's 2^53 exact
     * range.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn(
-        "ts",
-        org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

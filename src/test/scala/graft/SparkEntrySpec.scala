@@ -30,11 +30,13 @@ class SparkEntrySpec extends SparkSpec {
         val n = fn(spark, sf()).count()
         if (n == 0) Some(name) else None
     }
-    // q_anti (customers without orders) and similarity pair queries may
+    // q_anti (customers without orders), similarity pair queries, and
+    // q_tpch7 (bilateral trade between ONE nation pair in a 2-year
+    // window — 4 groups at sf0.01, zero at sf0.001's ~6k lineitems) may
     // legitimately be empty at tiny SF; everything else must produce rows.
     assert(
       empty.forall(Set("q_anti", "q_cosine_pairs", "q_minhash_lsh",
-        "q_ngram_jaccard", "q_setops")),
+        "q_ngram_jaccard", "q_setops", "q_tpch7")),
       s"unexpectedly empty: $empty")
   }
 }
