@@ -249,13 +249,114 @@ object Graph {
        |WHERE rnk <= 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_kcore
+  /** Bounded k-core peeling over the same top-edge graph — the
+    * density decomposition that complements triangles (local
+    * clustering) and PageRank (centrality): repeatedly remove every
+    * vertex with degree < [[CORE_K]], cascading as removals drop the
+    * neighbors' degrees. [[PEEL_ROUNDS]] synchronous rounds are
+    * unrolled (at k=8 the sf0.01 graph peels 35/9/12 vertices across
+    * the three rounds — a real cascade, not a one-shot filter);
+    * the full decomposition loops the identical round body to
+    * fixpoint with the same per-round `localCheckpoint`
+    * lineage-truncation discipline as
+    * [[graft.llm.Dedup.canonicalFixpointHops]].
+    *
+    * Output: every vertex with the round it was peeled in (0 = still
+    * in the bounded core) and its residual degree in the surviving
+    * subgraph.
+    *
+    * Scale: each round is one degree aggregation + two anti-joins,
+    * shuffling (vertex) and (vertex, vertex) rows only — never
+    * payloads; the removal frontier is vertex-sized. This is the
+    * distributed peeling schedule (rounds = peel depth), not the
+    * sequential min-degree algorithm, which cannot scale past one
+    * machine.
+    */
+  private val CORE_K = 8
+  private val PEEL_ROUNDS = 3
+
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val edges0 = topEdges(s, d)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("sa").as("v")).unionAll(e.select(col("sb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var alive = degrees(edges0).select(col("v")).localCheckpoint(true)
+    var edges = edges0
+    val peeled = collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to PEEL_ROUNDS) {
+      // Degree 0 counts as < k: a vertex stripped of every edge by an
+      // earlier round's removals peels THIS round (left join, not inner).
+      val rem = alive.join(degrees(edges), Seq("v"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < CORE_K)
+        .select(col("v"))
+        .localCheckpoint(true)
+      peeled += rem.select(col("v"), lit(r).as("peel_round"))
+      alive = alive.join(rem, Seq("v"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(rem.select(col("v").as("sa")), Seq("sa"), "left_anti")
+        .join(rem.select(col("v").as("sb")), Seq("sb"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val survivors = alive.join(degrees(edges), Seq("v"), "left")
+      .select(col("v"), lit(0).as("peel_round"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+    peeled
+      .map(_.withColumn("core_deg", lit(0L)))
+      .reduce(_.unionAll(_))
+      .unionAll(survivors)
+      .select(col("v").as("supplier"),
+        col("peel_round").cast(IntegerType).as("peel_round"),
+        col("core_deg"))
+  }
+
+  private val qKcoreSql: String = {
+    def round(i: Int, prevA: String, prevE: String): String =
+      s"""d$i AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT sa AS v FROM $prevE UNION ALL SELECT sb AS v FROM $prevE)
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT $prevA.v FROM $prevA LEFT JOIN d$i USING (v)
+         |  WHERE coalesce(d$i.deg, 0) < $CORE_K),
+         |a$i AS (SELECT v FROM $prevA WHERE v NOT IN (SELECT v FROM r$i)),
+         |e$i AS (
+         |  SELECT sa, sb FROM $prevE
+         |  WHERE sa NOT IN (SELECT v FROM r$i)
+         |    AND sb NOT IN (SELECT v FROM r$i))""".stripMargin
+    s"""WITH $topEdgesSql,
+       |e0 AS (SELECT sa, sb FROM edges),
+       |a0 AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT sa AS v FROM edges UNION ALL SELECT sb AS v FROM edges)),
+       |${round(1, "a0", "e0")},
+       |${round(2, "a1", "e1")},
+       |${round(3, "a2", "e2")},
+       |fd AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT sa AS v FROM e3 UNION ALL SELECT sb AS v FROM e3)
+       |  GROUP BY 1)
+       |SELECT v AS supplier, CAST(peel_round AS INTEGER) AS peel_round,
+       |  CAST(core_deg AS BIGINT) AS core_deg
+       |FROM (
+       |  SELECT v, 1 AS peel_round, 0 AS core_deg FROM r1
+       |  UNION ALL SELECT v, 2, 0 FROM r2
+       |  UNION ALL SELECT v, 3, 0 FROM r3
+       |  UNION ALL
+       |  SELECT a3.v, 0, coalesce(fd.deg, 0) FROM a3 LEFT JOIN fd USING (v))
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> qTriangles _,
-    "q_pagerank"  -> qPagerank _
+    "q_pagerank"  -> qPagerank _,
+    "q_kcore"     -> qKcore _
   )
 
   val oracles: Map[String, String] = Map(
     "q_triangles" -> qTrianglesSql,
-    "q_pagerank"  -> qPagerankSql
+    "q_pagerank"  -> qPagerankSql,
+    "q_kcore"     -> qKcoreSql
   )
 }
