@@ -562,6 +562,86 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------- q_changepoint
+  /** CUSUM changepoint detection per event type — the level-shift
+    * locator behind deploy-regression hunts and pipeline-drift
+    * triage: for the daily value series x_1..x_T, the classic
+    * single-changepoint estimate is `argmax_t |Σ_{i≤t}(x_i − x̄)|`.
+    * Division-free integer form: `S_t = T·prefix_t − t·total`
+    * (= T·CUSUM_t), every term exact — daily sums ride the
+    * DECIMAL(18,4)→×10⁴ scaled-BIGINT route (the [[qAnomaly]]
+    * discipline) and the two products run in DECIMAL(38,0) (the
+    * q_chi2 discipline: BIGINT·BIGINT would wrap silently past the
+    * bench envelope while DuckDB's HUGEINT kept going). Output per
+    * type: the argmax day (ties → earliest), its index, series
+    * length, shift direction, and |S| scaled back to value units.
+    *
+    * Scale: the corpus collapses to (type, day) rows in ONE hash
+    * aggregation before any window touches it — the window input is
+    * dashboard-sized (types × days), so the per-type ordered pass is
+    * trivially cheap no matter the event volume; t = T is excluded
+    * (S_T ≡ 0). The multi-changepoint extension (binary segmentation)
+    * recurses this same query on the two halves.
+    */
+  private def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+        .as("x"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("t", row_number().over(ordered).cast("long"))
+      .withColumn("prefix", sum(col("x")).over(ordered))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("s", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * prefix" +
+          " - CAST(t AS DECIMAL(38,0)) * total"))
+      .filter(col("t") < col("n_days"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("s")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("t").cast(IntegerType).as("cp_idx"),
+        col("n_days").cast(IntegerType).as("n_days"),
+        when(col("s") >= 0, lit("up")).otherwise(lit("down"))
+          .as("direction"),
+        expr("CAST(abs(s) div 10000 AS BIGINT)").as("dev"))
+  }
+
+  private val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day, t, n_days,
+      |    CAST(n_days AS HUGEINT) * prefix - CAST(t AS HUGEINT) * total AS s
+      |  FROM (
+      |    SELECT event_type, day,
+      |      row_number() OVER w AS t,
+      |      CAST(sum(x) OVER w AS BIGINT) AS prefix,
+      |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |      count(*) OVER (PARTITION BY event_type) AS n_days
+      |    FROM daily
+      |    WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |  WHERE t < n_days),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY abs(s) DESC, day) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS cp_day,
+      |  CAST(t AS INTEGER) AS cp_idx,
+      |  CAST(n_days AS INTEGER) AS n_days,
+      |  CASE WHEN s >= 0 THEN 'up' ELSE 'down' END AS direction,
+      |  CAST(abs(s) // 10000 AS BIGINT) AS dev
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   // ------------------------------------------------------------- q_drift
   /** Distribution-drift audit — the monitoring pass that decides when
     * a model needs retraining or a pipeline input changed shape: the
@@ -842,6 +922,7 @@ object Operational {
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
     "q_attribution" -> qAttribution _,
+    "q_changepoint" -> qChangepoint _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -861,6 +942,7 @@ object Operational {
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
     "q_attribution" -> qAttributionSql,
+    "q_changepoint" -> qChangepointSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,

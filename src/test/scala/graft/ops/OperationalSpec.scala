@@ -86,4 +86,33 @@ class OperationalSpec extends SparkSpec {
           .as("sum_qty"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("q_changepoint equals the Scala-side CUSUM argmax") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+        .as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2.toEpochDay).map(r => (r._2, r._3))
+      val total = BigInt(xs.map(_._2).sum)
+      val n = BigInt(xs.length)
+      var prefix = BigInt(0)
+      val scored = xs.zipWithIndex.dropRight(1).map { case ((day, x), i) =>
+        prefix += x
+        (day, i + 1, n * prefix - BigInt(i + 1) * total)
+      }
+      val (day, idx, s) =
+        scored.maxBy { case (d, _, sv) => (sv.abs, -d.toEpochDay) }
+      (tpe, day, idx, xs.length,
+        if (s >= 0) "up" else "down", (s.abs / 10000).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_changepoint")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getInt(2),
+        r.getInt(3), r.getString(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+  }
 }
