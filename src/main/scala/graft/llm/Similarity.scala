@@ -828,7 +828,112 @@ object Similarity {
        |  CAST(count(*) AS INTEGER) AS n
        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- q_hamming_ann
+  /** Binary-sign quantized search + exact rerank — the 1-bit/dim
+    * compression rung below PQ ([[graft.llm.Embeddings]]): each
+    * 64-dim vector collapses to its 64 sign bits packed into two
+    * 32-bit words (two BIGINTs; 32 bits per word keeps every packed
+    * value positive, so no engine disagrees about the sign bit).
+    * Stage 1 scans CODES ONLY: per probe, the [[HAM_CAND]] nearest
+    * by Hamming distance `popcount(xor)` — 16 bytes and two xors per
+    * corpus row, a 16× read reduction vs raw float32 and the reason
+    * binary sketches front most billion-scale ANN stacks. Stage 2
+    * fetches raw floats for the candidate set alone and reranks by
+    * exact cosine (the [[qAnnBrute]] fold) to final top-[[HAM_K]].
+    *
+    * Scale: probe codes '''broadcast'''; stage 1 shuffles only the
+    * (query, neighbor, hamming) candidate rows; stage 2's float
+    * fetch is a broadcast-candidate hash join touching
+    * |probes|·[[HAM_CAND]] vectors — raw embeddings never shuffle.
+    * At warehouse scale the code words are a materialized column
+    * (ingest-time map), exactly like the PQ code column.
+    */
+  private val HAM_PROBES = 5
+  private val HAM_CAND = 20
+  private val HAM_K = 5
+
+  /** 32 sign bits of embedding[off+1 .. off+32] packed into a BIGINT
+    * (bit i set iff component off+i is strictly positive).
+    */
+  private def signWord(off: Int): Column =
+    expr(s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+            |  (acc, i) -> acc + IF(element_at(embedding, i + ${off + 1}) > 0,
+            |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+      .stripMargin)
+
+  private def qHammingAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val emb = Tables.embeddings(s, d)
+    val codes = emb.select(col("vec_id"),
+      signWord(0).as("c0"), signWord(32).as("c1"))
+    val probes = codes.filter(col("vec_id") < HAM_PROBES)
+      .select(col("vec_id").as("query_id"),
+        col("c0").as("p0"), col("c1").as("p1"))
+    val cand = broadcast(probes)
+      .join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(p0 ^ c0) + bit_count(p1 ^ c1) AS INT)"))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("hrnk") <= HAM_CAND)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+    val qvecs = emb.filter(col("vec_id") < HAM_PROBES)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("nv")), Seq("neighbor_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= HAM_K)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cos"), col("rnk").cast(IntegerType).as("rnk"))
+  }
+
+  private val qHammingAnnSql: String = {
+    def word(off: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, 31),
+         |  i -> CASE WHEN embedding[i + ${off + 1}] > 0
+         |            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+         |  AS BIGINT)""".stripMargin
+    s"""WITH codes AS (
+       |  SELECT vec_id, ${word(0)} AS c0, ${word(32)} AS c1
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      CAST(bit_count(xor(q.c0, e.c0))
+       |         + bit_count(xor(q.c1, e.c1)) AS INTEGER) AS hamming,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.c0, e.c0))
+       |               + bit_count(xor(q.c1, e.c1)), e.vec_id) AS hrnk
+       |    FROM codes q JOIN codes e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id < $HAM_PROBES)
+       |  WHERE hrnk <= $HAM_CAND),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id, c.hamming,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, hamming, cos,
+       |  CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rer)
+       |WHERE rnk <= $HAM_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hamming_ann"  -> qHammingAnn _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
@@ -844,6 +949,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hamming_ann"  -> qHammingAnnSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,

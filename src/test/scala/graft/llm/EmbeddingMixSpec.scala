@@ -125,6 +125,45 @@ class EmbeddingMixSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hamming_ann: rerank equals the Scala recompute over sign codes") {
+    val embAll = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def code(v: Array[Float]): (Long, Long) = {
+      def word(off: Int) = (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc + (if (v(off + i) > 0) 1L << i else 0L)
+      }
+      (word(0), word(32))
+    }
+    val codes = embAll.map { case (id, v) => id -> code(v) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) =>
+          acc + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expected = (0L until 5L).flatMap { q =>
+      val (q0, q1) = codes(q)
+      val cand = embAll.filter(_._1 != q).map { case (id, _) =>
+        val (c0, c1) = codes(id)
+        (id, java.lang.Long.bitCount(q0 ^ c0)
+          + java.lang.Long.bitCount(q1 ^ c1))
+      }.sortBy { case (id, h) => (h, id) }.take(20)
+      val qv = embAll.find(_._1 == q).get._2
+      cand.map { case (id, h) =>
+        (id, h, cos(qv, embAll.find(_._1 == id).get._2))
+      }.sortBy { case (id, _, c) => (-c, id) }.take(5)
+        .zipWithIndex
+        .map { case ((id, h, c), i) => (q, id, h, c, i + 1) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_hamming_ann")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("mixture: per-source sample count = min(quota, source size)") {
     val docs = graft.Tables.documents(spark, sf())
     val out = graft.SparkEntry.queries("q_mixture")(spark, sf())
