@@ -828,6 +828,77 @@ object Similarity {
        |  CAST(count(*) AS INTEGER) AS n
        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- q_mrl_recall
+  /** Matryoshka truncation audit — recall@5 of searching only the
+    * FIRST w dimensions against full-dim ground truth, for
+    * w ∈ [[MRL_WIDTHS]]: the decision data for how far a
+    * nested-representation (MRL-style) embedding can be truncated
+    * for coarse search before quality collapses — the dimension
+    * sibling of [[qAnnRecall]]'s plane-count calibration and
+    * [[qHammingAnn]]'s bit-depth rung. One row per width: probe
+    * count, total hits∩5, integer-exact recall ppm.
+    *
+    * Scale: per width, one probe-broadcast corpus scan reading a
+    * w-element prefix (a columnar store with sub-vector chunking
+    * reads w/64 of the bytes); the audit runs on a probe sample, and
+    * the widths are independent scans a cluster runs concurrently.
+    */
+  private val MRL_WIDTHS = Seq(8, 16, 32)
+
+  private def qMrlRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    import org.apache.spark.sql.types.LongType
+    val emb = embWithNorm(s, d)
+    val probePred = col("vec_id") < 10
+    val truth = bruteTopK(emb, probeSet(emb, probePred), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    MRL_WIDTHS.map { w =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          asDouble(slice(col("embedding"), 1, w)).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val per = bruteTopK(t, probeSet(t, probePred), 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      t.filter(probePred).select(col("vec_id").as("query_id"))
+        .join(broadcast(per), Seq("query_id"), "left_outer")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("h"), lit(0L))).cast(LongType).as("hits"))
+        .select(lit(w).cast(IntegerType).as("width"),
+          col("n_probes"), col("hits"),
+          expr("hits * 1000000 div (5 * n_probes)").as("recall_ppm"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private lazy val qMrlRecallSql: String = {
+    def widthBlock(w: Int): String =
+      s"""SELECT CAST($w AS INTEGER) AS width,
+         |  CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(coalesce(s.h, 0)) AS BIGINT) AS hits,
+         |  CAST(sum(coalesce(s.h, 0)) * 1000000
+         |       // (5 * count(*)) AS BIGINT) AS recall_ppm
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) p
+         |LEFT JOIN (
+         |  SELECT t.query_id, count(*) AS h FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM (
+         |        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |          ${cosSql(s"q.embedding[1:$w]", s"e.embedding[1:$w]")} AS cos
+         |        FROM embeddings q
+         |        JOIN embeddings e ON q.vec_id <> e.vec_id
+         |        WHERE q.vec_id < 10))
+         |    WHERE rnk <= 5) t
+         |  JOIN brute br ON br.query_id = t.query_id
+         |                AND br.neighbor_id = t.neighbor_id
+         |  GROUP BY 1) s ON s.query_id = p.query_id""".stripMargin
+    s"""WITH brute AS ($qAnnBruteSql)
+       |${MRL_WIDTHS.map(widthBlock).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_hamming_ann
   /** Binary-sign quantized search + exact rerank — the 1-bit/dim
     * compression rung below PQ ([[graft.llm.Embeddings]]): each
@@ -934,6 +1005,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_ann"  -> qHammingAnn _,
+    "q_mrl_recall"   -> qMrlRecall _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
@@ -950,6 +1022,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_hamming_ann"  -> qHammingAnnSql,
+    "q_mrl_recall"   -> qMrlRecallSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,
