@@ -359,6 +359,102 @@ object Similarity {
        |LEFT JOIN h ON h.query_id = p.vec_id
        |WHERE p.vec_id < 10""".stripMargin
 
+  // ------------------------------------------------------------ q_multiprobe
+  /** Multiprobe LSH recall audit — the probe-side upgrade of
+    * [[qAnnRecall]]: each probe scans its own bucket PLUS the
+    * [[PLANES]] buckets at Hamming distance 1 (one sign bit flipped)
+    * — the standard trick that buys recall with extra probes instead
+    * of extra tables/planes (a vector near a hyperplane lands on
+    * either side; flipping the weakest bit recovers it). Output rows
+    * are directly comparable with q_ann_recall's: same probes, same
+    * ground truth, candidate-set size vs hits∩5 — the two queries
+    * together are the single-vs-multiprobe operating curve.
+    *
+    * Scale: the probe side expands 9× (still probe-bounded,
+    * '''broadcast'''); the corpus side is untouched — same bucket
+    * equi-join, no extra scan. Bucket membership is disjoint, so the
+    * 9 probe buckets produce no duplicate candidates by construction.
+    */
+  private def qMultiprobe(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    graft.functions.LshBucket.register(s)
+    val planes = typedlit((0 until PLANES).flatMap(planeLit))
+    val emb = embWithNorm(s, d)
+      .withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes))
+    val probePred = col("vec_id") < 10
+    val truth = bruteTopK(emb, probeSet(emb, probePred), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val expanded = emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"),
+        explode(expr(s"transform(sequence(0, $PLANES), k -> " +
+          "IF(k = 0, bucket, bucket ^ shiftleft(CAST(1 AS BIGINT), k - 1)))"))
+          .as("pbucket"))
+    val cand = broadcast(expanded)
+      .join(emb, col("bucket") === col("pbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("q"), col("v")) / (col("qnrm") * col("nrm")))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = cand
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    emb.filter(probePred).select(col("vec_id").as("query_id"))
+      .join(broadcast(nCand), Seq("query_id"), "left_outer")
+      .join(broadcast(hits), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+  }
+
+  private lazy val qMultiprobeSql: String =
+    s"""WITH brute AS ($qAnnBruteSql),
+       |b AS (
+       |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |pexp AS (
+       |  SELECT vec_id AS query_id, embedding,
+       |    unnest(list_transform(generate_series(0, $PLANES),
+       |      k -> CASE WHEN k = 0 THEN bucket
+       |                ELSE xor(bucket, CAST(1 AS BIGINT) << (k - 1))
+       |           END)) AS pbucket
+       |  FROM b WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("p.embedding", "e.embedding")} AS cos
+       |  FROM pexp p JOIN b e
+       |    ON e.bucket = p.pbucket AND e.vec_id <> p.query_id),
+       |nc AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM cand),
+       |h AS (
+       |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM lsh l
+       |  JOIN brute br ON br.query_id = l.query_id
+       |              AND br.neighbor_id = l.neighbor_id
+       |  WHERE l.rnk <= 5 GROUP BY 1)
+       |SELECT p.vec_id AS query_id,
+       |  coalesce(nc.n_candidates, 0) AS n_candidates,
+       |  coalesce(h.hits, 0) AS hits,
+       |  coalesce(h.hits, 0) * 1000000 // 5 AS recall_ppm
+       |FROM embeddings p
+       |LEFT JOIN nc ON nc.query_id = p.vec_id
+       |LEFT JOIN h ON h.query_id = p.vec_id
+       |WHERE p.vec_id < 10""".stripMargin
+
   // ------------------------------------------------------------- q_ivf_ann
   /** IVF (inverted-file) approximate nearest neighbor, nprobe=1:
     *  1. centroids = the first K=8 vectors (a deterministic stand-in
@@ -1006,6 +1102,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_ann"  -> qHammingAnn _,
     "q_mrl_recall"   -> qMrlRecall _,
+    "q_multiprobe"   -> qMultiprobe _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
@@ -1023,6 +1120,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_hamming_ann"  -> qHammingAnnSql,
     "q_mrl_recall"   -> qMrlRecallSql,
+    "q_multiprobe"   -> qMultiprobeSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,
