@@ -359,6 +359,75 @@ object Similarity {
        |LEFT JOIN h ON h.query_id = p.vec_id
        |WHERE p.vec_id < 10""".stripMargin
 
+  // ----------------------------------------------------------------- q_mrr
+  /** Rank-quality metrics for the vector retrieval path — per probe,
+    * over the exact cosine top-10: first-relevant rank, reciprocal
+    * rank, and precision@10, where "relevant" = shares the probe's
+    * label (the embeddings table's supervision column — the same
+    * relevance rule [[qHardNegatives]] inverts). MRR/P@k are THE
+    * offline gates a retrieval stack reports before an index change
+    * ships; both come out integer-exact in ppm (`10⁶ div rank`,
+    * `hits·10⁶ div 10`) — no float means, no cross-engine drift.
+    * A probe with no same-label vector in its top-10 reports rank 0 /
+    * 0 ppm (not a dropped row).
+    *
+    * Scale: the ranked lists are probe-bounded ([[bruteTopK]]'s
+    * broadcast shape, or any index's output plugged in unchanged);
+    * labels for the ≤10·|probes| ranked rows arrive via one
+    * candidate-sized join — the corpus never re-shuffles. Aggregating
+    * the per-probe rows to a single MRR scalar is a bounded final agg.
+    */
+  private def qMrr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    import org.apache.spark.sql.types.LongType
+    val emb = embWithNorm(s, d)
+    val probePred = col("vec_id") < 10
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+    val qLabels = labels.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    bruteTopK(emb, probeSet(emb, probePred), 10)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("label") === col("qlabel"), col("rnk"))),
+          lit(0)).cast("int").as("first_rel_rank"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .cast(LongType).as("n_rel10"))
+      .select(col("query_id"), col("first_rel_rank"), col("n_rel10"),
+        expr("IF(first_rel_rank = 0, CAST(0 AS BIGINT)," +
+          " 1000000 div first_rel_rank)").as("rr_ppm"),
+        expr("n_rel10 * 1000000 div 10").as("p10_ppm"))
+  }
+
+  private lazy val qMrrSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.label AS qlabel, e.label AS label,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings e ON q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, qlabel, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored),
+       |agg AS (
+       |  SELECT query_id,
+       |    CAST(coalesce(min(CASE WHEN label = qlabel THEN rnk END), 0)
+       |         AS INTEGER) AS first_rel_rank,
+       |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_rel10
+       |  FROM ranked WHERE rnk <= 10 GROUP BY 1)
+       |SELECT query_id, first_rel_rank, n_rel10,
+       |  CAST(CASE WHEN first_rel_rank = 0 THEN 0
+       |            ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_ppm,
+       |  CAST(n_rel10 * 1000000 // 10 AS BIGINT) AS p10_ppm
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------------------ q_multiprobe
   /** Multiprobe LSH recall audit — the probe-side upgrade of
     * [[qAnnRecall]]: each probe scans its own bucket PLUS the
@@ -1103,6 +1172,7 @@ object Similarity {
     "q_hamming_ann"  -> qHammingAnn _,
     "q_mrl_recall"   -> qMrlRecall _,
     "q_multiprobe"   -> qMultiprobe _,
+    "q_mrr"          -> qMrr _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
@@ -1121,6 +1191,7 @@ object Similarity {
     "q_hamming_ann"  -> qHammingAnnSql,
     "q_mrl_recall"   -> qMrlRecallSql,
     "q_multiprobe"   -> qMultiprobeSql,
+    "q_mrr"          -> qMrrSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,
