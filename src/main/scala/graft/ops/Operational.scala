@@ -562,6 +562,53 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------------- q_streaks
+  /** Gaps-and-islands — consecutive-day activity runs per user (the
+    * engagement-streak metric, and THE canonical interval-grouping
+    * pattern): a user's island is a maximal run of consecutive active
+    * days, found by the anchor trick `day − row_number()·1d` —
+    * constant within a consecutive run, shifted by every gap — so one
+    * GROUP BY on (user, anchor) materializes every island with no
+    * self-join and no iterative expansion. Output: streak-length
+    * histogram (n_islands + distinct users per length).
+    *
+    * Scale: the corpus collapses to DISTINCT (user, day) first (the
+    * [[qCohort]] discipline — dedup before, never count-distinct
+    * after); then ONE user-keyed window pass and two bounded
+    * aggregations. The histogram's group count is ≤ max streak
+    * length, so partials collapse map-side.
+    */
+  private def qStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val anchored = days.withColumn("anchor",
+      date_sub(col("day"), row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day")))))
+    anchored.groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("len").cast(IntegerType).as("streak_len"))
+      .agg(count(lit(1)).as("n_islands"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  private val qStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |anchored AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      |  FROM days),
+      |islands AS (
+      |  SELECT user_id, anchor, count(*) AS len
+      |  FROM anchored GROUP BY 1, 2)
+      |SELECT CAST(len AS INTEGER) AS streak_len,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM islands GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- q_changepoint
   /** CUSUM changepoint detection per event type — the level-shift
     * locator behind deploy-regression hunts and pipeline-drift
@@ -923,6 +970,7 @@ object Operational {
     "q_drift"     -> qDrift _,
     "q_attribution" -> qAttribution _,
     "q_changepoint" -> qChangepoint _,
+    "q_streaks"     -> qStreaks _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -943,6 +991,7 @@ object Operational {
     "q_drift"     -> qDriftSql,
     "q_attribution" -> qAttributionSql,
     "q_changepoint" -> qChangepointSql,
+    "q_streaks"     -> qStreaksSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
