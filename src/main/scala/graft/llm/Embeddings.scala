@@ -341,7 +341,67 @@ object Embeddings {
        |  FROM pairs) WHERE rnk <= $IVFPQ_TOP""".stripMargin
   }
 
+  // -------------------------------------------------------- q_embed_health
+  /** Embedding-store health audit — the pre-index gate a vector
+    * pipeline runs before building anything on top: per label,
+    * vector count, dimension consistency (min/max length — a ragged
+    * store breaks every fold downstream), zero-vector and
+    * non-finite-component counts (both poison cosine math silently),
+    * and the norm distribution (min / exact interpolated median /
+    * max — collapsed norms flag an embedding-model regression).
+    *
+    * Scale: map-only per-row checks (codegen'd HOFs over the array)
+    * feeding one label-keyed aggregation — group count = label
+    * cardinality, partials collapse map-side; no cross-row float
+    * sums (mins/maxes and a sort-based median only, all
+    * order-independent), so the report is bit-stable on any
+    * partitioning.
+    */
+  private def qEmbedHealth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        expr("size(embedding)").as("dim"),
+        expr("forall(embedding, x -> x = CAST(0 AS FLOAT))").as("is_zero"),
+        expr("exists(embedding, x -> isnan(x) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+          .as("bad"),
+        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+          .as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(expr("IF(is_zero, 1, 0)")).as("n_zero"),
+        sum(expr("IF(bad, 1, 0)")).as("n_nonfinite"),
+        min(col("nrm")).as("norm_min"),
+        expr("percentile(nrm, 0.5)").as("norm_med"),
+        max(col("nrm")).as("norm_max"))
+  }
+
+  private val qEmbedHealthSql: String =
+    """WITH per AS (
+      |  SELECT label,
+      |    CAST(len(embedding) AS INTEGER) AS dim,
+      |    coalesce(list_sum(list_transform(embedding,
+      |      x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) = 0, TRUE) AS is_zero,
+      |    coalesce(list_sum(list_transform(embedding,
+      |      x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END)) > 0,
+      |      FALSE) AS bad,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      |  min(nrm) AS norm_min,
+      |  quantile_cont(nrm, 0.5) AS norm_med,
+      |  max(nrm) AS norm_max
+      |FROM per GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_health" -> qEmbedHealth _,
     "q_rproj"     -> qRproj _,
     "q_pq"        -> qPq _,
     "q_pq_search" -> qPqSearch _,
@@ -349,6 +409,7 @@ object Embeddings {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_health" -> qEmbedHealthSql,
     "q_rproj"     -> qRprojSql,
     "q_pq"        -> qPqSql,
     "q_pq_search" -> qPqSearchSql,
