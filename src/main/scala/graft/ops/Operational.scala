@@ -562,6 +562,91 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_paths
+  /** Session path mining — the multi-step extension of
+    * [[qTransitions]]'s 1-step matrix: the first 3 event types of
+    * every 30-min-gap session (the [[graft.ops.RelationalQueries]]
+    * q_sessionize session rule), concatenated into a path string,
+    * ranked by frequency — "how do sessions OPEN" is the entry-page /
+    * onboarding analysis behind funnel design. Top-20 paths.
+    *
+    * Determinism: the prefix is ordered by (ts, event_id) — the
+    * per-list sort rides an `array_sort(collect_list(struct))`
+    * (Spark) ≡ `string_agg(... ORDER BY rn)` (DuckDB), never an
+    * unordered collect. Scale: both window passes share the user
+    * exchange (a (user, session) partition is a refinement of the
+    * user partition); per-session state is capped at 3 rows before
+    * the path agg, and the path histogram's tail is cut by a
+    * TakeOrderedAndProject top-20, never a global sort.
+    */
+  private def qPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val prefix = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 3)
+    prefix
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_sessions").desc, col("path"))).cast(IntegerType))
+  }
+
+  private val qPathsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN prev_us IS NULL
+      |              OR epoch_us(ts) - prev_us > 30*60*1000*1000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM (
+      |    SELECT user_id, event_id, ts, event_type,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS prev_us
+      |    FROM events)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |pref AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, session_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id, session_id
+      |                         ORDER BY ts, event_id) AS rn
+      |    FROM sess)
+      |  WHERE rn <= 3),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM pref GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM paths GROUP BY 1)
+      |SELECT path, n_sessions, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+      |  FROM hist)
+      |WHERE rnk <= 20""".stripMargin
+
   // ----------------------------------------------------------- q_streaks
   /** Gaps-and-islands — consecutive-day activity runs per user (the
     * engagement-streak metric, and THE canonical interval-grouping
@@ -971,6 +1056,7 @@ object Operational {
     "q_attribution" -> qAttribution _,
     "q_changepoint" -> qChangepoint _,
     "q_streaks"     -> qStreaks _,
+    "q_paths"       -> qPaths _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -992,6 +1078,7 @@ object Operational {
     "q_attribution" -> qAttributionSql,
     "q_changepoint" -> qChangepointSql,
     "q_streaks"     -> qStreaksSql,
+    "q_paths"       -> qPathsSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
