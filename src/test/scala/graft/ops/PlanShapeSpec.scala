@@ -390,4 +390,63 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
+
+  test("q_changepoint windows reuse one event_type exchange after the daily agg") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_changepoint")(spark, sf())
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // 1: the (type, day) daily hash agg; 2: the event_type window
+      // partitioning (ordered prefix + whole-partition totals + the
+      // argmax rank all share it). A third exchange would mean a
+      // window stopped reusing the partitioning — the regression this
+      // pin guards.
+      assert(exchanges.size <= 2,
+        s"q_changepoint: ${exchanges.size} exchanges, want <= 2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_paths session windows share the user exchange; top-20 is TakeOrdered") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_paths")(spark, sf())
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // user window + (user, session) window + (user, session) path agg
+      // must all ride ONE user_id exchange (a (user, session) partition
+      // refines the user partition); the only other exchange is the
+      // bounded path histogram.
+      assert(exchanges.size <= 2,
+        s"q_paths: ${exchanges.size} exchanges, want <= 2")
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "q_paths: top-20 must be TakeOrderedAndProject")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_streaks islands agg reuses the user window exchange") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_streaks")(spark, sf())
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // (user, day) distinct + user window + (user, anchor) islands agg
+      // + bounded histogram: the islands agg must NOT add an exchange
+      // beyond the distinct, the window repartition, and the final
+      // histogram (<= 3 total).
+      assert(exchanges.size <= 3,
+        s"q_streaks: ${exchanges.size} exchanges, want <= 3")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }
