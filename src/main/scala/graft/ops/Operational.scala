@@ -562,6 +562,98 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_ab_test
+  /** A/B experiment readout — the two-proportion χ² significance test
+    * over a deterministic unit assignment (variant = `user_id % 2`,
+    * the stand-in for the hash-of-unit bucketing every experiment
+    * platform uses; the unit is the USER, not the event — assignment
+    * and outcome both collapse per user first, the
+    * unit-of-randomization discipline that keeps the test valid).
+    * Outcome: converted = had ≥1 HIGH-VALUE purchase (value > 150 —
+    * ~45 % of users at every SF, so both table margins are
+    * non-degenerate). χ² for the 2×2 table in
+    * the [[qChi2]]-style integer form `n·(ad−bc)²·10⁶ /
+    * (margin products)`, routed through DECIMAL(38,0)/HUGEINT —
+    * exact to ~10⁷ users per cell (beyond that, divide all cells by
+    * a common factor first; the decision threshold is scale-free).
+    * `significant` compares against χ²₍0.05,1₎ = 3.841459 ×10⁶ as an
+    * integer — no float boundary to disagree on.
+    *
+    * Scale: one user-keyed aggregation (conversion flag) + one
+    * 4-cell global aggregation; partials collapse map-side, the
+    * final row is a scalar frame.
+    */
+  private def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val conv = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+        1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    conv.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .as("conv_b"))
+      .select(col("n_a"), col("conv_a"),
+        expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
+        col("n_b"), col("conv_b"),
+        expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+        expr(
+          """CAST(coalesce(
+            |  (CAST(n_a + n_b AS DECIMAL(38,0))
+            |   * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+            |   * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+            |   * 1000000)
+            |  div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b
+            |    * (conv_a + conv_b)
+            |    * ((n_a - conv_a) + (n_b - conv_b)), 0),
+            |  0) AS BIGINT)""".stripMargin).as("chi2_ppm"))
+      .withColumn("significant", col("chi2_ppm") > 3841459L)
+  }
+
+  private val qAbTestSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+      |      AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+      |      AS BIGINT) AS conv_b
+      |  FROM conv)
+      |SELECT n_a, conv_a,
+      |  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |  n_b, conv_b,
+      |  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |  CAST(coalesce(
+      |    (CAST(n_a + n_b AS HUGEINT)
+      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+      |     * 1000000)
+      |    // nullif(CAST(n_a AS HUGEINT) * n_b
+      |      * (conv_a + conv_b)
+      |      * ((n_a - conv_a) + (n_b - conv_b)), 0),
+      |    0) AS BIGINT) AS chi2_ppm,
+      |  CAST(coalesce(
+      |    (CAST(n_a + n_b AS HUGEINT)
+      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+      |     * 1000000)
+      |    // nullif(CAST(n_a AS HUGEINT) * n_b
+      |      * (conv_a + conv_b)
+      |      * ((n_a - conv_a) + (n_b - conv_b)), 0),
+      |    0) AS BIGINT) > 3841459 AS significant
+      |FROM cells""".stripMargin
+
   // ------------------------------------------------------------- q_paths
   /** Session path mining — the multi-step extension of
     * [[qTransitions]]'s 1-step matrix: the first 3 event types of
@@ -1057,6 +1149,7 @@ object Operational {
     "q_changepoint" -> qChangepoint _,
     "q_streaks"     -> qStreaks _,
     "q_paths"       -> qPaths _,
+    "q_ab_test"     -> qAbTest _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -1079,6 +1172,7 @@ object Operational {
     "q_changepoint" -> qChangepointSql,
     "q_streaks"     -> qStreaksSql,
     "q_paths"       -> qPathsSql,
+    "q_ab_test"     -> qAbTestSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
