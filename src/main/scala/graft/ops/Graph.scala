@@ -86,11 +86,14 @@ object Graph {
     // re-plan (same rationale as canonicalFixpointHops).
     pw.orderBy(col("w").desc, col("sa"), col("sb"))
       .limit(EDGE_TOP)
-      .select(col("sa"), col("sb"))
+      .select(col("sa"), col("sb"), col("w"))
       .localCheckpoint(true)
   }
 
-  /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]. */
+  /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]
+    * (the co-occurrence weight `w` rides along for the weighted
+    * consumers; unweighted ones just don't select it).
+    */
   private[ops] val topEdgesSql: String =
     s"""co AS (
        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -101,8 +104,8 @@ object Graph {
        |                     AND a.l_suppkey < b.l_suppkey
        |  GROUP BY 1, 2),
        |edges AS (
-       |  SELECT sa, sb FROM (
-       |    SELECT sa, sb, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
+       |  SELECT sa, sb, w FROM (
+       |    SELECT sa, sb, w, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
        |    FROM pw)
        |  WHERE rk <= $EDGE_TOP)""".stripMargin
 
@@ -348,15 +351,75 @@ object Graph {
        |""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_bellman
+  /** Weighted shortest paths from vertex 0 — [[BF_ROUNDS]] rounds of
+    * synchronous Bellman-Ford min-plus relaxation over the top-edge
+    * graph, the WEIGHTED complement of `q_reach`'s min-hop recursion:
+    * edge cost = `10⁶ div w` (stronger co-supply ties are shorter),
+    * so a path through two strong ties can beat one weak direct edge
+    * — the relationship-distance metric hop counting cannot express.
+    * All-integer costs ⇒ every round is bit-identical on any engine
+    * and partitioning (the q_pagerank determinism discipline).
+    *
+    * Scale: each round is one (vertex-keyed) join of the distance
+    * frontier against the directed edge list + one min-aggregation —
+    * shuffle carries (vertex, long) pairs; rounds unroll without
+    * checkpointing at fixed depth (an until-convergence loop adds the
+    * per-round `localCheckpoint` of `canonicalFixpoint`). This IS the
+    * distributed SSSP schedule (Δ-stepping's base case); sequential
+    * Dijkstra does not scale past one machine.
+    */
+  private val BF_ROUNDS = 3
+
+  private def qBellman(s: SparkSession, d: String): DataFrame = {
+    val edges = topEdges(s, d)
+    val dir = edges.select(col("sa").as("u"), col("sb").as("v"), col("w"))
+      .unionAll(edges.select(col("sb").as("u"), col("sa").as("v"), col("w")))
+      .withColumn("cost", expr("CAST(1000000 AS BIGINT) div w"))
+      .localCheckpoint(true)
+    var dist = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
+    for (_ <- 1 to BF_ROUNDS) {
+      val relaxed = dir
+        .join(dist.select(col("v").as("u"), col("dist")), Seq("u"))
+        .select(col("v"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("v").as("supplier"), col("dist").as("dist_scaled"))
+  }
+
+  private val qBellmanSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""d$i AS (
+         |  SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT v, dist FROM $prev
+         |    UNION ALL
+         |    SELECT dir.v, p.dist + dir.cost AS dist
+         |    FROM $prev p JOIN dir ON dir.u = p.v)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $topEdgesSql,
+       |dir AS (
+       |  SELECT u, v, CAST(1000000 // w AS BIGINT) AS cost FROM (
+       |    SELECT sa AS u, sb AS v, w FROM edges
+       |    UNION ALL SELECT sb AS u, sa AS v, w FROM edges)),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+       |${round(1, "d0")},
+       |${round(2, "d1")},
+       |${round(3, "d2")}
+       |SELECT v AS supplier, dist AS dist_scaled FROM d3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> qTriangles _,
     "q_pagerank"  -> qPagerank _,
-    "q_kcore"     -> qKcore _
+    "q_kcore"     -> qKcore _,
+    "q_bellman"   -> qBellman _
   )
 
   val oracles: Map[String, String] = Map(
     "q_triangles" -> qTrianglesSql,
     "q_pagerank"  -> qPagerankSql,
-    "q_kcore"     -> qKcoreSql
+    "q_kcore"     -> qKcoreSql,
+    "q_bellman"   -> qBellmanSql
   )
 }
