@@ -562,6 +562,53 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------- q_seasonality
+  /** Day-of-week seasonality profile per event type — the periodic
+    * decomposition a capacity planner or anomaly baseline reads
+    * before interpreting any daily number: per (type, ISO weekday)
+    * cell, event count, integer-ppm share of the type's total, and a
+    * peak flag (is this the type's busiest weekday — ties to the
+    * earliest weekday). The [[qChangepoint]] level-shift and this
+    * periodic profile are the two decompositions that turn a raw
+    * daily series into something monitorable.
+    *
+    * Scale: ONE hash aggregation to (type × 7) cells — partials
+    * collapse map-side on any event volume; totals and peaks derive
+    * from the cell frame via a ≤7-row window per type.
+    */
+  private def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        dayofweek(col("ts")).cast(IntegerType).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("total", sum(col("n")).over(byType))
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("n").desc, col("dow"))))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        (col("rk") === 1).as("is_peak"))
+  }
+
+  private val qSeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, dow, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |  rk = 1 AS is_peak
+      |FROM (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY n DESC, dow) AS rk
+      |  FROM cells)""".stripMargin
+
   // ------------------------------------------------------------ q_ab_test
   /** A/B experiment readout — the two-proportion χ² significance test
     * over a deterministic unit assignment (variant = `user_id % 2`,
@@ -1150,6 +1197,7 @@ object Operational {
     "q_streaks"     -> qStreaks _,
     "q_paths"       -> qPaths _,
     "q_ab_test"     -> qAbTest _,
+    "q_seasonality" -> qSeasonality _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -1173,6 +1221,7 @@ object Operational {
     "q_streaks"     -> qStreaksSql,
     "q_paths"       -> qPathsSql,
     "q_ab_test"     -> qAbTestSql,
+    "q_seasonality" -> qSeasonalitySql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
