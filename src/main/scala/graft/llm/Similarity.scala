@@ -428,6 +428,90 @@ object Similarity {
        |  CAST(n_rel10 * 1000000 // 10 AS BIGINT) AS p10_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q_ndcg
+  /** nDCG@10 — the graded-rank companion of [[qMrr]]: DCG's
+    * `1/log₂(i+1)` discounts are irrational, so the ONE float
+    * decision is made at BUILD time — each discount is a Scala-side
+    * `⌊10⁹/log₂(i+1)⌋` literal inlined into BOTH query texts — and
+    * the queries themselves are pure integer arithmetic
+    * (`DCG = Σ rel_i·d_i`, `nDCG_ppm = DCG·10⁶ div IDCG`, IDCG from
+    * an inlined cumulative-discount table). Both engines read the
+    * same constants; nothing is computed with logs at query time —
+    * the same move as the inlined LSH plane literals.
+    *
+    * Scale: identical to [[qMrr]] — probe-bounded ranked lists, one
+    * candidate-sized label join, bounded final agg.
+    */
+  private val NDCG_K = 10
+
+  /** ⌊10⁹ / log₂(i+1)⌋ for rank i = 1..K — the shared discount table. */
+  private val ndcgDiscounts: Seq[Long] =
+    (1 to NDCG_K).map(i => (1e9 / (math.log(i + 1) / math.log(2))).toLong)
+
+  /** Cumulative discounts, cum(0) = 0 — the ideal-DCG lookup. */
+  private val ndcgCum: Seq[Long] = ndcgDiscounts.scanLeft(0L)(_ + _)
+
+  private def qNdcg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    import org.apache.spark.sql.types.LongType
+    val emb = embWithNorm(s, d)
+    val probePred = col("vec_id") < 10
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+    val qLabels = labels.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val dArr = ndcgDiscounts.mkString("array(", ", ", ")")
+    val cArr = ndcgCum.mkString("array(", ", ", ")")
+    bruteTopK(emb, probeSet(emb, probePred), NDCG_K)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("label") === col("qlabel"),
+          expr(s"element_at($dArr, rnk)")).otherwise(0L))
+          .cast(LongType).as("dcg"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .cast(LongType).as("n_rel"))
+      .select(col("query_id"), col("n_rel"), col("dcg"),
+        expr(s"element_at($cArr, CAST(least(n_rel, $NDCG_K) + 1 AS INT))")
+          .as("idcg"),
+        expr(s"CAST(coalesce(dcg * 1000000 div " +
+          s"nullif(element_at($cArr, CAST(least(n_rel, $NDCG_K) + 1 AS INT)), 0)," +
+          " 0) AS BIGINT)").as("ndcg_ppm"))
+  }
+
+  private lazy val qNdcgSql: String = {
+    val dArr = ndcgDiscounts.mkString("[", ", ", "]")
+    val cArr = ndcgCum.mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.label AS qlabel, e.label AS label,
+       |    ${cosSql("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings e ON q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, qlabel, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored),
+       |agg AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN label = qlabel
+       |                  THEN ($dArr)[rnk] ELSE 0 END) AS BIGINT) AS dcg,
+       |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_rel
+       |  FROM ranked WHERE rnk <= $NDCG_K GROUP BY 1)
+       |SELECT query_id, n_rel, dcg,
+       |  CAST(($cArr)[CAST(least(n_rel, $NDCG_K) + 1 AS INTEGER)]
+       |       AS BIGINT) AS idcg,
+       |  CAST(coalesce(dcg * 1000000 //
+       |    nullif(($cArr)[CAST(least(n_rel, $NDCG_K) + 1 AS INTEGER)], 0),
+       |    0) AS BIGINT) AS ndcg_ppm
+       |FROM agg""".stripMargin
+  }
+
   // ------------------------------------------------------------ q_multiprobe
   /** Multiprobe LSH recall audit — the probe-side upgrade of
     * [[qAnnRecall]]: each probe scans its own bucket PLUS the
@@ -1173,6 +1257,7 @@ object Similarity {
     "q_mrl_recall"   -> qMrlRecall _,
     "q_multiprobe"   -> qMultiprobe _,
     "q_mrr"          -> qMrr _,
+    "q_ndcg"         -> qNdcg _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_classify" -> qCentroidClassify _,
     "q_diverse"      -> qDiverse _,
@@ -1192,6 +1277,7 @@ object Similarity {
     "q_mrl_recall"   -> qMrlRecallSql,
     "q_multiprobe"   -> qMultiprobeSql,
     "q_mrr"          -> qMrrSql,
+    "q_ndcg"         -> qNdcgSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_centroid_classify" -> qCentroidClassifySql,
     "q_diverse"      -> qDiverseSql,
