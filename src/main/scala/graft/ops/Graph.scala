@@ -409,17 +409,85 @@ object Graph {
        |SELECT v AS supplier, dist AS dist_scaled FROM d3""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q_lpa
+  /** Label propagation communities — [[LPA_ROUNDS]] SYNCHRONOUS
+    * rounds of "adopt the most frequent label among your neighbors"
+    * over the top-edge graph, ties to the smallest label: the
+    * frequency-based community detector that (unlike connected
+    * components, `Dedup.canonicalFixpoint`) can split a graph that is
+    * merely bridged. Fully deterministic: synchronous rounds (all
+    * vertices read round k−1's labels), integer labels initialized to
+    * vertex ids, and the (count DESC, label ASC) argmax tie-break —
+    * the async/random-order variants of LPA are NOT reproducible and
+    * have no place in an oracle-checked engine.
+    *
+    * Scale: each round is one edge⋈labels join + one (vertex, label)
+    * count + one per-vertex argmax — shuffles carry (vertex, label,
+    * count) rows only. Fixed rounds unroll; until-stable loops add
+    * the per-round `localCheckpoint`.
+    */
+  private val LPA_ROUNDS = 3
+
+  private def qLpa(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = topEdges(s, d)
+    val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .localCheckpoint(true)
+    var lbl = dir.select(col("u").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to LPA_ROUNDS) {
+      val freq = dir
+        .join(lbl.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = freq
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl"))
+    }
+    lbl.select(col("v").as("supplier"), col("lbl").as("community"))
+  }
+
+  private val qLpaSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""l$i AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT f.v, f.lbl,
+         |      row_number() OVER (PARTITION BY f.v
+         |                         ORDER BY f.c DESC, f.lbl) AS rk
+         |    FROM (
+         |      SELECT dir.v, p.lbl, CAST(count(*) AS BIGINT) AS c
+         |      FROM dir JOIN $prev p ON p.v = dir.u
+         |      GROUP BY 1, 2) f)
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH $topEdgesSql,
+       |dir AS (
+       |  SELECT sa AS u, sb AS v FROM edges
+       |  UNION ALL SELECT sb AS u, sa AS v FROM edges),
+       |l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM dir),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")}
+       |SELECT v AS supplier, CAST(lbl AS BIGINT) AS community FROM l3"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> qTriangles _,
     "q_pagerank"  -> qPagerank _,
     "q_kcore"     -> qKcore _,
-    "q_bellman"   -> qBellman _
+    "q_bellman"   -> qBellman _,
+    "q_lpa"       -> qLpa _
   )
 
   val oracles: Map[String, String] = Map(
     "q_triangles" -> qTrianglesSql,
     "q_pagerank"  -> qPagerankSql,
     "q_kcore"     -> qKcoreSql,
-    "q_bellman"   -> qBellmanSql
+    "q_bellman"   -> qBellmanSql,
+    "q_lpa"       -> qLpaSql
   )
 }

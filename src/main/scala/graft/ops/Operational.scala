@@ -562,6 +562,80 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------- q_decile_lift
+  /** Decile gains table — the model-evaluation / campaign-targeting
+    * readout: rank users by a score (here activity = event count, the
+    * stand-in for any model score), cut into deciles, and report each
+    * decile's conversion rate plus CUMULATIVE lift over the base rate
+    * in ppm — "the top 10 % of scored users convert at 2.3× base" is
+    * the sentence this table exists to produce. Conversion shares the
+    * [[qAbTest]] outcome (≥1 high-value purchase).
+    *
+    * Determinism: decile = `ntile(10)` over (score DESC, user_id) —
+    * the id tie-break pins the cut; lift is integer ppm over exact
+    * counts. Scale: one user-keyed agg, ONE global ntile sort over
+    * the user frame (users ≪ events; at warehouse scale swap ntile
+    * for pre-computed score-quantile boundaries — same output
+    * contract), then a 10-group agg + running sums over 10 rows.
+    */
+  private def qDecileLift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase" && col("value") > 150,
+          1L).otherwise(0L)).as("converted"))
+    val cut = users.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+    val byDecile = cut.groupBy(col("decile").cast(IntegerType).as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"))
+    val runs = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_users", sum(col("n_users")).over(runs))
+      .withColumn("cum_conv", sum(col("n_conv")).over(runs))
+      .crossJoin(broadcast(users.agg(
+        count(lit(1)).as("tot_users"), sum(col("converted")).as("tot_conv"))))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        expr("n_conv * 1000000 div n_users").as("rate_ppm"),
+        expr("coalesce((cum_conv * tot_users * 1000000)" +
+          " div nullif(cum_users * tot_conv, 0), 0)").as("cum_lift_ppm"))
+  }
+
+  private val qDecileLiftSql: String =
+    """WITH users AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+      |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events GROUP BY 1),
+      |cut AS (
+      |  SELECT user_id, converted,
+      |    ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      |  FROM users),
+      |d AS (
+      |  SELECT CAST(decile AS INTEGER) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(converted) AS BIGINT) AS n_conv
+      |  FROM cut GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS tot_users,
+      |    CAST(sum(converted) AS BIGINT) AS tot_conv FROM users)
+      |SELECT decile, n_users, n_conv,
+      |  CAST(n_conv * 1000000 // n_users AS BIGINT) AS rate_ppm,
+      |  CAST(coalesce((cum_conv * tot_users * 1000000)
+      |    // nullif(cum_users * tot_conv, 0), 0) AS BIGINT) AS cum_lift_ppm
+      |FROM (
+      |  SELECT d.*, t.tot_users, t.tot_conv,
+      |    CAST(sum(n_users) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_users,
+      |    CAST(sum(n_conv) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_conv
+      |  FROM d CROSS JOIN t)""".stripMargin
+
   // -------------------------------------------------------- q_seasonality
   /** Day-of-week seasonality profile per event type — the periodic
     * decomposition a capacity planner or anomaly baseline reads
@@ -1198,6 +1272,7 @@ object Operational {
     "q_paths"       -> qPaths _,
     "q_ab_test"     -> qAbTest _,
     "q_seasonality" -> qSeasonality _,
+    "q_decile_lift" -> qDecileLift _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -1222,6 +1297,7 @@ object Operational {
     "q_paths"       -> qPathsSql,
     "q_ab_test"     -> qAbTestSql,
     "q_seasonality" -> qSeasonalitySql,
+    "q_decile_lift" -> qDecileLiftSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
