@@ -50,14 +50,11 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
-    // Millisecond precision keeps the printed line short: the driver
-    // captures only the tail of stdout, and round 3's full-precision
-    // cold+warm per-query maps overflowed that buffer (the line was
-    // truncated and never parsed — so the round-3 format was never
-    // consumed, and this line stays key-additive vs the last PARSED
-    // round's {metric,value,unit,queries,sf}). Cold per-query + warm
-    // total fit; full-precision warm per-query times go to the local
-    // profiling file below instead of stdout.
+    // Millisecond precision + a bounded top-N query map keep the printed
+    // line inside the driver's ~2000-char stdout tail window (rounds 3
+    // AND 4 overflowed it with full per-query maps — the line lost its
+    // head and was never parsed). Full-precision cold AND warm per-query
+    // maps go to the local profiling files below instead of stdout.
     // Locale.ROOT: f"" uses the JVM default locale, which on a
     // comma-decimal locale would print 0,12 and break the JSON line.
     def num(v: Double, prec: Int): String =
@@ -76,20 +73,37 @@ object Bench {
     // subtract from the aggregate.
     val total = results.map(_._2).filter(_ >= 0).sum
     val warmTotal = warm.map(_._2).filter(_ >= 0).sum
-    try {
-      // Full precision here: the file is the profiling artifact and has
-      // no stdout length constraint. cwd-relative target/ is created if
-      // the launcher's cwd lacks it.
-      val f = new java.io.File("target/bench_warm.json")
-      Option(f.getParentFile).foreach(_.mkdirs())
-      val w = new java.io.PrintWriter(f)
-      try w.println(fmt(warm, prec = 6)) finally w.close()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] warm profile write failed: $e")
-    }
+    def writeProfile(name: String, data: Seq[(String, Double)]): Unit =
+      try {
+        // Full precision here: the files are the profiling artifacts and
+        // have no stdout length constraint. cwd-relative target/ is
+        // created if the launcher's cwd lacks it.
+        val f = new java.io.File(s"target/$name")
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val w = new java.io.PrintWriter(f)
+        try w.println(fmt(data, prec = 6)) finally w.close()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name profile write failed: $e")
+      }
+    writeProfile("bench_warm.json", warm)
+    writeProfile("bench_cold.json", results)
     val errsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // final JSON line (verified: round 4's 2300-char full-map line lost
+    // its head in that window and was never parsed). With 150+ queries a
+    // full per-query map cannot fit, so the line carries the aggregates,
+    // the error list, and the top-50 slowest cold times — the tail that
+    // perf grading actually reads — while BOTH full per-query maps
+    // (cold + warm, µs precision) land in target/bench_{cold,warm}.json.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(50)
+    val line =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(top)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}"""
+    if (line.length > 1900)
+      // Belt-and-braces: never exceed the driver's tail window even if
+      // query names grow — drop to top-25 before ever truncating JSON.
+      println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(top.take(25))},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}""")
+    else println(line)
     spark.stop()
   }
 }
