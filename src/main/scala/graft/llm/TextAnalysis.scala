@@ -512,6 +512,108 @@ object TextAnalysis {
        |ORDER BY tf DESC, t
        |LIMIT $VOCAB_K""".stripMargin
 
+  // ------------------------------------------------------- q_readability
+  /** Readability ratios per document — the Flesch-style signal with
+    * the floats stripped out: words-per-sentence and
+    * syllables-per-word (vowel-group proxy — the standard
+    * dictionary-free approximation) as integer ppm, plus a banded
+    * easy/medium/hard grade from integer thresholds. Complexity
+    * grading feeds curriculum ordering and audience routing; the
+    * ppm ratios keep every boundary decision bit-identical across
+    * engines where the classic 206.835 − 1.015x − 84.6y formula
+    * would hinge on float rounding.
+    *
+    * Scale: map-only — three codegen'd regex/array passes per row,
+    * zero shuffle (the q_redact shape).
+    */
+  private def qReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+          .cast("long").as("n_words"),
+        greatest(expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"),
+          lit(1L)).as("n_sentences"),
+        expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+          .as("n_syllables"))
+      .withColumn("wps_ppm", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw_ppm",
+        expr("coalesce(n_syllables * 1000000 div nullif(n_words, 0), 0)"))
+      .withColumn("grade",
+        when(col("spw_ppm") > 1900000L || col("wps_ppm") > 25000000L,
+          lit("hard"))
+          .when(col("spw_ppm") > 1500000L || col("wps_ppm") > 17000000L,
+            lit("medium"))
+          .otherwise(lit("easy")))
+
+  private val qReadabilitySql: String =
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST(n_words * 1000000 // n_sentences AS BIGINT) AS wps_ppm,
+      |  CAST(coalesce(n_syllables * 1000000 // nullif(n_words, 0), 0)
+      |       AS BIGINT) AS spw_ppm,
+      |  CASE WHEN coalesce(n_syllables * 1000000 // nullif(n_words, 0), 0)
+      |              > 1900000
+      |         OR n_words * 1000000 // n_sentences > 25000000 THEN 'hard'
+      |       WHEN coalesce(n_syllables * 1000000 // nullif(n_words, 0), 0)
+      |              > 1500000
+      |         OR n_words * 1000000 // n_sentences > 17000000 THEN 'medium'
+      |       ELSE 'easy' END AS grade
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> x <> '')) AS BIGINT) AS n_words,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT), 1) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS n_syllables
+      |  FROM documents)""".stripMargin
+
+  // --------------------------------------------------------------- q_zipf
+  /** Zipf diagnostic — rank × frequency over the top-50 vocabulary:
+    * Zipf's law predicts rank·freq ≈ constant, so the `zipf_ppm`
+    * column (rank·freq normalized to the top token's frequency)
+    * should stay near 10⁶ on natural text and collapse on templated
+    * or synthetic corpora — the log-log-slope check without logs,
+    * and the one-glance "is this corpus natural language" audit.
+    *
+    * Scale: one vocabulary aggregation (token-keyed, map-side
+    * partials) + a top-50 TakeOrderedAndProject; the ranked frame is
+    * 50 rows, everything derived from it is driver-free arithmetic.
+    */
+  private def qZipf(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(50)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))).cast(IntegerType))
+      .withColumn("tf1", max(when(col("rank") === 1, col("tf"))).over(
+        Window.partitionBy()))
+      .select(col("rank"), col("token"), col("tf"),
+        expr("rank * tf").as("rank_x_freq"),
+        expr("rank * tf * 1000000 div tf1").as("zipf_ppm"))
+  }
+
+  private val qZipfSql: String =
+    """WITH v AS (
+      |  SELECT t AS token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents)
+      |  WHERE t <> '' GROUP BY 1
+      |  ORDER BY tf DESC, token LIMIT 50),
+      |r AS (
+      |  SELECT token, tf,
+      |    CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER)
+      |      AS rank
+      |  FROM v)
+      |SELECT rank, token, tf,
+      |  CAST(rank * tf AS BIGINT) AS rank_x_freq,
+      |  CAST(rank * tf * 1000000 //
+      |    (SELECT max(CASE WHEN rank = 1 THEN tf END) FROM r) AS BIGINT)
+      |    AS zipf_ppm
+      |FROM r""".stripMargin
+
   // ----------------------------------------------------- q_vocab_coverage
   /** Vocabulary coverage curve — the vocab-SIZING audit ([[qVocab]]
     * extracts the vocabulary, `q_oov_rate` audits one fixed cutoff;
@@ -1778,6 +1880,8 @@ object TextAnalysis {
     "q_inverted"    -> qInverted _,
     "q_redact"      -> qRedact _,
     "q_vocab"       -> qVocab _,
+    "q_readability" -> qReadability _,
+    "q_zipf"        -> qZipf _,
     "q_text_stats"  -> qTextStats _,
     "q_lang_id"     -> qLangId _,
     "q_langid_confusion" -> qLangidConfusion _,
@@ -1814,6 +1918,8 @@ object TextAnalysis {
     "q_inverted"    -> qInvertedSql,
     "q_redact"      -> qRedactSql,
     "q_vocab"       -> qVocabSql,
+    "q_readability" -> qReadabilitySql,
+    "q_zipf"        -> qZipfSql,
     "q_text_stats"  -> qTextStatsSql,
     "q_lang_id"     -> qLangIdSql,
     "q_langid_confusion" -> qLangidConfusionSql,
