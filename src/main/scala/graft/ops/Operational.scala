@@ -562,6 +562,79 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ q_p95_worst_days
+  /** Time-sliced tail monitoring — per (event type, day), the exact
+    * interpolated p95 of `value`, surfacing each type's 3 WORST days:
+    * the SLA/latency-dashboard shape ("which days breached") that
+    * [[qMad]]'s corpus-level dispersion and [[qChangepoint]]'s mean
+    * shift both miss — tail regressions hide under stable means.
+    * `percentile` ≡ DuckDB `quantile_cont` (identical interpolation
+    * on identical doubles — the established q_percentiles parity).
+    *
+    * Scale: one (type, day) aggregation (exact within-group
+    * percentile sorts the group; at warehouse scale swap in mergeable
+    * `percentile_approx` t-digests, same query shape), then a
+    * per-type top-3 window over the day-count-sized frame.
+    */
+  private def qP95WorstDays(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("p95").desc, col("day"))))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("day"), col("n"), col("p95"),
+        col("rk").cast(IntegerType).as("rk"))
+  }
+
+  private val qP95WorstDaysSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    quantile_cont(value, 0.95) AS p95,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n, p95, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY p95 DESC, day) AS rk
+      |  FROM daily)
+      |WHERE rk <= 3""".stripMargin
+
+  // ------------------------------------------------------- q_log2_buckets
+  /** Power-of-two value histogram — the long-tail companion of
+    * [[qHistogram]]'s equi-width buckets: bucket = ⌊log₂(v)⌋,
+    * computed WITHOUT logs as `len(bin(⌊v⌋)) − 1` (the bit length of
+    * the integer part — exact integer arithmetic, so the bucket
+    * boundary can't move with a libm version), values < 1 pooled in
+    * bucket 0. Doubling buckets keep resolution constant in relative
+    * terms — the natural shape for latencies, sizes, and revenue-like
+    * columns where equi-width buckets put 99 % of rows in bucket 1.
+    *
+    * Scale: map-only bucket assignment; group count ≤ 64 per type,
+    * partials collapse map-side (the [[qHistogram]] discipline).
+    */
+  private def qLog2Buckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("IF(value < 1, 0, length(bin(CAST(floor(value) AS BIGINT))) - 1)")
+          .cast(IntegerType).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val qLog2BucketsSql: String =
+    """SELECT event_type,
+      |  CAST(CASE WHEN value < 1 THEN 0
+      |            ELSE length(bin(CAST(floor(value) AS BIGINT))) - 1
+      |       END AS INTEGER) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- q_decile_lift
   /** Decile gains table — the model-evaluation / campaign-targeting
     * readout: rank users by a score (here activity = event count, the
@@ -1273,6 +1346,8 @@ object Operational {
     "q_ab_test"     -> qAbTest _,
     "q_seasonality" -> qSeasonality _,
     "q_decile_lift" -> qDecileLift _,
+    "q_p95_worst_days" -> qP95WorstDays _,
+    "q_log2_buckets" -> qLog2Buckets _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
     "q_winsorize" -> qWinsorize _,
@@ -1298,6 +1373,8 @@ object Operational {
     "q_ab_test"     -> qAbTestSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_decile_lift" -> qDecileLiftSql,
+    "q_p95_worst_days" -> qP95WorstDaysSql,
+    "q_log2_buckets" -> qLog2BucketsSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_winsorize" -> qWinsorizeSql,
