@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -561,6 +561,71 @@ object Operational {
        |WHERE event_type = 'purchase'
        |GROUP BY 1""".stripMargin
   }
+
+  // ------------------------------------------------------ q_user_outliers
+  /** Personal-baseline outliers — events deviating > 2σ from the SAME
+    * user's trailing window, the per-entity complement of
+    * [[qAnomaly]]'s global 3σ rule (a power user's normal is another
+    * user's outlier; fraud/abuse detection keys on personal
+    * baselines). The test runs entirely in scaled integers: with
+    * window sums `sx = Σx`, `sxx = Σx²` over the trailing
+    * [[OUT_WIN]] rows (x scaled ×10², x² thus ×10⁴), the 2σ flag
+    * `(x − sx/n)² > 4·(sxx/n − (sx/n)²)` clears denominators to
+    * `(n·x − sx)² > 4·(n·sxx − sx²)` — DECIMAL(38,0) products, no
+    * division, no float boundary. Output: flagged event count and
+    * total per user (only users with ≥1 flag).
+    *
+    * Scale: ONE user-keyed window exchange (the [[qEwma]] shape) with
+    * two running integer sums; flagging is a map-side comparison and
+    * the rollup is user-keyed. Bounded frame = bounded state: the
+    * same kernel runs streaming as an [[OUT_WIN]]-element buffer.
+    */
+  private val OUT_WIN = 8
+
+  private def qUserOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(OUT_WIN - 1), 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("xs", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .withColumn("sx", sum(col("xs")).over(w))
+      .withColumn("sxx", sum(expr("xs * xs")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") === OUT_WIN)
+      .filter(expr(
+        """CAST(n AS DECIMAL(38,0)) * xs - sx != 0 AND
+          |(CAST(n AS DECIMAL(38,0)) * xs - sx)
+          |  * (CAST(n AS DECIMAL(38,0)) * xs - sx)
+          |  > 4 * (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |""".stripMargin.replace("\n", " ")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_outliers"),
+        Det.dsum(col("value")).as("outlier_value"))
+  }
+
+  private val qUserOutliersSql: String =
+    s"""WITH scored AS (
+       |  SELECT user_id, event_id, value,
+       |    CAST(floor(value * 100) AS BIGINT) AS xs,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+       |      AS sx,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)
+       |           * CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+       |      AS sxx,
+       |    count(*) OVER w AS n
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN ${OUT_WIN - 1} PRECEDING AND CURRENT ROW))
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_outliers,
+       |  ${graft.Det.dsumSql("value")} AS outlier_value
+       |FROM scored
+       |WHERE n = $OUT_WIN
+       |  AND CAST(n AS HUGEINT) * xs - sx <> 0
+       |  AND (CAST(n AS HUGEINT) * xs - sx) * (CAST(n AS HUGEINT) * xs - sx)
+       |      > 4 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------ q_p95_worst_days
   /** Time-sliced tail monitoring — per (event type, day), the exact
@@ -1347,6 +1412,7 @@ object Operational {
     "q_seasonality" -> qSeasonality _,
     "q_decile_lift" -> qDecileLift _,
     "q_p95_worst_days" -> qP95WorstDays _,
+    "q_user_outliers" -> qUserOutliers _,
     "q_log2_buckets" -> qLog2Buckets _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
@@ -1374,6 +1440,7 @@ object Operational {
     "q_seasonality" -> qSeasonalitySql,
     "q_decile_lift" -> qDecileLiftSql,
     "q_p95_worst_days" -> qP95WorstDaysSql,
+    "q_user_outliers" -> qUserOutliersSql,
     "q_log2_buckets" -> qLog2BucketsSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
