@@ -562,6 +562,96 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q_heavy_users
+  /** Workload-skew audit — what share of total event volume the
+    * top-10 / top-100 / top-1000 users generate (integer ppm): the
+    * capacity-planning and cache-sizing readout ("a top-100 hot set
+    * covers 4 % of traffic"), and the skew early-warning for every
+    * user-keyed operator in this engine — when top-10 coverage
+    * climbs, the salting/AQE paths ([[qSkewJoin]]) start paying for
+    * themselves. Same cutoff-sweep shape as `q_vocab_coverage`, on
+    * the workload axis.
+    *
+    * Scale: one user-keyed count, then per cutoff a
+    * TakeOrderedAndProject over the user frame + a bounded sum —
+    * never a corpus-wide rank.
+    */
+  private val HEAVY_CUTS = Seq(10, 100, 1000)
+
+  private def qHeavyUsers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_users"))
+    HEAVY_CUTS.map { k =>
+      per.orderBy(col("n").desc, col("user_id")).limit(k)
+        .agg(count(lit(1)).as("k_eff"), sum(col("n")).as("top_n"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k).cast(IntegerType).as("top_k"),
+          col("k_eff").cast(IntegerType).as("k_eff"),
+          col("n_users"), col("top_n"), col("total"),
+          expr("top_n * 1000000 div total").as("share_ppm"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val qHeavyUsersSql: String = {
+    def cut(k: Int): String =
+      s"""SELECT CAST($k AS INTEGER) AS top_k,
+         |  CAST(count(*) AS INTEGER) AS k_eff,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_users,
+         |  CAST(sum(n) AS BIGINT) AS top_n,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM per) AS total,
+         |  CAST(sum(n) * 1000000 //
+         |    (SELECT sum(n) FROM per) AS BIGINT) AS share_ppm
+         |FROM (SELECT n FROM per ORDER BY n DESC, user_id LIMIT $k)"""
+        .stripMargin
+    s"""WITH per AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1)
+       |${HEAVY_CUTS.map(cut).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // ----------------------------------------------------------- q_freshness
+  /** Data-freshness audit — per event type: newest event, staleness
+    * vs the corpus watermark in whole minutes, and a stale flag at
+    * 24 h: the ingestion-health dashboard every CDC mirror and
+    * warehouse loader watches (a type whose feed silently stopped
+    * shows up here first). Staleness is µs-exact integer arithmetic
+    * (`unix_micros` ≡ `epoch_us`), divided to minutes with `div` —
+    * no timestamp subtraction semantics to disagree on.
+    *
+    * Scale: one (type)-keyed max aggregation — map-side partials,
+    * group count = type cardinality; the watermark is a 1-row
+    * broadcast.
+    */
+  private def qFreshness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"))
+    val wm = ev.agg(max(unix_micros(col("ts"))).as("wm_us"))
+    ev.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("latest"),
+        max(unix_micros(col("ts"))).as("latest_us"),
+        count(lit(1)).as("n"))
+      .crossJoin(broadcast(wm))
+      .select(col("event_type"), col("latest"), col("n"),
+        expr("(wm_us - latest_us) div 60000000").as("stale_minutes"),
+        expr("(wm_us - latest_us) div 60000000 > 1440").as("is_stale"))
+  }
+
+  private val qFreshnessSql: String =
+    """WITH wm AS (SELECT max(epoch_us(ts)) AS wm_us FROM events),
+      |per AS (
+      |  SELECT event_type, max(ts) AS latest,
+      |    max(epoch_us(ts)) AS latest_us,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, latest, n,
+      |  CAST((wm.wm_us - latest_us) // 60000000 AS BIGINT)
+      |    AS stale_minutes,
+      |  (wm.wm_us - latest_us) // 60000000 > 1440 AS is_stale
+      |FROM per CROSS JOIN wm""".stripMargin
+
   // ------------------------------------------------------ q_user_outliers
   /** Personal-baseline outliers — events deviating > 2σ from the SAME
     * user's trailing window, the per-entity complement of
@@ -1413,6 +1503,8 @@ object Operational {
     "q_decile_lift" -> qDecileLift _,
     "q_p95_worst_days" -> qP95WorstDays _,
     "q_user_outliers" -> qUserOutliers _,
+    "q_heavy_users" -> qHeavyUsers _,
+    "q_freshness"   -> qFreshness _,
     "q_log2_buckets" -> qLog2Buckets _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_rolling_median" -> qRollingMedian _,
@@ -1441,6 +1533,8 @@ object Operational {
     "q_decile_lift" -> qDecileLiftSql,
     "q_p95_worst_days" -> qP95WorstDaysSql,
     "q_user_outliers" -> qUserOutliersSql,
+    "q_heavy_users" -> qHeavyUsersSql,
+    "q_freshness"   -> qFreshnessSql,
     "q_log2_buckets" -> qLog2BucketsSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_rolling_median" -> qRollingMedianSql,
