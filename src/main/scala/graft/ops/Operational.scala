@@ -562,6 +562,57 @@ object Operational {
        |GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------- q_forecast_naive
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting system must beat before it ships: predict each
+    * day's volume with the value from 7 days earlier (calendar
+    * JOIN on day−7, not a 7-ROW lag — missing days must not
+    * misalign the season), then score the backtest per type with an
+    * integer MAPE analog: `Σ|actual − forecast| · 10⁶ div Σactual`.
+    * Daily sums ride the scaled-BIGINT decimal route, so error and
+    * denominator are exact and the ppm score is bit-identical. Read
+    * next to [[qSeasonality]] (which says WHICH weekday pattern the
+    * naive forecast is exploiting).
+    *
+    * Scale: the corpus collapses to (type, day) first (the
+    * [[qChangepoint]] discipline); the backtest is a self-join of
+    * that dashboard-sized frame on (type, day−7) plus one per-type
+    * aggregation.
+    */
+  private def qForecastNaive(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+        .as("x"))
+    val lagged = daily.select(col("event_type"),
+      col("day").as("base_day"), col("x").as("x7"))
+    daily
+      .join(lagged,
+        daily("event_type") === lagged("event_type") &&
+          date_sub(col("day"), 7) === col("base_day"))
+      .drop(lagged("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_backtest"),
+        sum(abs(col("x") - col("x7"))).as("abs_err_scaled"),
+        sum(col("x")).as("actual_scaled"))
+      .select(col("event_type"), col("n_backtest"),
+        expr("abs_err_scaled * 1000000 div actual_scaled").as("mape_ppm"))
+  }
+
+  private val qForecastNaiveSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |bt AS (
+      |  SELECT a.event_type, a.x, b.x AS x7
+      |  FROM daily a
+      |  JOIN daily b ON b.event_type = a.event_type
+      |               AND b.day = a.day - 7)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
+      |  CAST(sum(abs(x - x7)) * 1000000 // sum(x) AS BIGINT) AS mape_ppm
+      |FROM bt GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- q_heavy_users
   /** Workload-skew audit — what share of total event volume the
     * top-10 / top-100 / top-1000 users generate (integer ppm): the
@@ -1504,6 +1555,7 @@ object Operational {
     "q_p95_worst_days" -> qP95WorstDays _,
     "q_user_outliers" -> qUserOutliers _,
     "q_heavy_users" -> qHeavyUsers _,
+    "q_forecast_naive" -> qForecastNaive _,
     "q_freshness"   -> qFreshness _,
     "q_log2_buckets" -> qLog2Buckets _,
     "q_source_overlap" -> qSourceOverlap _,
@@ -1534,6 +1586,7 @@ object Operational {
     "q_p95_worst_days" -> qP95WorstDaysSql,
     "q_user_outliers" -> qUserOutliersSql,
     "q_heavy_users" -> qHeavyUsersSql,
+    "q_forecast_naive" -> qForecastNaiveSql,
     "q_freshness"   -> qFreshnessSql,
     "q_log2_buckets" -> qLog2BucketsSql,
     "q_source_overlap" -> qSourceOverlapSql,
