@@ -63,12 +63,24 @@ object Bench {
     def fmt(results: Seq[(String, Double)], prec: Int = 2): String =
       results.map { case (k, v) => "\"" + k + "\":" + num(v, prec) }
         .mkString("{", ",", "}")
-    // Cold pass first (the historical numbers — keys unchanged), then a
-    // warm pass: cold minus warm ≈ per-query codegen/JIT one-time cost,
-    // warm ≈ steady-state throughput. Per-query warm times go to a local
-    // file for profiling; stdout carries only the aggregate.
+    // Cold pass first (the historical numbers — keys unchanged), then
+    // THREE warm passes reduced to a per-query MEDIAN: single-pass warm
+    // totals swung ~25% with host load (BASELINE.md documents; the
+    // round-5 driver run landed 40% over the builder's own envelope on
+    // the same build), so round-over-round comparison reads the median —
+    // the regression signal a noisy shared host can't fake. cold minus
+    // warm ≈ per-query codegen/JIT one-time cost; warm ≈ steady-state.
     val results = pass()
-    val warm = pass()
+    val warmPasses = Seq(pass(), pass(), pass())
+    def median3(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val warm = warmPasses.head.map(_._1).map { name =>
+      name -> median3(warmPasses.flatMap(_.collectFirst {
+        case (`name`, v) => v
+      }))
+    }
     // Totals sum successful queries only — a -1.0 failure marker must not
     // subtract from the aggregate.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -86,9 +98,23 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name profile write failed: $e")
       }
-    writeProfile("bench_warm.json", warm)
+    writeProfile("bench_warm.json", warm) // per-query median of 3
+    warmPasses.zipWithIndex.foreach { case (p, i) =>
+      writeProfile(s"bench_warm_p${i + 1}.json", p)
+    }
     writeProfile("bench_cold.json", results)
-    val errsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout errs list is CAPPED (a mass failure would push the
+    // final JSON line past the driver's ~2000-char tail window and lose
+    // its head — the exact failure mode the full list was added to
+    // surface); n_errs carries the true count, the full list lands in
+    // target/bench_errs.json.
+    val errsJson = failed.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("target/bench_errs.json"))
+      try w.println(failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      finally w.close()
+    } catch { case _: Throwable => () }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // final JSON line (verified: round 4's 2300-char full-map line lost
     // its head in that window and was never parsed). With 150+ queries a
@@ -97,12 +123,13 @@ object Bench {
     // perf grading actually reads — while BOTH full per-query maps
     // (cold + warm, µs precision) land in target/bench_{cold,warm}.json.
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(50)
-    val line =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(top)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}"""
+    def stdoutLine(topN: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(topN)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"n_errs":${failed.size},"errs":$errsJson}"""
+    val line = stdoutLine(top)
     if (line.length > 1900)
       // Belt-and-braces: never exceed the driver's tail window even if
       // query names grow — drop to top-25 before ever truncating JSON.
-      println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(top.take(25))},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"errs":$errsJson}""")
+      println(stdoutLine(top.take(25)))
     else println(line)
     spark.stop()
   }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.IntegerType
   * functions.
   *
   * The container ships no image/audio codec libraries, so decode is a
-  * DISPATCH: real dependency-free header parses for BMP images and WAV
-  * audio ([[decodeBmp]]/[[decodeWav]]), a deterministic stub (clearly
-  * marked below) for every other format. Everything Spark-side is
+  * DISPATCH: real dependency-free header parses for BMP, PNG, and JPEG
+  * images and WAV audio ([[decodeBmp]]/[[decodePng]]/[[decodeJpeg]]/
+  * [[decodeWav]]), a deterministic stub (clearly marked below) for
+  * every other format. Everything Spark-side is
   * real: schema, batch shape, partitioning, and the map-partitions
   * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
   * per-partition iterator in, iterator out, no per-row JVM↔native
@@ -62,6 +63,13 @@ object Multimodal {
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
       ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
 
+  private def be32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def be16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
   /** REAL codec path for BMP images — a dependency-free header parse
     * (the format is public: "BM" magic, then BITMAPINFOHEADER with
     * little-endian INT32 width at offset 18 and height at offset 22; a
@@ -74,6 +82,68 @@ object Multimodal {
       val w = le32(payload, 18)
       val h = le32(payload, 22)
       if (w > 0 && h != 0) Some((w, math.abs(h))) else None
+    } else None
+
+  /** REAL codec path for PNG images — a dependency-free header parse
+    * (public format: the 8-byte signature 89 'P' 'N' 'G' 0D 0A 1A 0A,
+    * then the IHDR chunk, which the spec requires FIRST — 4-byte
+    * big-endian length 13, the ASCII type "IHDR" at offset 12, then
+    * big-endian INT32 width at 16 and height at 20). Returns None for
+    * anything that is not a plausible PNG, routing the row onward in
+    * the dispatch chain.
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (payload.length >= 24 && payload.take(8).sameElements(sig) &&
+        be32(payload, 8) == 13 &&
+        payload.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII"))) {
+      val w = be32(payload, 16)
+      val h = be32(payload, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+  }
+
+  /** REAL codec path for JPEG images — a dependency-free marker scan
+    * (public format: FF D8 SOI, then FF-prefixed segments each
+    * carrying a big-endian INT16 length that includes the length
+    * field itself). Dimensions live in the first start-of-frame
+    * segment (SOF0–SOF15, excluding the non-frame C4/C8/CC codes):
+    * 1 byte precision, then big-endian height and width. Stand-alone
+    * markers (RSTn, TEM) have no length field and are skipped; fill
+    * bytes (repeated FF) are tolerated. Returns None when no SOF is
+    * found before the scan runs off the payload.
+    */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < payload.length) {
+        if ((payload(i) & 0xff) != 0xff) return None // desynced: not JPEG
+        // skip fill bytes
+        var j = i + 1
+        while (j < payload.length && (payload(j) & 0xff) == 0xff) j += 1
+        if (j + 1 >= payload.length) return None
+        val marker = payload(j) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF segment: len(2) precision(1) height(2) width(2)
+          if (j + 8 >= payload.length) return None
+          val h = be16(payload, j + 4)
+          val w = be16(payload, j + 6)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / start-of-scan before any SOF: give up
+        } else if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i = j + 1 // stand-alone marker, no length field
+        } else {
+          if (j + 2 >= payload.length) return None
+          val len = be16(payload, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+        }
+      }
+      None
     } else None
 
   /** REAL codec path for WAV audio — RIFF/WAVE header parse: byte rate
@@ -91,14 +161,16 @@ object Multimodal {
     } else None
 
   /** Codec dispatch: real header parses where the payload is a format
-    * this adapter understands (BMP images, WAV audio — both
+    * this adapter understands (BMP/PNG/JPEG images, WAV audio — all
     * dependency-free), deterministic stub otherwise. This is the full
     * adapter contract a production pipeline fills in per format.
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Long) =
     kind match {
       case "image" =>
-        decodeBmp(payload).map { case (w, h) => (w, h, 0L) }
+        decodeBmp(payload).orElse(decodePng(payload))
+          .orElse(decodeJpeg(payload))
+          .map { case (w, h) => (w, h, 0L) }
           .getOrElse(decodeStub(kind, payload))
       case "audio" =>
         decodeWav(payload).map(ms => (0, 0, ms))

@@ -439,6 +439,16 @@ object Similarity {
     * same constants; nothing is computed with logs at query time —
     * the same move as the inlined LSH plane literals.
     *
+    * SEMANTICS — "local" nDCG over the retrieved list: IDCG's n_rel
+    * counts relevant items FOUND in the retrieved top-K, not
+    * min(total relevant in corpus, K) as corpus-normalized nDCG@K
+    * defines. A result whose relevant hits sort to the top scores 10⁶
+    * even when relevant vectors were missed entirely — this metric
+    * grades RANKING quality of what was returned; pair it with
+    * [[qAnnRecall]] (which grades what was missed) for the full
+    * picture. The corpus-normalized form would add one same-label
+    * corpus count per query label (a broadcast label histogram join).
+    *
     * Scale: identical to [[qMrr]] — probe-bounded ranked lists, one
     * candidate-sized label join, bounded final agg.
     */

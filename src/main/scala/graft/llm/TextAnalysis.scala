@@ -953,9 +953,11 @@ object TextAnalysis {
     *
     * Scale: [[termFreq]] + a doc-keyed length agg; df and the
     * (total, N) scalars are vocabulary/metadata-sized → '''broadcast'''.
-    * The ranked frame is post-aggregation (only docs matching a query
-    * term), so the global top-20 window is bounded; a full-corpus rank
-    * would use orderBy().limit() (TakeOrderedAndProject) instead.
+    * The scored frame is "docs matching any query term" — O(corpus)
+    * for common terms — so the top-20 is taken with orderBy().limit()
+    * (TakeOrderedAndProject, per-partition top-k then a 20-row merge)
+    * and only the 20 survivors are ranked by the unpartitioned
+    * row_number (bounded frame, same pattern as [[qZipf]]).
     */
   private val bm25Terms = Seq("spark", "join", "window")
 
@@ -984,9 +986,9 @@ object TextAnalysis {
       .agg(sum(col("tscore")).as("score"),
         count(lit(1)).cast(IntegerType).as("n_terms"))
     scored
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rnk") <= 20)
       .select(col("doc_id"), col("score"), col("n_terms"),
         col("rnk").cast(IntegerType).as("rnk"))
   }
@@ -1097,10 +1099,12 @@ object TextAnalysis {
     *
     * Scale: bigrams are md5-prefix-hashed to BIGINT pre-shuffle (as in
     * q_contamination) and the hashed frame is persisted — it feeds the
-    * corpus-count branch and the per-doc branch. The vocabulary is
-    * top-K of the bigram-count frame (vocabulary-sized, far smaller
-    * than the corpus) → '''broadcast''' into the membership join, so
-    * the per-doc pass is map-only + one count aggregation. The rank
+    * corpus-count branch and the per-doc branch. The vocabulary cut is
+    * orderBy().limit(K) over the bigram-count frame
+    * (TakeOrderedAndProject — per-partition top-K then a K-row merge,
+    * never a global sort: distinct bigrams grow near-linearly with the
+    * corpus) → '''broadcast''' into the membership join, so the
+    * per-doc pass is map-only + one count aggregation. The cut
     * tie-break is (count DESC, hash) — deterministic on both engines
     * with no dependence on collation.
     */
@@ -1118,9 +1122,7 @@ object TextAnalysis {
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = bg.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("gh"))))
-      .filter(col("rnk") <= NOVELTY_VOCAB)
+      .orderBy(col("cnt").desc, col("gh")).limit(NOVELTY_VOCAB)
       .select(col("gh"), lit(1).as("hit"))
     bg.join(broadcast(vocab), Seq("gh"), "left")
       .groupBy(col("doc_id"))
@@ -1223,15 +1225,19 @@ object TextAnalysis {
     * map-side partials; plan-pinned single scan), each word's first
     * bucket is a token-partitioned window min over that frame (never
     * the corpus), and a row is a "new word" exactly when its bucket IS
-    * the first. The cumulative windows run over the BUCKET-count-sized
-    * frame (corpus_size / 50 rows — thousands at warehouse scale), so
-    * the unpartitioned window is bounded by construction.
+    * the first. The cumulative totals are a TWO-LEVEL prefix sum (the
+    * [[qPack]] sharding trick, range-sharded because order matters):
+    * running sums WITHIN each [[GROWTH_SHARD]]-bucket shard ride a
+    * shard-partitioned window, and the carry-in from earlier shards
+    * comes from a broadcast `<`-self-join over the shard-totals frame
+    * (shards = buckets/64 rows) — the bucket frame (corpus/50 rows,
+    * linear in the corpus) never crosses a partition-less WindowExec.
     */
   private val GROWTH_BUCKET = 50
+  private val GROWTH_SHARD = 64
 
   private def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
-    val cum = Window.orderBy(col("bucket"))
-    Tables.documents(s, d)
+    val buckets = Tables.documents(s, d)
       .select(expr(s"doc_id div $GROWTH_BUCKET").as("bucket"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("bucket"), col("token"))
@@ -1242,8 +1248,30 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tokens"),
         sum(when(col("bucket") === col("fb"), 1L).otherwise(0L))
           .as("new_words"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
-      .withColumn("cum_vocab", sum(col("new_words")).over(cum))
+      .withColumn("shard", expr(s"bucket div $GROWTH_SHARD"))
+      // persisted: the bucket frame (corpus/50 rows) feeds both the
+      // intra-shard running sums and the shard-totals carry, and the
+      // carry join's inferred isnotnull(shard) filter makes the two
+      // subtrees non-identical — exchange reuse alone would re-scan
+      // the corpus for each consumer.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intra = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val shardTot = buckets.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("st"), sum(col("new_words")).as("sv"))
+    val carry = shardTot.alias("a")
+      .join(broadcast(shardTot.alias("b")),
+        col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.st")), lit(0L)).as("prev_tokens"),
+        coalesce(sum(col("b.sv")), lit(0L)).as("prev_vocab"))
+    buckets
+      .withColumn("run_tokens", sum(col("n_tokens")).over(intra))
+      .withColumn("run_vocab", sum(col("new_words")).over(intra))
+      .join(broadcast(carry), Seq("shard"))
+      .select(col("bucket"), col("n_tokens"), col("new_words"),
+        (col("run_tokens") + col("prev_tokens")).as("cum_tokens"),
+        (col("run_vocab") + col("prev_vocab")).as("cum_vocab"))
   }
 
   private val qVocabGrowthSql: String =

@@ -420,10 +420,12 @@ object Tokenization {
     *
     * Scale: training runs over the train split's (word, freq) frame;
     * application is three broadcast-1-row rewrites of the held-out
-    * vocabulary — corpus text is scanned once per split to build the
-    * frames, everything after is vocabulary-sized, and the repeated
-    * subtrees (vocab aggs, winner broadcasts) are identical subplans
-    * Spark's exchange reuse dedupes.
+    * vocabulary. The two split vocabularies are '''persisted'''
+    * (vocabulary-sized, not corpus-sized): each feeds several
+    * pair-count / rewrite branches, and relying on exchange reuse to
+    * dedupe them left the corpus tokenize pass re-running per branch
+    * on cold runs — persisting pins the one-scan-per-split shape.
+    * Everything downstream of the vocab frames is vocabulary-sized.
     */
   private def qBpeApply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -431,6 +433,7 @@ object Tokenization {
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairCounts(df: DataFrame): DataFrame = df
       .filter(char_length(col("w")) >= 2)
       .select(explode(expr(

@@ -850,37 +850,67 @@ object Operational {
     * the sentence this table exists to produce. Conversion shares the
     * [[qAbTest]] outcome (≥1 high-value purchase).
     *
-    * Determinism: decile = `ntile(10)` over (score DESC, user_id) —
-    * the id tie-break pins the cut; lift is integer ppm over exact
-    * counts. Scale: one user-keyed agg, ONE global ntile sort over
-    * the user frame (users ≪ events; at warehouse scale swap ntile
-    * for pre-computed score-quantile boundaries — same output
-    * contract), then a 10-group agg + running sums over 10 rows.
+    * Determinism: decile = `ntile(10)` semantics over
+    * (score DESC, user_id) — the id tie-break pins the cut; lift is
+    * integer ppm over exact counts routed through DECIMAL(38,0)/
+    * HUGEINT (the [[qChi2]] discipline — BIGINT wraps silently past
+    * ~3M users while the oracle keeps going).
+    *
+    * Scale: NO global sort. The score histogram is value-domain-sized
+    * (distinct activity counts ≪ users), so the "users with a
+    * strictly higher score" prefix comes from a broadcast non-equi
+    * self-join over it, and each user's global rank is that prefix
+    * plus its row_number WITHIN its score group (score-partitioned
+    * window — one shuffle of the user frame by score, never a
+    * single-partition sort). The decile then falls out of the rank by
+    * pure arithmetic — with q = n div 10 and r = n mod 10, tiles 1..r
+    * hold q+1 rows and the rest hold q — bit-identical to ntile(10)
+    * because the composite ordering key is unique. Running sums over
+    * the 10 decile rows use a broadcast ≤-self-join, keeping the whole
+    * plan free of partition-less WindowExec.
     */
   private def qDecileLift(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.IntegerType
     val users = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("score"),
         max(when(col("event_type") === "purchase" && col("value") > 150,
           1L).otherwise(0L)).as("converted"))
-    val cut = users.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
-    val byDecile = cut.groupBy(col("decile").cast(IntegerType).as("decile"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("converted")).as("n_conv"))
-    val runs = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    byDecile
-      .withColumn("cum_users", sum(col("n_users")).over(runs))
-      .withColumn("cum_conv", sum(col("n_conv")).over(runs))
-      .crossJoin(broadcast(users.agg(
-        count(lit(1)).as("tot_users"), sum(col("converted")).as("tot_conv"))))
+    val hist = users.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val higher = hist.alias("a")
+      .join(broadcast(hist.alias("b")), col("b.score") > col("a.score"),
+        "left")
+      .groupBy(col("a.score").as("score"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("n_higher"))
+    val totals = users.agg(
+      count(lit(1)).as("tot_users"), sum(col("converted")).as("tot_conv"))
+    val cut = users
+      .join(broadcast(higher), Seq("score"))
+      .withColumn("rnk", col("n_higher") + row_number().over(
+        Window.partitionBy(col("score")).orderBy(col("user_id"))))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr(
+        """CAST(IF(rnk <= (tot_users % 10) * (tot_users div 10 + 1),
+          |  (rnk + tot_users div 10) div (tot_users div 10 + 1),
+          |  tot_users % 10
+          |    + (rnk - (tot_users % 10) * (tot_users div 10 + 1)
+          |       + tot_users div 10 - 1) div (tot_users div 10))
+          |AS INT)""".stripMargin.replace("\n", " ")))
+    val byDecile = cut.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    byDecile.alias("d")
+      .join(broadcast(byDecile.alias("e")),
+        col("e.decile") <= col("d.decile"))
+      .groupBy(col("d.decile").as("decile"),
+        col("d.n_users").as("n_users"), col("d.n_conv").as("n_conv"))
+      .agg(sum(col("e.n_users")).as("cum_users"),
+        sum(col("e.n_conv")).as("cum_conv"))
+      .crossJoin(broadcast(totals))
       .select(col("decile"), col("n_users"), col("n_conv"),
         expr("n_conv * 1000000 div n_users").as("rate_ppm"),
-        expr("coalesce((cum_conv * tot_users * 1000000)" +
-          " div nullif(cum_users * tot_conv, 0), 0)").as("cum_lift_ppm"))
+        expr("CAST(coalesce((CAST(cum_conv AS DECIMAL(38,0)) * tot_users" +
+          " * 1000000) div nullif(CAST(cum_users AS DECIMAL(38,0))" +
+          " * tot_conv, 0), 0) AS BIGINT)").as("cum_lift_ppm"))
   }
 
   private val qDecileLiftSql: String =
@@ -903,8 +933,9 @@ object Operational {
       |    CAST(sum(converted) AS BIGINT) AS tot_conv FROM users)
       |SELECT decile, n_users, n_conv,
       |  CAST(n_conv * 1000000 // n_users AS BIGINT) AS rate_ppm,
-      |  CAST(coalesce((cum_conv * tot_users * 1000000)
-      |    // nullif(cum_users * tot_conv, 0), 0) AS BIGINT) AS cum_lift_ppm
+      |  CAST(coalesce((CAST(cum_conv AS HUGEINT) * tot_users * 1000000)
+      |    // nullif(CAST(cum_users AS HUGEINT) * tot_conv, 0), 0)
+      |    AS BIGINT) AS cum_lift_ppm
       |FROM (
       |  SELECT d.*, t.tot_users, t.tot_conv,
       |    CAST(sum(n_users) OVER (ORDER BY decile
@@ -918,10 +949,13 @@ object Operational {
   // -------------------------------------------------------- q_seasonality
   /** Day-of-week seasonality profile per event type — the periodic
     * decomposition a capacity planner or anomaly baseline reads
-    * before interpreting any daily number: per (type, ISO weekday)
-    * cell, event count, integer-ppm share of the type's total, and a
-    * peak flag (is this the type's busiest weekday — ties to the
-    * earliest weekday). The [[qChangepoint]] level-shift and this
+    * before interpreting any daily number: per (type, weekday) cell
+    * — `dow` uses Spark's `dayofweek` numbering, Sunday=1..Saturday=7,
+    * NOT ISO-8601 Monday=1 (join an ISO weekday dimension via
+    * `weekday(ts)+1` instead) — event count, integer-ppm share of the
+    * type's total, and a peak flag (is this the type's busiest
+    * weekday — ties to the earliest weekday, in that same
+    * numbering). The [[qChangepoint]] level-shift and this
     * periodic profile are the two decompositions that turn a raw
     * daily series into something monitorable.
     *
@@ -1199,6 +1233,10 @@ object Operational {
     * bench envelope while DuckDB's HUGEINT kept going). Output per
     * type: the argmax day (ties → earliest), its index, series
     * length, shift direction, and |S| scaled back to value units.
+    * `direction` reads as "which way the level steps AFTER cp_day":
+    * S ≥ 0 means the pre-changepoint segment sits ABOVE the overall
+    * mean, i.e. the series steps 'down' at the changepoint (and
+    * vice versa).
     *
     * Scale: the corpus collapses to (type, day) rows in ONE hash
     * aggregation before any window touches it — the window input is
@@ -1233,7 +1271,7 @@ object Operational {
       .select(col("event_type"), col("day").as("cp_day"),
         col("t").cast(IntegerType).as("cp_idx"),
         col("n_days").cast(IntegerType).as("n_days"),
-        when(col("s") >= 0, lit("up")).otherwise(lit("down"))
+        when(col("s") >= 0, lit("down")).otherwise(lit("up"))
           .as("direction"),
         expr("CAST(abs(s) div 10000 AS BIGINT)").as("dev"))
   }
@@ -1262,7 +1300,7 @@ object Operational {
       |SELECT event_type, day AS cp_day,
       |  CAST(t AS INTEGER) AS cp_idx,
       |  CAST(n_days AS INTEGER) AS n_days,
-      |  CASE WHEN s >= 0 THEN 'up' ELSE 'down' END AS direction,
+      |  CASE WHEN s >= 0 THEN 'down' ELSE 'up' END AS direction,
       |  CAST(abs(s) // 10000 AS BIGINT) AS dev
       |FROM ranked WHERE rk = 1""".stripMargin
 

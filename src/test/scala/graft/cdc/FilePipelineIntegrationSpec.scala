@@ -108,4 +108,69 @@ class FilePipelineIntegrationSpec extends SparkSpec {
     assert(t1.eventCount.contains(3L))
     assert(recs(1).events.map(_.operation) == Seq("c"))
   }
+
+  test("pattern subscription routing: one glob source captures both change topics") {
+    // The reference's second pipeline subscribes the change side by
+    // PATTERN (`mysql-server.db_1.*`,
+    // `...WithEventCorrelation.java:56`) so one source captures every
+    // table of the database, while transaction markers stay on the one
+    // fixed topic. File form of the same routing: a topic directory per
+    // table, ONE glob path over them feeding the single change source,
+    // a separate directory for the marker topic — pinning the
+    // two-sources-three-topics option plumbing that the sandbox cannot
+    // execute against a live broker.
+    val root = Files.createTempDirectory("graft-filepipe-pattern")
+    val tblA = Files.createDirectories(root.resolve("mysql-server.db_1.table_a"))
+    val tblB = Files.createDirectories(root.resolve("mysql-server.db_1.table_b"))
+    val txnDir = Files.createDirectories(root.resolve("mysql-server.transaction"))
+    val outDir = root.resolve("out").toString
+    val ckptDir = root.resolve("ckpt").toString
+
+    val changeRaw = spark.readStream.format("text")
+      .load(root.resolve("mysql-server.db_1.*").toString).toDF("value")
+    val txnRaw = spark.readStream.format("text")
+      .load(txnDir.toString).toDF("value")
+
+    val (changes, _, _) = DebeziumParser.split(DebeziumParser.parse(changeRaw))
+    val (_, txns, _) = DebeziumParser.split(DebeziumParser.parse(txnRaw))
+    val records = StreamingReconstruction.reconstruct(
+      changes, txns,
+      countGated = false,
+      ttl = Some(java.time.Duration.ofHours(1)))
+
+    def runOnce(): Unit = {
+      val q = records.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+
+    // One transaction spanning BOTH captured tables (a multi-table
+    // write is exactly what the pattern subscription exists for), one
+    // confined to table_b; markers arrive on the fixed topic.
+    writeTopicFile(tblA, Seq(change("t1", 10)))
+    writeTopicFile(tblB, Seq(change("t1", 30), change("t2", 5, "c")))
+    writeTopicFile(txnDir, Seq(marker("t1", "BEGIN")))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 0) // no END yet
+
+    // Second wave over the same checkpoint: the glob source must
+    // discover NEW files in both table directories after a restart.
+    writeTopicFile(tblA, Seq(change("t1", 20)))
+    writeTopicFile(txnDir, Seq(marker("t1", "END", 3),
+      marker("t2", "END", 1)))
+    runOnce()
+
+    val recs = spark.read.parquet(outDir).as[TransactionRecord]
+      .collect().sortBy(_.transactionId)
+    assert(recs.map(_.transactionId).toSeq == Seq("t1", "t2"))
+    // events from table_a and table_b interleave into ONE time-ordered
+    // transaction — the union the pattern subscription promises
+    assert(recs(0).events.map(_.tsMs) == Seq(10, 20, 30))
+    assert(recs(0).eventCount.contains(3L))
+    assert(recs(1).events.map(_.operation) == Seq("c"))
+  }
 }

@@ -149,6 +149,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L).width == sw && out(3L).height == sh)
   }
 
+  test("multimodal: real PNG/JPEG header parses return true dims") {
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >> 24) & 0xff).toByte
+      a(off + 1) = ((v >> 16) & 0xff).toByte
+      a(off + 2) = ((v >> 8) & 0xff).toByte
+      a(off + 3) = (v & 0xff).toByte
+    }
+    // Minimal PNG: 8-byte signature, then IHDR (len 13, type, w, h).
+    val png = new Array[Byte](8 + 4 + 4 + 13 + 4)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).zipWithIndex
+      .foreach { case (b, i) => png(i) = b.toByte }
+    putBe32(png, 8, 13)
+    System.arraycopy("IHDR".getBytes("US-ASCII"), 0, png, 12, 4)
+    putBe32(png, 16, 640) // width
+    putBe32(png, 20, 480) // height
+    assert(Multimodal.decodePng(png).contains((640, 480)))
+    // zero width → implausible → None
+    putBe32(png, 16, 0)
+    assert(Multimodal.decodePng(png).isEmpty)
+    assert(Multimodal.decodePng("plain text".getBytes).isEmpty)
+
+    // Minimal JPEG: SOI, an APP0 segment to skip, then SOF0 with
+    // height 33 / width 49 (big-endian INT16 after 1 precision byte).
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(6) ++
+      Array[Byte](1, 2, 3, 4)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(33) ++ be16(49) ++ Array[Byte](3, 0, 0, 0)
+    val jpg = Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof0
+    assert(Multimodal.decodeJpeg(jpg).contains((49, 33)))
+    // progressive (SOF2) carries dims the same way
+    val sof2 = sof0.updated(1, 0xc2.toByte)
+    val jpg2 = Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof2
+    assert(Multimodal.decodeJpeg(jpg2).contains((49, 33)))
+    // DHT (C4) is NOT a frame marker and must be skipped, not parsed
+    val dht = Array(0xff, 0xc4).map(_.toByte) ++ be16(4) ++
+      Array[Byte](0, 0)
+    val jpg3 = Array(0xff, 0xd8).map(_.toByte) ++ dht ++ sof0
+    assert(Multimodal.decodeJpeg(jpg3).contains((49, 33)))
+    // no SOF before start-of-scan → None (stub path)
+    val sos = Array(0xff, 0xda).map(_.toByte) ++ be16(2)
+    val jpgNoSof = Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sos
+    assert(Multimodal.decodeJpeg(jpgNoSof).isEmpty)
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes).isEmpty)
+
+    // Dispatch routes image payloads through the PNG/JPEG parsers.
+    putBe32(png, 16, 640)
+    assert(Multimodal.decode("image", png) == ((640, 480, 0L)))
+    assert(Multimodal.decode("image", jpg) == ((49, 33, 0L)))
+  }
+
   test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
     val items = Multimodal.mediaFromDocuments(spark, sf())
     val one = items.filter(col("media_id") === 1).collect().head

@@ -105,8 +105,9 @@ class OperationalSpec extends SparkSpec {
       }
       val (day, idx, s) =
         scored.maxBy { case (d, _, sv) => (sv.abs, -d.toEpochDay) }
+      // s >= 0 ⇒ pre-segment above the overall mean ⇒ level steps DOWN
       (tpe, day, idx, xs.length,
-        if (s >= 0) "up" else "down", (s.abs / 10000).toLong)
+        if (s >= 0) "down" else "up", (s.abs / 10000).toLong)
     }.toSet
     val got = SparkEntry.queries("q_changepoint")(spark, sf())
       .collect()

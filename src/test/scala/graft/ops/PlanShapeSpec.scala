@@ -229,18 +229,33 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
-  test("q_vocab_growth scans the corpus once; both consumers reuse one exchange") {
+  test("q_vocab_growth scans the corpus once (persisted bucket frame)") {
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = graft.SparkEntry.queries("q_vocab_growth")(spark, sf())
         .queryExecution.executedPlan
-      val scans = plan.collect {
+      // Every consumer (intra-shard running sums, shard totals, carry
+      // self-join) must read the persisted bucket frame, never the
+      // corpus directly...
+      val outerScans = plan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
-      assert(scans.size == 1,
-        s"the growth curve must be a linear single-scan pipeline " +
-          s"(got ${scans.size} scans)")
+      assert(outerScans.isEmpty,
+        s"consumers must read the cached bucket frame, not re-scan the " +
+          s"corpus (got ${outerScans.size} direct scans)")
+      val cached = plan.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }
+      assert(cached.size >= 2,
+        s"expected >=2 cached-bucket-frame consumers, got ${cached.size}")
+      // ...and the cached frame itself is built from ONE corpus scan.
+      val innerScans = cached.head.relation.cachedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(innerScans.size == 1,
+        s"the bucket frame must be a linear single-scan pipeline " +
+          s"(got ${innerScans.size} scans)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
