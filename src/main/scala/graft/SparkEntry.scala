@@ -25,6 +25,7 @@ object SparkEntry {
     (llm.Embeddings.queries, llm.Embeddings.oracles),
     (llm.Mixing.queries, llm.Mixing.oracles),
     (llm.Multimodal.queries, llm.Multimodal.oracles),
+    (llm.Sketches.queries, llm.Sketches.oracles),
     (llm.Tokenization.queries, llm.Tokenization.oracles)
   )
 

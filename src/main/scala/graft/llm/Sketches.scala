@@ -1,0 +1,333 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.PolyHash.poly_hash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators: KMV (k-minimum-values) cardinality and
+  * overlap estimation, and a count-min frequency sketch — the
+  * sub-linear replacements for `count_distinct` / exact set
+  * intersection / exact heavy-hitter counting that a 100 TB corpus
+  * requires. Exact answers are computed alongside at bench scale so
+  * each query doubles as its own calibration report (the operating
+  * data a rollout needs before trusting a sketch at 1000×), the same
+  * framing as `q_minhash_est` ([[Dedup]]).
+  *
+  * All sketches are built on [[graft.functions.PolyHash]] — the
+  * repo's deterministic cross-engine hash — so the DuckDB oracle
+  * reproduces every estimate bit-for-bit; no RNG, no engine-native
+  * murmur.
+  *
+  * Reference provenance: the reference engine has no sketch surface
+  * (`/root/reference/readme.md:1-5`); these extend the LLM-pipeline
+  * set SURVEY.md §2.3 mandates (corpus statistics at scale).
+  */
+object Sketches {
+
+  private val P = 1000000007L
+
+  /** Affine post-mix for sketch hashes: near-identical strings (shared
+    * prefix, sequential suffix — exactly what a real corpus's URLs,
+    * titles and boilerplate look like) leave `poly_hash` values in a
+    * few TIGHT CLUSTERS (the suffix contributes only small deltas),
+    * which destroys the uniform-order-statistics assumption KMV and
+    * count-min live on (measured: KMV over 900 unmixed sequential
+    * texts estimated 245). Multiplying by a large odd constant mod P
+    * scales intra-cluster deltas across the whole hash space
+    * (δ → A·δ mod P), restoring uniformity; the map is bijective mod
+    * P, so distinctness is exactly preserved. MinHash/LSH band keys
+    * ([[Dedup]]) don't need this — they compare hashes for EQUALITY,
+    * not by ORDER.
+    */
+  private[graft] val MIX_A = 747796405L
+  private[graft] val MIX_B = 2654435769L
+
+  /** Shared with [[graft.streaming.StreamingKmv]] so the online sketch
+    * stays merge-parity-exact with the batch one by construction.
+    */
+  private[graft] def mixed(h: Column): Column = (h * MIX_A + MIX_B) % P
+
+  /** Scala reference of [[mixed]]∘poly_hash (spec-side recomputes). */
+  private[graft] def mixedHash(s: String): Long =
+    (graft.functions.PolyHash.hash(s) * MIX_A + MIX_B) % P
+
+  /** DuckDB twin of `mixed(poly_hash(x))` (hash via [[Dedup.tokHashSql]]). */
+  private def phSql(t: String): String =
+    s"""((list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(string_split_regex($t, ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)
+       |   * $MIX_A + $MIX_B) % 1000000007)""".stripMargin
+
+  // -------------------------------------------------------- q_kmv_distinct
+  /** KMV distinct-count estimate of distinct document texts: keep the
+    * K smallest distinct hash values; if the K-th smallest is h_K,
+    * the K minima occupy a fraction h_K/P of the hash space, so
+    * n_distinct ≈ (K-1)·P/h_K. Reported next to the exact distinct
+    * count and the estimation error in ppm.
+    *
+    * Scale: the sketch is an `orderBy().limit(K)` over DISTINCT
+    * hashes → TakeOrderedAndProject: every partition keeps its local
+    * K minima and only K·n_partitions 8-byte values ever move — the
+    * mergeability that makes KMV the cardinality path at 100 TB,
+    * where the exact `count_distinct` twin (here only calibration)
+    * would shuffle every distinct value. No full sort, no global
+    * window.
+    */
+  private val KMV_K = 256
+
+  private def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(mixed(poly_hash(col("text"))).as("h"))
+      .distinct()
+    val sk = h.orderBy(col("h")).limit(KMV_K)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
+    val ex = h.agg(count(lit(1)).as("exact_distinct"))
+    sk.crossJoin(broadcast(ex))
+      .withColumn("est_distinct",
+        when(col("k_used") < KMV_K, col("k_used"))
+          .otherwise(expr(s"(${KMV_K - 1} * ${P}L) div kth_min")))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+      .select(col("k_used"), col("kth_min"), col("est_distinct"),
+        col("exact_distinct"), col("err_ppm"))
+  }
+
+  private val qKmvDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT ${phSql("text")} AS h FROM documents),
+       |sk AS (SELECT h FROM h ORDER BY h LIMIT $KMV_K),
+       |agg AS (SELECT count(*) AS k_used, max(h) AS kth_min FROM sk),
+       |ex AS (SELECT count(*) AS exact_distinct FROM h),
+       |est AS (
+       |  SELECT k_used, kth_min, exact_distinct,
+       |    CASE WHEN k_used < $KMV_K THEN k_used
+       |         ELSE (${KMV_K - 1} * CAST($P AS BIGINT)) // kth_min
+       |    END AS est_distinct
+       |  FROM agg, ex)
+       |SELECT k_used, kth_min, est_distinct, exact_distinct,
+       |  (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
+       |    AS err_ppm
+       |FROM est""".stripMargin
+
+  // --------------------------------------------------------- q_kmv_overlap
+  /** Pairwise source-overlap estimation from per-source KMV sketches:
+    * merge two sources' sketches, keep the K smallest of the union;
+    * the fraction of those minima present in BOTH sketches estimates
+    * the Jaccard similarity, and Jaccard × union-cardinality estimates
+    * the intersection size. This is the sub-linear twin of the exact
+    * `q_source_overlap`: at 100 TB the exact pass shuffles every
+    * distinct text hash once per pair, while the sketch path ships
+    * K·n_sources 8-byte values to one task. Exact intersection counts
+    * ride along as calibration.
+    *
+    * Scale: per-source sketches are a `row_number` window PARTITIONED
+    * by source with a constant-K cutoff (bounded frame — the
+    * [[graft.plans.PartitionedTopK]] shape); the pair expansion joins
+    * the tiny source-pair frame ('''broadcast''') against sketches of
+    * ≤ K rows per source, and the merge window is partitioned by pair
+    * over ≤ 2K rows. Nothing here scales with corpus size except the
+    * initial distinct-hash pass.
+    */
+  private val OV_K = 128
+
+  private def qKmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val hs = Tables.documents(s, d)
+      .select(col("source"), mixed(poly_hash(col("text"))).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = hs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rk") <= OV_K)
+      .select(col("source"), col("h"))
+    val srcs = hs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val fromA = sk.join(broadcast(pairs), col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val fromB = sk.join(broadcast(pairs), col("source") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val merged = fromA.union(fromB)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("rk") <= OV_K)
+    val est = merged
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        max(col("h")).as("kth"))
+      .withColumn("union_est",
+        when(col("n_merged") < OV_K, col("n_merged"))
+          .otherwise(expr(s"(${OV_K - 1} * ${P}L) div kth")))
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div n_merged"))
+      .withColumn("inter_est", expr("n_both * union_est div n_merged"))
+    val exact = hs.select(col("source").as("src_a"), col("h"))
+      .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val out = est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_both"),
+        col("jaccard_ppm"), col("union_est"), col("inter_est"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+    hs.unpersist()
+    out
+  }
+
+  private val qKmvOverlapSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT source, ${phSql("text")} AS h FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM hs) WHERE rk <= $OV_K),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM hs) a,
+       |       (SELECT DISTINCT source FROM hs) b
+       |  WHERE a.source < b.source),
+       |expanded AS (
+       |  SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+       |  FROM sk s JOIN pairs p ON s.source = p.src_a
+       |  UNION ALL
+       |  SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+       |  FROM sk s JOIN pairs p ON s.source = p.src_b),
+       |merged AS (
+       |  SELECT * FROM (
+       |    SELECT src_a, src_b, h, max(ia) AS in_a, max(ib) AS in_b,
+       |      row_number() OVER (PARTITION BY src_a, src_b
+       |                         ORDER BY h) AS rk
+       |    FROM expanded GROUP BY src_a, src_b, h)
+       |  WHERE rk <= $OV_K),
+       |est AS (
+       |  SELECT src_a, src_b, count(*) AS n_merged,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both, max(h) AS kth
+       |  FROM merged GROUP BY src_a, src_b),
+       |est2 AS (
+       |  SELECT src_a, src_b, n_merged, n_both,
+       |    CASE WHEN n_merged < $OV_K THEN n_merged
+       |         ELSE (${OV_K - 1} * CAST($P AS BIGINT)) // kth
+       |    END AS union_est
+       |  FROM est),
+       |exact AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*) AS exact_inter
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT e.src_a, e.src_b, e.n_both,
+       |  (e.n_both * 1000000) // e.n_merged AS jaccard_ppm,
+       |  e.union_est,
+       |  (e.n_both * e.union_est) // e.n_merged AS inter_est,
+       |  COALESCE(x.exact_inter, 0) AS exact_inter
+       |FROM est2 e LEFT JOIN exact x
+       |  ON e.src_a = x.src_a AND e.src_b = x.src_b""".stripMargin
+
+  // ----------------------------------------------------------- q_countmin
+  /** Count-min sketch calibration over token frequencies: D=3 hash
+    * rows × B=512 buckets of summed counts; a token's estimate is the
+    * MINIMUM of its D bucket counts (each bucket over-counts by
+    * whatever else collided into it, never under-counts). Reported for
+    * the exact top-20 tokens with the overestimate in ppm — the
+    * accuracy readout that sizes B before relying on the sketch.
+    *
+    * Scale: the sketch is D·B = 1536 counters regardless of corpus
+    * size — the token stream aggregates by (row, bucket) with map-side
+    * partial combine, so the shuffle carries at most 1536 rows per
+    * partition. The exact top-20 (calibration only) is
+    * `orderBy().limit(20)` → TakeOrderedAndProject, and the
+    * counter⋈top-20 join broadcasts the 1536-row sketch. At 100 TB
+    * only the counters and the top-k survive the map phase.
+    */
+  private val CMS_B = 512
+  private val CMS_D = 3
+
+  /** Row-i bucket of a token hash (same affine family as MinHash). */
+  private def bucket(x: Column, i: Int): Column =
+    ((x * (i * 2 + 1) + i * 12345L) % P) % CMS_B
+
+  private def qCountmin(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok"), mixed(poly_hash(col("tok"))).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = toks
+      .select(explode(array((0 until CMS_D).map { i =>
+        struct(lit(i).as("row_i"), bucket(col("x"), i).as("bkt"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row_i").as("row_i"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok"), col("x"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(20)
+    val est = top
+      .select(col("tok"), col("x"), col("exact_n"),
+        explode(array((0 until CMS_D).map { i =>
+          struct(lit(i).as("row_i"), bucket(col("x"), i).as("bkt"))
+        }: _*)).as("rb"))
+      .select(col("tok"), col("exact_n"),
+        col("rb.row_i").as("row_i"), col("rb.bkt").as("bkt"))
+      .join(broadcast(counters), Seq("row_i", "bkt"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("over_ppm",
+        expr("(cms_est - exact_n) * 1000000 div exact_n"))
+      .select(col("tok"), col("exact_n"), col("cms_est"), col("over_ppm"))
+    toks.unpersist()
+    est
+  }
+
+  private val qCountminSql: String = {
+    val bkts = (0 until CMS_D).map { i =>
+      s"SELECT x, $i AS row_i, ((x * ${i * 2 + 1} + ${i}*12345) % $P) % $CMS_B AS bkt FROM xs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |toks2 AS (
+       |  SELECT tok, ${phSql("tok")} AS x FROM toks
+       |  WHERE length(tok) > 0),
+       |xs AS (SELECT x FROM toks2),
+       |rb AS (
+       |  $bkts),
+       |counters AS (
+       |  SELECT row_i, bkt, count(*) AS cnt FROM rb GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, x, count(*) AS exact_n FROM toks2
+       |  GROUP BY tok, x ORDER BY exact_n DESC, tok LIMIT 20),
+       |est AS (
+       |  SELECT t.tok, t.exact_n, min(c.cnt) AS cms_est
+       |  FROM top t
+       |  CROSS JOIN generate_series(0, ${CMS_D - 1}) gs(i)
+       |  JOIN counters c
+       |    ON c.row_i = gs.i
+       |   AND c.bkt = ((t.x * (gs.i * 2 + 1) + gs.i * 12345) % $P) % $CMS_B
+       |  GROUP BY t.tok, t.exact_n)
+       |SELECT tok, exact_n, cms_est,
+       |  ((cms_est - exact_n) * 1000000) // exact_n AS over_ppm
+       |FROM est""".stripMargin
+  }
+
+  // -------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> qKmvDistinct,
+    "q_kmv_overlap" -> qKmvOverlap,
+    "q_countmin" -> qCountmin
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_countmin" -> qCountminSql
+  )
+}

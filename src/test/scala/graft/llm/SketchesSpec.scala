@@ -1,0 +1,83 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Semantic checks for the sketch operators (the oracle gate checks
+  * cross-engine equality; these check that the ESTIMATES mean what
+  * they claim on corpora with known ground truth).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.functions.PolyHash.register(spark)
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = Files.createTempDirectory("sketch-spec").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("kmv distinct: below K the estimate IS the exact count") {
+    val dir = writeDocs((1L to 40L).map(i => (i, s"unique text $i", "s0")))
+    val r = Sketches.queries("q_kmv_distinct")(spark, dir).collect().head
+    assert(r.getAs[Long]("k_used") == 40L)
+    assert(r.getAs[Long]("est_distinct") == 40L)
+    assert(r.getAs[Long]("exact_distinct") == 40L)
+    assert(r.getAs[Long]("err_ppm") == 0L)
+  }
+
+  test("kmv distinct: above K the estimate lands near the truth") {
+    // 2000 distinct texts with K=256 — the standard error of KMV is
+    // ~n/sqrt(K) ≈ 6%; assert a loose 25% band (deterministic data,
+    // so this is a fixed value, not a flaky bound).
+    val n = 2000
+    val dir = writeDocs((1L to n.toLong).map(i => (i, s"doc body $i", "s0")))
+    val r = Sketches.queries("q_kmv_distinct")(spark, dir).collect().head
+    val est = r.getAs[Long]("est_distinct")
+    assert(r.getAs[Long]("exact_distinct") == n.toLong)
+    assert(est > n * 0.75 && est < n * 1.25,
+      s"KMV estimate $est too far from $n")
+  }
+
+  test("kmv overlap: estimates track a known 1/3 Jaccard") {
+    // A = 1..600, B = 301..900 → |A∩B| = 300, |A∪B| = 900, J = 1/3.
+    // Union ≫ K so the order statistics are in the sketch's working
+    // regime (with union ≈ K the estimator is all noise). Deterministic
+    // data → fixed values; the bands document the expected accuracy.
+    val a = (1L to 600L).map(i => (i, s"shared corpus item $i", "sA"))
+    val b = (301L to 900L).map(i => (i + 10000L, s"shared corpus item $i", "sB"))
+    val dir = writeDocs(a ++ b)
+    val r = Sketches.queries("q_kmv_overlap")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("src_a") == "sA")
+    assert(row.getAs[Long]("exact_inter") == 300L)
+    val j = row.getAs[Long]("jaccard_ppm")
+    assert(j > 233000L && j < 433000L, s"jaccard_ppm $j not near 333333")
+    val inter = row.getAs[Long]("inter_est")
+    assert(inter > 200L && inter < 420L, s"inter_est $inter not near 300")
+    val un = row.getAs[Long]("union_est")
+    assert(un > 700L && un < 1100L, s"union_est $un not near 900")
+  }
+
+  test("countmin: never underestimates, and exact when B is ample") {
+    // 30 distinct tokens into 3×512 buckets — collisions possible but
+    // the min-over-rows estimate must be ≥ exact for every token.
+    val dir = writeDocs(Seq(
+      (1L, ("heavy " * 50).trim, "s0"),
+      (2L, (1 to 29).map(i => s"tok$i").mkString(" "), "s0")))
+    val rows = Sketches.queries("q_countmin")(spark, dir).collect()
+    val byTok = rows.map(r => r.getAs[String]("tok") ->
+      (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_est"))).toMap
+    assert(byTok("heavy")._1 == 50L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"),
+        s"CMS underestimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("over_ppm") >= 0L)
+    }
+  }
+}
