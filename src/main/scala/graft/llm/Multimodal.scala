@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.IntegerType
   * functions.
   *
   * The container ships no image/audio codec libraries, so decode is a
-  * DISPATCH: real dependency-free header parses for BMP, PNG, and JPEG
-  * images and WAV audio ([[decodeBmp]]/[[decodePng]]/[[decodeJpeg]]/
-  * [[decodeWav]]), a deterministic stub (clearly marked below) for
-  * every other format. Everything Spark-side is
+  * DISPATCH: real dependency-free header parses for BMP, PNG, JPEG,
+  * GIF, and TIFF images and WAV audio ([[decodeBmp]]/[[decodePng]]/
+  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWav]]), a
+  * deterministic stub (clearly marked below) for every other format. Everything Spark-side is
   * real: schema, batch shape, partitioning, and the map-partitions
   * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
   * per-partition iterator in, iterator out, no per-row JVM↔native
@@ -146,6 +146,73 @@ object Multimodal {
       None
     } else None
 
+  private def le16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  /** REAL codec path for GIF images — a dependency-free header parse
+    * (public format: 6-byte signature "GIF87a" or "GIF89a", then the
+    * logical-screen descriptor with little-endian UINT16 width at
+    * offset 6 and height at offset 8). Returns None for anything not
+    * a plausible GIF, routing the row onward in the dispatch chain.
+    */
+  def decodeGif(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 10 &&
+        payload.startsWith("GIF8".getBytes("US-ASCII")) &&
+        (payload(4) == '7'.toByte || payload(4) == '9'.toByte) &&
+        payload(5) == 'a'.toByte) {
+      val w = le16(payload, 6)
+      val h = le16(payload, 8)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+
+  /** REAL codec path for TIFF images — a dependency-free IFD walk
+    * (public format: byte-order mark "II" (little-endian) or "MM"
+    * (big-endian), magic 42, then a 4-byte offset to the first image
+    * file directory; the IFD is a UINT16 entry count followed by
+    * 12-byte entries of tag/type/count/value). Width is tag 256
+    * (ImageWidth), height tag 257 (ImageLength), each stored inline as
+    * SHORT (type 3) or LONG (type 4) — for count 1 the value occupies
+    * the entry's last 4 bytes (a SHORT sits in the first 2, in file
+    * byte order). Returns None unless both tags parse.
+    */
+  def decodeTiff(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 8) return None
+    val le =
+      if (payload(0) == 'I'.toByte && payload(1) == 'I'.toByte) true
+      else if (payload(0) == 'M'.toByte && payload(1) == 'M'.toByte) false
+      else return None
+    def u16(off: Int): Int =
+      if (off + 1 >= payload.length) -1
+      else if (le) le16(payload, off) else be16(payload, off)
+    def u32(off: Int): Long =
+      if (off + 3 >= payload.length) -1L
+      else if (le) le32(payload, off) & 0xffffffffL
+      else be32(payload, off) & 0xffffffffL
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > Int.MaxValue) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0) return None
+    var w = -1L; var h = -1L
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + i * 12
+      if (e + 11 >= payload.length) return None
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      if ((tag == 256 || tag == 257) && cnt == 1L &&
+          (typ == 3 || typ == 4)) {
+        val v = if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+        if (tag == 256) w = v else h = v
+      }
+      i += 1
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
   /** REAL codec path for WAV audio — RIFF/WAVE header parse: byte rate
     * (bytes/sec) is the little-endian INT32 at offset 28 of the
     * canonical 44-byte header, data payload follows; duration_ms =
@@ -161,15 +228,18 @@ object Multimodal {
     } else None
 
   /** Codec dispatch: real header parses where the payload is a format
-    * this adapter understands (BMP/PNG/JPEG images, WAV audio — all
-    * dependency-free), deterministic stub otherwise. This is the full
-    * adapter contract a production pipeline fills in per format.
+    * this adapter understands (BMP/PNG/JPEG/GIF/TIFF images, WAV
+    * audio — all dependency-free), deterministic stub otherwise. This
+    * is the full adapter contract a production pipeline fills in per
+    * format.
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Long) =
     kind match {
       case "image" =>
         decodeBmp(payload).orElse(decodePng(payload))
           .orElse(decodeJpeg(payload))
+          .orElse(decodeGif(payload))
+          .orElse(decodeTiff(payload))
           .map { case (w, h) => (w, h, 0L) }
           .getOrElse(decodeStub(kind, payload))
       case "audio" =>

@@ -201,6 +201,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decode("image", jpg) == ((49, 33, 0L)))
   }
 
+  test("multimodal: real GIF/TIFF header parses return true dims") {
+    // Minimal GIF89a logical-screen descriptor: LE16 width/height at 6/8.
+    val gif = new Array[Byte](13)
+    System.arraycopy("GIF89a".getBytes("US-ASCII"), 0, gif, 0, 6)
+    gif(6) = 0x40; gif(7) = 0x01 // width 320
+    gif(8) = 0xf0.toByte; gif(9) = 0x00 // height 240
+    assert(Multimodal.decodeGif(gif).contains((320, 240)))
+    assert(Multimodal.decodeGif("GIF10a??????".getBytes).isEmpty)
+    assert(Multimodal.decodeGif("plain text".getBytes).isEmpty)
+
+    // Minimal little-endian TIFF: header → IFD at 8 with ImageWidth
+    // (tag 256, SHORT) and ImageLength (tag 257, LONG) entries.
+    def putLe16(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v & 0xff).toByte; a(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      putLe16(a, off, v & 0xffff); putLe16(a, off + 2, (v >> 16) & 0xffff)
+    }
+    val tif = new Array[Byte](8 + 2 + 2 * 12 + 4)
+    tif(0) = 'I'.toByte; tif(1) = 'I'.toByte
+    putLe16(tif, 2, 42)
+    putLe32(tif, 4, 8) // IFD offset
+    putLe16(tif, 8, 2) // entry count
+    val e0 = 10
+    putLe16(tif, e0, 256); putLe16(tif, e0 + 2, 3) // ImageWidth, SHORT
+    putLe32(tif, e0 + 4, 1); putLe16(tif, e0 + 8, 800)
+    val e1 = 22
+    putLe16(tif, e1, 257); putLe16(tif, e1 + 2, 4) // ImageLength, LONG
+    putLe32(tif, e1 + 4, 1); putLe32(tif, e1 + 8, 600)
+    assert(Multimodal.decodeTiff(tif).contains((800, 600)))
+
+    // Big-endian flavor of the same IFD.
+    def putBe16(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >> 8) & 0xff).toByte; a(off + 1) = (v & 0xff).toByte
+    }
+    def putBe32b(a: Array[Byte], off: Int, v: Int): Unit = {
+      putBe16(a, off, (v >> 16) & 0xffff); putBe16(a, off + 2, v & 0xffff)
+    }
+    val tifBe = new Array[Byte](8 + 2 + 2 * 12 + 4)
+    tifBe(0) = 'M'.toByte; tifBe(1) = 'M'.toByte
+    putBe16(tifBe, 2, 42)
+    putBe32b(tifBe, 4, 8)
+    putBe16(tifBe, 8, 2)
+    putBe16(tifBe, 10, 256); putBe16(tifBe, 12, 3)
+    putBe32b(tifBe, 14, 1); putBe16(tifBe, 18, 800)
+    putBe16(tifBe, 22, 257); putBe16(tifBe, 24, 4)
+    putBe32b(tifBe, 26, 1); putBe32b(tifBe, 30, 600)
+    assert(Multimodal.decodeTiff(tifBe).contains((800, 600)))
+
+    // bad magic / truncated IFD → None (stub path)
+    assert(Multimodal.decodeTiff("II??noimage".getBytes).isEmpty)
+    assert(Multimodal.decodeTiff("plain text".getBytes).isEmpty)
+
+    // Dispatch routes image payloads through the GIF/TIFF parsers.
+    assert(Multimodal.decode("image", gif) == ((320, 240, 0L)))
+    assert(Multimodal.decode("image", tif) == ((800, 600, 0L)))
+  }
+
   test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
     val items = Multimodal.mediaFromDocuments(spark, sf())
     val one = items.filter(col("media_id") === 1).collect().head
