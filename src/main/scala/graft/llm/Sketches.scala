@@ -248,12 +248,22 @@ object Sketches {
     * counter⋈top-20 join broadcasts the 1536-row sketch. At 100 TB
     * only the counters and the top-k survive the map phase.
     */
-  private val CMS_B = 512
-  private val CMS_D = 3
+  private[graft] val CMS_B = 512
+  private[graft] val CMS_D = 3
 
   /** Row-i bucket of a token hash (same affine family as MinHash). */
-  private def bucket(x: Column, i: Int): Column =
+  private[graft] def bucket(x: Column, i: Int): Column =
     ((x * (i * 2 + 1) + i * 12345L) % P) % CMS_B
+
+  /** Expand a hash column `x` into its D (row_i, bkt) sketch cells —
+    * shared with [[graft.streaming.StreamingCountmin]] so the online
+    * counters stay value-identical to the batch ones by construction.
+    */
+  private[graft] def cmsCells(df: DataFrame): DataFrame =
+    df.select(explode(array((0 until CMS_D).map { i =>
+        struct(lit(i).as("row_i"), bucket(col("x"), i).as("bkt"))
+      }: _*)).as("rb"))
+      .select(col("rb.row_i").as("row_i"), col("rb.bkt").as("bkt"))
 
   private def qCountmin(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -261,11 +271,8 @@ object Sketches {
       .filter(length(col("tok")) > 0)
       .select(col("tok"), mixed(poly_hash(col("tok"))).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counters = toks
-      .select(explode(array((0 until CMS_D).map { i =>
-        struct(lit(i).as("row_i"), bucket(col("x"), i).as("bkt"))
-      }: _*)).as("rb"))
-      .groupBy(col("rb.row_i").as("row_i"), col("rb.bkt").as("bkt"))
+    val counters = cmsCells(toks)
+      .groupBy(col("row_i"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
     val top = toks.groupBy(col("tok"), col("x"))
       .agg(count(lit(1)).as("exact_n"))
@@ -318,16 +325,80 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  // ---------------------------------------------------- q_sample_quantiles
+  /** Sample-based quantile estimation, calibrated: exact percentiles
+    * require a full sort of the value column per group — at 100 TB
+    * that is the single most expensive aggregate in the suite. The
+    * scale path computes quantiles over a deterministic ~6% hash
+    * sample (md5 of the row key — stable across engines,
+    * partitionings, and reruns; the `q_hash_sample` idiom) and this
+    * query reports the estimate NEXT TO the exact value with the
+    * error in ppm — the evidence that sizes the sample rate before a
+    * rollout trusts it.
+    *
+    * Scale: the sample filter is map-only and pushed to the scan side
+    * of the aggregation; only ~6% of values enter the sort. The two
+    * single-row aggregates meet in a '''broadcast''' cross join.
+    */
+  private def qSampleQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val samp = li.filter(
+      conv(substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+        .cast("long") % 16 === 0)
+    val sq = samp.agg(
+      count(lit(1)).as("n_sample"),
+      expr("percentile(l_extendedprice, 0.5)").as("s_p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("s_p95"))
+    val fq = li.agg(
+      count(lit(1)).as("n_pop"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    fq.crossJoin(broadcast(sq))
+      // floor, not CAST: Spark truncates double→bigint, DuckDB rounds —
+      // floor() agrees everywhere
+      .withColumn("err50_ppm",
+        expr("floor(abs(s_p50 - p50) * 1000000 / p50)"))
+      .withColumn("err95_ppm",
+        expr("floor(abs(s_p95 - p95) * 1000000 / p95)"))
+      .select(col("n_pop"), col("n_sample"), col("p50"), col("p95"),
+        col("s_p50"), col("s_p95"), col("err50_ppm"), col("err95_ppm"))
+  }
+
+  private val qSampleQuantilesSql: String =
+    """WITH samp AS (
+      |  SELECT l_extendedprice FROM lineitem
+      |  WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |          CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 16 = 0),
+      |sq AS (
+      |  SELECT count(*) AS n_sample,
+      |    quantile_cont(l_extendedprice, 0.5) AS s_p50,
+      |    quantile_cont(l_extendedprice, 0.95) AS s_p95
+      |  FROM samp),
+      |fq AS (
+      |  SELECT count(*) AS n_pop,
+      |    quantile_cont(l_extendedprice, 0.5) AS p50,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem)
+      |SELECT n_pop, n_sample, p50, p95, s_p50, s_p95,
+      |  CAST(floor(abs(s_p50 - p50) * 1000000 / p50) AS BIGINT) AS err50_ppm,
+      |  CAST(floor(abs(s_p95 - p95) * 1000000 / p95) AS BIGINT) AS err95_ppm
+      |FROM fq, sq""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
-    "q_countmin" -> qCountmin
+    "q_countmin" -> qCountmin,
+    "q_sample_quantiles" -> qSampleQuantiles
   )
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
-    "q_countmin" -> qCountminSql
+    "q_countmin" -> qCountminSql,
+    "q_sample_quantiles" -> qSampleQuantilesSql
   )
 }
