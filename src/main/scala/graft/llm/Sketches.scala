@@ -325,6 +325,78 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  // ------------------------------------------------------- q_kmv_groups
+  /** Per-group KMV cardinality — the production shape of the sketch:
+    * `GROUP BY event_type, approx distinct users`. Each group keeps
+    * its own K smallest distinct user hashes; estimate next to the
+    * exact `count_distinct` and the ppm error, per group.
+    *
+    * Scale: the per-group K minima are a `row_number` window
+    * PARTITIONED by group with a constant-K cutoff (the bounded
+    * [[graft.plans.PartitionedTopK]] shape — each task keeps K rows
+    * per group, no global sort), so the sketch pass shuffles distinct
+    * (group, hash) pairs once and the estimate is one K-row
+    * aggregation per group. The exact twin rides along as calibration;
+    * at 100 TB it is what this query's sketch column REPLACES —
+    * `count_distinct` shuffles every distinct pair AND holds each
+    * group's full key set in the aggregation hash map, where KMV
+    * holds K longs.
+    */
+  private val GRP_K = 64
+
+  private def qKmvGroups(s: SparkSession, d: String): DataFrame = {
+    val hs = Tables.events(s, d)
+      .select(col("event_type"),
+        mixed((col("user_id") * 31 + 7) % P).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = hs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rk") <= GRP_K)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_min"))
+      .withColumn("est_users",
+        when(col("k_used") < GRP_K, col("k_used"))
+          .otherwise(expr(s"(${GRP_K - 1} * ${P}L) div kth_min")))
+    val exact = hs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_users"))
+    val out = sk.join(exact, Seq("event_type"))
+      .withColumn("err_ppm",
+        expr("abs(est_users - exact_users) * 1000000 div exact_users"))
+      .select(col("event_type"), col("k_used"), col("est_users"),
+        col("exact_users"), col("err_ppm"))
+    hs.unpersist()
+    out
+  }
+
+  private val qKmvGroupsSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type,
+       |    (((user_id * 31 + 7) % $P) * $MIX_A + $MIX_B) % $P AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT event_type, count(*) AS k_used, max(h) AS kth_min
+       |  FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM hs)
+       |  WHERE rk <= $GRP_K
+       |  GROUP BY event_type),
+       |est AS (
+       |  SELECT event_type, k_used,
+       |    CASE WHEN k_used < $GRP_K THEN k_used
+       |         ELSE (${GRP_K - 1} * CAST($P AS BIGINT)) // kth_min
+       |    END AS est_users
+       |  FROM sk),
+       |exact AS (
+       |  SELECT event_type, count(*) AS exact_users FROM hs
+       |  GROUP BY event_type)
+       |SELECT e.event_type, s.k_used, s.est_users, e.exact_users,
+       |  (abs(s.est_users - e.exact_users) * 1000000) // e.exact_users
+       |    AS err_ppm
+       |FROM est s JOIN exact e ON s.event_type = e.event_type""".stripMargin
+
   // ---------------------------------------------------- q_sample_quantiles
   /** Sample-based quantile estimation, calibrated: exact percentiles
     * require a full sort of the value column per group — at 100 TB
@@ -392,6 +464,7 @@ object Sketches {
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
     "q_countmin" -> qCountmin,
+    "q_kmv_groups" -> qKmvGroups,
     "q_sample_quantiles" -> qSampleQuantiles
   )
 
@@ -399,6 +472,7 @@ object Sketches {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_countmin" -> qCountminSql,
+    "q_kmv_groups" -> qKmvGroupsSql,
     "q_sample_quantiles" -> qSampleQuantilesSql
   )
 }
