@@ -1579,7 +1579,110 @@ object Operational {
        |  (s_mid + n_lo * p05 + n_hi * p95) / n AS win_mean
        |FROM a""".stripMargin
 
+  // -------------------------------------------------------- q_constraints
+  /** Declarative data-quality constraint audit (the Deequ/
+    * expectations-suite shape): referential integrity, compound-key
+    * uniqueness, temporal ordering, and value-range checks over the
+    * order pipeline, one tall row per check with violation counts and
+    * ppm rate. This is the pre-ingest gate a warehouse runs before
+    * trusting a drop — and on this synthetic data it is NON-degenerate
+    * (the generator emits duplicate (orderkey, linenumber) pairs and
+    * ship-before-order rows), so the audit proves it actually fires.
+    *
+    * Scale shapes, per check: RI = LEFT ANTI joins shuffling on the
+    * key (AQE free to broadcast the dimension side); uniqueness = one
+    * groupBy on the compound key with map-side partial combine,
+    * violations = Σ(c−1) so re-running after a dedup pass reports 0;
+    * temporal = one key-partitioned join; ranges = map-only
+    * single-pass aggregates. Each check is one linear shuffle or less;
+    * the union glues six 1-row frames.
+    */
+  private def qConstraints(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    // denominators as broadcast 1-row frames — the plan stays fully
+    // lazy (no driver-side action inside a query builder)
+    val nLi = li.agg(count(lit(1)).as("n_checked"))
+    val nOrd = ord.agg(count(lit(1)).as("n_checked"))
+    def row(name: String, checked: DataFrame, viol: DataFrame): DataFrame =
+      viol.crossJoin(broadcast(checked))
+        .select(lit(name).as("check"),
+          coalesce(col("v"), lit(0L)).as("n_violations"),
+          col("n_checked"))
+    val riLi = row("ri_lineitem_orders", nLi,
+      li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v")))
+    val riOrd = row("ri_orders_customer", nOrd,
+      ord.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v")))
+    val pk = row("unique_lineitem_pk", nLi,
+      li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(sum(col("c") - 1).as("v")))
+    val temporal = row("ship_not_before_order", nLi,
+      li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+        .agg(count(lit(1)).as("v")))
+    val qty = row("range_quantity_1_50", nLi,
+      li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("v")))
+    val price = row("positive_extendedprice", nLi,
+      li.filter(col("l_extendedprice") <= 0)
+        .agg(count(lit(1)).as("v")))
+    riLi.union(riOrd).union(pk).union(temporal).union(qty).union(price)
+      .withColumn("viol_ppm",
+        expr("n_violations * 1000000 div n_checked"))
+  }
+
+  private val qConstraintsSql: String =
+    """WITH n AS (SELECT count(*) AS n_li FROM lineitem),
+      |no AS (SELECT count(*) AS n_ord FROM orders),
+      |checks AS (
+      |  SELECT 'ri_lineitem_orders' AS "check",
+      |    (SELECT count(*) FROM lineitem l
+      |     ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |      AS n_violations,
+      |    (SELECT n_li FROM n) AS n_checked
+      |  UNION ALL
+      |  SELECT 'ri_orders_customer',
+      |    (SELECT count(*) FROM orders o
+      |     ANTI JOIN customer c ON o.o_custkey = c.c_custkey),
+      |    (SELECT n_ord FROM no)
+      |  UNION ALL
+      |  SELECT 'unique_lineitem_pk',
+      |    (SELECT COALESCE(CAST(sum(c - 1) AS BIGINT), 0) FROM (
+      |       SELECT count(*) AS c FROM lineitem
+      |       GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+      |    (SELECT n_li FROM n)
+      |  UNION ALL
+      |  SELECT 'ship_not_before_order',
+      |    (SELECT count(*) FROM lineitem l
+      |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     WHERE l.l_shipdate < o.o_orderdate),
+      |    (SELECT n_li FROM n)
+      |  UNION ALL
+      |  SELECT 'range_quantity_1_50',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_quantity < 1 OR l_quantity > 50),
+      |    (SELECT n_li FROM n)
+      |  UNION ALL
+      |  SELECT 'positive_extendedprice',
+      |    (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0),
+      |    (SELECT n_li FROM n))
+      |SELECT "check", n_violations, n_checked,
+      |  (n_violations * 1000000) // n_checked AS viol_ppm
+      |FROM checks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraints" -> qConstraints _,
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
@@ -1611,6 +1714,7 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_constraints" -> qConstraintsSql,
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
