@@ -464,4 +464,62 @@ class PlanShapeSpec extends SparkSpec {
         s"q_streaks: ${exchanges.size} exchanges, want <= 3")
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
+
+  test("q_kmv_distinct plans its sketch as TakeOrderedAndProject") {
+    // The scale claim: the K minima come from per-partition top-K +
+    // merge (mergeable sketch), never a global sort of distinct
+    // hashes. TakeOrderedAndProject IS that algorithm in Spark.
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_kmv_distinct")(spark, sf())
+        .queryExecution.executedPlan
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "KMV sketch must plan TakeOrderedAndProject")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+            if s.global => s
+      }
+      assert(sorts.isEmpty, "no global sort may back the sketch")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_countmin broadcasts the 1536-cell sketch into the top-20 probe") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_countmin")(spark, sf())
+        .queryExecution.executedPlan
+      val toap = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(toap.nonEmpty, "exact top-20 must plan TakeOrderedAndProject")
+      val bcJoins = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bcJoins.nonEmpty,
+        "the counter frame must broadcast onto the probe side")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("q_constraints plans LEFT ANTI for both referential checks") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_constraints")(spark, sf())
+        .queryExecution.executedPlan
+      val antis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antis.size >= 2,
+        s"expected >= 2 LEFT ANTI referential joins, got ${antis.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }
