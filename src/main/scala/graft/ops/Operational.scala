@@ -1681,8 +1681,81 @@ object Operational {
       |  (n_violations * 1000000) // n_checked AS viol_ppm
       |FROM checks""".stripMargin
 
+  // -------------------------------------------------------------- q_motif
+  /** Symbolic time-series motif discovery (the SAX idea made
+    * integer-exact): each (event_type, week) becomes a 7-symbol WORD —
+    * per-day symbol = whether the day's event count ranks in the
+    * week's top 3 or bottom 4 (rank-based, so no mean/σ floats and no
+    * cross-engine normalization drift) — and recurring weekly shapes
+    * are simply words shared by ≥2 windows. Ordinal-pattern encoding
+    * from the permutation-entropy literature; rank ties break by day,
+    * so the word is total-order deterministic.
+    *
+    * Scale: this is the motif design that survives 100 TB — the
+    * corpus collapses to (type, day) count cells FIRST (map-side
+    * combined), ranking windows are 7-row frames partitioned by
+    * (type, week), and similarity is WORD EQUALITY (one groupBy on
+    * the word), never a pairwise window comparison: where a
+    * distance-based motif search is O(windows²), this blocks into
+    * hash buckets exactly like the MinHash band join. Samples are
+    * min-aggregated, not collected, so a viral pattern with millions
+    * of windows still yields one bounded row.
+    */
+  private def qMotif(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wk = daily.withColumn("week",
+      to_date(date_trunc("week", col("day"))))
+    val full = wk.groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === 7).drop("c")
+    val ranked = wk.join(full, Seq("event_type", "week"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("week"))
+          .orderBy(col("n"), col("day"))))
+      .withColumn("sym", expr("((r - 1) * 2) div 7"))
+    val words = ranked.groupBy(col("event_type"), col("week"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(day, sym))), x -> CAST(x.sym AS STRING)), '')")
+        .as("pattern"))
+    words.groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(concat(col("week").cast("string"), lit("|"),
+          col("event_type"))).as("sample_window"))
+      .filter(col("n_windows") >= 2)
+  }
+
+  private val qMotifSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wk AS (
+      |  SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS week,
+      |    day, n
+      |  FROM daily),
+      |fullw AS (
+      |  SELECT event_type, week FROM wk
+      |  GROUP BY 1, 2 HAVING count(*) = 7),
+      |ranked AS (
+      |  SELECT w.event_type, w.week, w.day,
+      |    row_number() OVER (PARTITION BY w.event_type, w.week
+      |                       ORDER BY w.n, w.day) AS r
+      |  FROM wk w JOIN fullw f USING (event_type, week)),
+      |words AS (
+      |  SELECT event_type, week,
+      |    string_agg(CAST(((r - 1) * 2) // 7 AS VARCHAR), ''
+      |               ORDER BY day) AS pattern
+      |  FROM ranked GROUP BY 1, 2)
+      |SELECT pattern, count(*) AS n_windows,
+      |  min(CAST(week AS VARCHAR) || '|' || event_type) AS sample_window
+      |FROM words GROUP BY pattern HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_constraints" -> qConstraints _,
+    "q_motif" -> qMotif _,
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
@@ -1715,6 +1788,7 @@ object Operational {
 
   val oracles: Map[String, String] = Map(
     "q_constraints" -> qConstraintsSql,
+    "q_motif" -> qMotifSql,
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
