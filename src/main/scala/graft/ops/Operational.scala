@@ -1753,9 +1753,84 @@ object Operational {
       |  min(CAST(week AS VARCHAR) || '|' || event_type) AS sample_window
       |FROM words GROUP BY pattern HAVING count(*) >= 2""".stripMargin
 
+  // ----------------------------------------------------------- q_ts_pairs
+  /** Exact time-series similarity search — the distance-based
+    * companion to [[qMotif]]'s symbolic blocking: top-10 most similar
+    * (event_type, week) window pairs by Spearman footrule distance
+    * Σ|rank_a − rank_b| over the 7 within-week count ranks.
+    * Rank-based ⇒ integer-exact (no z-normalization floats) and
+    * scale-free (a busy type and a quiet type with the same weekly
+    * shape score as identical).
+    *
+    * Scale: pairwise distance IS quadratic — in the number of
+    * WINDOWS, which this design makes small by construction: the
+    * corpus collapses to (type, day) count cells before any pairing,
+    * so the pair frame is (types × weeks)², dashboard-sized at any
+    * event volume (the same pre-collapse discipline as
+    * `q_changepoint`/`q_seasonality`). The join key is the
+    * day-of-week index (position within the window), and the top-10
+    * is TakeOrderedAndProject. When windows ever did explode, qMotif
+    * is the sub-quadratic path — word-equality blocking first,
+    * exact distance only within blocks.
+    */
+  private def qTsPairs(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("week", to_date(date_trunc("week", col("day"))))
+    val full = daily.groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === 7).drop("c")
+    val ranked = daily.join(full, Seq("event_type", "week"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("week"))
+          .orderBy(col("n"), col("day"))))
+      .select(
+        concat(col("week").cast("string"), lit("|"), col("event_type"))
+          .as("w"),
+        datediff(col("day"), col("week")).as("idx"), col("r"))
+    val a = ranked.select(col("w").as("win_a"), col("idx"),
+      col("r").as("ra"))
+    val b = ranked.select(col("w").as("win_b"), col("idx"),
+      col("r").as("rb"))
+    a.join(b, Seq("idx"))
+      .filter(col("win_a") < col("win_b"))
+      .groupBy(col("win_a"), col("win_b"))
+      .agg(sum(abs(col("ra") - col("rb"))).as("footrule"))
+      .orderBy(col("footrule"), col("win_a"), col("win_b"))
+      .limit(10)
+  }
+
+  private val qTsPairsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wk AS (
+      |  SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS week,
+      |    day, n
+      |  FROM daily),
+      |fullw AS (
+      |  SELECT event_type, week FROM wk
+      |  GROUP BY 1, 2 HAVING count(*) = 7),
+      |ranked AS (
+      |  SELECT CAST(w.week AS VARCHAR) || '|' || w.event_type AS w,
+      |    datediff('day', w.week, w.day) AS idx,
+      |    row_number() OVER (PARTITION BY w.event_type, w.week
+      |                       ORDER BY w.n, w.day) AS r
+      |  FROM wk w JOIN fullw f USING (event_type, week))
+      |SELECT a.w AS win_a, b.w AS win_b,
+      |  CAST(sum(abs(a.r - b.r)) AS BIGINT) AS footrule
+      |FROM ranked a JOIN ranked b ON a.idx = b.idx AND a.w < b.w
+      |GROUP BY 1, 2
+      |ORDER BY footrule, win_a, win_b
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_constraints" -> qConstraints _,
     "q_motif" -> qMotif _,
+    "q_ts_pairs" -> qTsPairs _,
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
@@ -1789,6 +1864,7 @@ object Operational {
   val oracles: Map[String, String] = Map(
     "q_constraints" -> qConstraintsSql,
     "q_motif" -> qMotifSql,
+    "q_ts_pairs" -> qTsPairsSql,
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
