@@ -180,4 +180,64 @@ class StreamOpsSpec extends SparkSpec {
       assert(sessions.count(_.getString(0) == "u") >= 2)
     } finally q.stop()
   }
+
+  test("streamed corpus sessionizes exactly like batch q_sessionize") {
+    // Parity between the two independent sessionization mechanisms:
+    // the batch lag+running-sum gap detector (q_sessionize) and the
+    // streaming session_window state merge. Same 30-minute gap; the
+    // only semantic difference is the exactly-at-gap boundary (batch
+    // `> gap` keeps, session_window's half-open interval splits),
+    // which microsecond-resolution data never hits — asserted
+    // identical per (user, session): start, event count, and
+    // end = last event + gap.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, sf())
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("session_end"))
+      .collect()
+      .map { r =>
+        // +30 min preserves the sub-second part; carry the original
+        // nanos so microsecond timestamps compare exactly
+        val last = r.getTimestamp(3)
+        val end = new Timestamp(last.getTime + 30L * 60 * 1000)
+        end.setNanos(last.getNanos)
+        (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), end)
+      }
+      .toMap
+
+    // deliver in event-time order so the 1-minute watermark never
+    // drops a row (arrival order is the harness's choice; the batch
+    // twin has no notion of lateness)
+    val rows = graft.Tables.events(spark, sf())
+      .select(col("ts"), col("user_id"))
+      .as[(Timestamp, Long)].collect().toSeq
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "30 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      // close every open session
+      input.addData((Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          (r.getLong(3), r.getTimestamp(2)))
+        .toMap
+      assert(streamed.size == batch.size,
+        s"session count ${streamed.size} != batch ${batch.size}")
+      streamed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"session $k: streamed $v vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
 }
