@@ -83,4 +83,43 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the maintenance pass every streaming or
+    * incremental writer eventually owes: a table that accretes one
+    * file per micro-batch/task degrades every later scan (per-file
+    * open/footer costs, tiny row groups defeating min/max skipping,
+    * driver memory for file listings). Rewrites `inPath` into
+    * `outPath` with file count sized from the ACTUAL on-disk bytes
+    * (ceil(total/targetBytes)), so output files land near the target
+    * regardless of how fragmented the input was.
+    *
+    * Write-to-new-path, not in-place: the swap (rename/metadata
+    * commit) stays with the caller's table format, and a failed
+    * compaction leaves the original untouched — the idempotent
+    * pattern `Sinks.upsertSnapshot` uses for its versioned swaps.
+    *
+    * Scale: one file-listing on the driver (names+sizes only), one
+    * read→round-robin-repartition→write; no sort, no skew (round
+    * robin spreads rows evenly regardless of input file sizes). Use
+    * [[writeClustered]]/[[writeZOrdered]] instead when the rewrite
+    * should ALSO fix ordering — compaction proper preserves nothing
+    * and costs nothing beyond the copy.
+    *
+    * Returns (input file count, output file count).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (dataFiles.size, nOut)
+  }
 }

@@ -108,4 +108,33 @@ class FileFormatsSpec extends SparkSpec {
       .contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"))
     assert(pushed.count() == n.filter(col("n_regionkey") === 1).count())
   }
+
+  test("compaction rewrites a fragmented table to size-targeted files") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val o = Tables.orders(spark, sf())
+    // fragment: one file per repartition slice, 64 tiny files
+    o.repartition(64).write.parquet(s"$tmp/frag")
+    val fragFiles = new java.io.File(s"$tmp/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 64)
+
+    // target ~ a quarter of the total bytes → 4 output files
+    val totalBytes = new java.io.File(s"$tmp/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (nIn, nOut) = Layout.compact(spark, s"$tmp/frag",
+      s"$tmp/compacted", targetBytes = totalBytes / 4 + 1)
+    assert(nIn == 64)
+    assert(nOut == 4)
+    val outFiles = new java.io.File(s"$tmp/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 4)
+    // content survives byte-for-byte (same multiset of rows)
+    val before = o.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val after = spark.read.parquet(s"$tmp/compacted")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(after == before)
+    // original untouched — the caller owns the swap
+    assert(new java.io.File(s"$tmp/frag").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 64)
+  }
 }
