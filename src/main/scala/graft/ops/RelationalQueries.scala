@@ -1243,6 +1243,40 @@ object RelationalQueries {
       |SELECT s_suppkey AS key, s_acctbal AS acct
       |FROM supplier WHERE s_suppkey < 100""".stripMargin
 
+  // ------------------------------------------------------------- q_unpivot
+  /** Wide→long melt (UNPIVOT): three measure columns become
+    * (metric, val) rows — the normalization step feeding any
+    * metric-generic pipeline (per-metric quality checks, generic
+    * alerting, EAV-style export). Aggregated per metric here so the
+    * gate hashes 3 rows, not 3×N.
+    *
+    * Scale: unpivot is a map-only row expansion (×measures, no
+    * shuffle, no Expand-style input replication in the aggregate
+    * path), then one 3-group aggregation with map-side combine.
+    * Sums route through the exact-decimal path ([[graft.Det]]).
+    */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("val")).as("total"))
+
+  private val qUnpivotSql: String =
+    s"""SELECT metric, count(*) AS n, ${Det.dsumSql("val")} AS total
+       |FROM (
+       |  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice,
+       |             l_discount FROM lineitem)
+       |  ON l_quantity, l_extendedprice, l_discount
+       |  INTO NAME metric VALUE val)
+       |GROUP BY metric""".stripMargin
+
   // ------------------------------------------------------------ q_topk_agg
   /** Per-group top-k via the custom typed Aggregator
     * ([[graft.functions.TopKAggregate]]) — a bounded mergeable buffer
@@ -1501,6 +1535,7 @@ object RelationalQueries {
     "q_cond_agg"   -> qCondAgg _,
     "q_string_agg" -> qStringAgg _,
     "q_union_by_name" -> qUnionByName _,
+    "q_unpivot" -> qUnpivot _,
     "q_topk_agg"   -> qTopkAgg _,
     "q_topk_per_key" -> qTopkPerKey _,
     "q_cross"      -> qCross _,
@@ -1550,6 +1585,7 @@ object RelationalQueries {
     "q_cond_agg"   -> qCondAggSql,
     "q_string_agg" -> qStringAggSql,
     "q_union_by_name" -> qUnionByNameSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_topk_agg"   -> qTopkAggSql,
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_cross"      -> qCrossSql,
