@@ -37,6 +37,28 @@ object FunctionLawsProps extends Properties("FunctionLaws") {
       val h = PolyHash.hash(s); h >= 0 && h < PolyHash.P
     }
 
+  // The sketch post-mix (graft.llm.Sketches): h → (h·A + B) mod P must
+  // be a BIJECTION on [0, P) — P is prime and A ≢ 0 (mod P), so A is
+  // invertible and distinctness is exactly preserved (the property
+  // q_kmv_distinct's exact-vs-estimate calibration relies on: mixing
+  // may never merge two distinct hashes). Also pins the range.
+  private val hashGen: Gen[Long] = Gen.choose(0L, PolyHash.P - 1)
+
+  property("Sketches mix is injective on [0, P)") =
+    forAll(hashGen, hashGen) { (h1, h2) =>
+      def mix(h: Long): Long =
+        (h * graft.llm.Sketches.MIX_A + graft.llm.Sketches.MIX_B) %
+          PolyHash.P
+      (h1 == h2) == (mix(h1) == mix(h2))
+    }
+
+  property("Sketches mix stays within [0, P)") =
+    forAll(hashGen) { h =>
+      val m = (h * graft.llm.Sketches.MIX_A + graft.llm.Sketches.MIX_B) %
+        PolyHash.P
+      m >= 0 && m < PolyHash.P
+    }
+
   // Strings biased toward canonical-equivalence material: ASCII plus
   // combining marks (U+0300–U+036F) and precomposed Latin-1 letters —
   // the inputs where NFC actually rewrites bytes.
