@@ -1827,10 +1827,103 @@ object Operational {
       |ORDER BY footrule, win_a, win_b
       |LIMIT 10""".stripMargin
 
+  // ----------------------------------------------------------- q_autocorr
+  /** Lag-k autocorrelation (k = 1..7) of daily event counts per type —
+    * the diagnostic that DETECTS periodicity where `q_seasonality`
+    * assumes it: a weekly cycle shows as a lag-7 peak, day-over-day
+    * momentum as lag-1. Lag pairs come from a CALENDAR join
+    * (prev day = day − k), not a row-offset window — the same
+    * missing-day-safe alignment `q_forecast_naive` uses.
+    *
+    * Determinism/scale: the corpus collapses to (type, day) integer
+    * count cells first; per-(type, k) sums of counts and products
+    * accumulate as DECIMAL(38,0) (order-independent, overflow-safe at
+    * warehouse daily volumes where n·Σx² exceeds BIGINT), and the
+    * Pearson ratio is evaluated in IEEE doubles from those exact
+    * integers — bit-identical on any engine/partitioning. The lag
+    * frame (7 rows) broadcasts; the pair join is per-type over the
+    * dashboard-sized daily frame.
+    */
+  private def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("k"))
+    val cur = daily.crossJoin(broadcast(lags))
+    val prev = daily.select(col("event_type"),
+      col("day").as("pday"), col("n").as("pn"))
+    cur.join(prev,
+        cur("event_type") === prev("event_type") &&
+          col("pday") === date_sub(col("day"), col("k")))
+      .drop(prev("event_type"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("n").cast("decimal(38,0)")).as("sx"),
+        sum(col("pn").cast("decimal(38,0)")).as("sy"),
+        sum((col("n") * col("pn")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("pn") * col("pn")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("r_ppm", expr(
+        """CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+          |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |          (n_pairs * CAST(syy AS DOUBLE) -
+          |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+          |     THEN NULL
+          |     ELSE floor(
+          |       (n_pairs * CAST(sxy AS DOUBLE) -
+          |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+          |       sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+          |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |            (n_pairs * CAST(syy AS DOUBLE) -
+          |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+          |END""".stripMargin))
+      .select(col("event_type"), col("k"), col("n_pairs"), col("r_ppm"))
+  }
+
+  private val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lags AS (SELECT CAST(k AS INTEGER) AS k FROM generate_series(1, 7) t(k)),
+      |pairs AS (
+      |  SELECT c.event_type, l.k, c.n, p.n AS pn
+      |  FROM daily c
+      |  CROSS JOIN lags l
+      |  JOIN daily p ON p.event_type = c.event_type
+      |    AND p.day = c.day - l.k),
+      |agg AS (
+      |  SELECT event_type, k, count(*) AS n_pairs,
+      |    SUM(CAST(n AS HUGEINT)) AS sx,
+      |    SUM(CAST(pn AS HUGEINT)) AS sy,
+      |    SUM(CAST(n * pn AS HUGEINT)) AS sxy,
+      |    SUM(CAST(n * n AS HUGEINT)) AS sxx,
+      |    SUM(CAST(pn * pn AS HUGEINT)) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, k, n_pairs,
+      |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+      |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |            (n_pairs * CAST(syy AS DOUBLE) -
+      |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+      |       THEN NULL
+      |       ELSE CAST(floor(
+      |         (n_pairs * CAST(sxy AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+      |         sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+      |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              (n_pairs * CAST(syy AS DOUBLE) -
+      |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+      |         AS BIGINT)
+      |  END AS r_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_constraints" -> qConstraints _,
     "q_motif" -> qMotif _,
     "q_ts_pairs" -> qTsPairs _,
+    "q_autocorr" -> qAutocorr _,
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
@@ -1865,6 +1958,7 @@ object Operational {
     "q_constraints" -> qConstraintsSql,
     "q_motif" -> qMotifSql,
     "q_ts_pairs" -> qTsPairsSql,
+    "q_autocorr" -> qAutocorrSql,
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
