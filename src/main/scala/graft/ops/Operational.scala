@@ -1919,11 +1919,49 @@ object Operational {
       |  END AS r_ppm
       |FROM agg""".stripMargin
 
+  // -------------------------------------------------------------- q_kanon
+  /** k-anonymity audit over quasi-identifiers (Sweeney): customers
+    * group into equivalence classes by (nation, market segment,
+    * account-balance bucket) — the attributes a release would keep —
+    * and the audit reports the class-size distribution with the
+    * at-risk flag (class size < 5 ⇒ the individuals are
+    * re-identifiable by joining public attributes). This is the
+    * measurement step of privacy-preserving release: generalization/
+    * suppression decisions are made against exactly this histogram.
+    *
+    * Scale: one groupBy on the QI tuple (map-side combined), then a
+    * second aggregation over class sizes — the result is bounded by
+    * the number of DISTINCT class sizes, not the population. No row
+    * ever leaves with its identifier; only class cardinalities move.
+    */
+  private def qKanon(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_individuals",
+        col("class_size") * col("n_classes"))
+      .withColumn("at_risk", col("class_size") < 5)
+
+  private val qKanonSql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    count(*) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT class_size, count(*) AS n_classes,
+      |  class_size * count(*) AS n_individuals,
+      |  class_size < 5 AS at_risk
+      |FROM classes GROUP BY class_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_constraints" -> qConstraints _,
     "q_motif" -> qMotif _,
     "q_ts_pairs" -> qTsPairs _,
     "q_autocorr" -> qAutocorr _,
+    "q_kanon" -> qKanon _,
     "q_ewma"      -> qEwma _,
     "q_transitions" -> qTransitions _,
     "q_drift"     -> qDrift _,
@@ -1959,6 +1997,7 @@ object Operational {
     "q_motif" -> qMotifSql,
     "q_ts_pairs" -> qTsPairsSql,
     "q_autocorr" -> qAutocorrSql,
+    "q_kanon" -> qKanonSql,
     "q_ewma"      -> qEwmaSql,
     "q_transitions" -> qTransitionsSql,
     "q_drift"     -> qDriftSql,
