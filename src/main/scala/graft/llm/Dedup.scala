@@ -1019,6 +1019,21 @@ object Dedup {
   private def qDedupCc(s: SparkSession, d: String): DataFrame =
     ccHopsShared(s, d).drop("hops")
 
+  // ----------------------------------------------------------- q_cc_star
+  /** The same canonicalization by ALTERNATING STAR CONTRACTION
+    * ([[graft.ops.Graph.starContractComponents]], Kiveris et al.) —
+    * O(log² n) rounds instead of label flooding's O(diameter): the
+    * shape that survives adversarial near-dup CHAINS (A≈B≈C≈…, where
+    * diameter is O(n)) at 100 TB. Same verified-edge input, same
+    * closed-form recursive-reachability oracle as `q_dedup_cc`, so
+    * the two independent distributed algorithms AND the independent
+    * DuckDB construction must all agree on every label.
+    */
+  private def qCcStar(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.starContractComponents(
+      sharedShingleSets(s, d).select(col("doc_id")),
+      verifiedPairsShared(s, d, JACCARD_T))
+
   private val qDedupCcSql: String =
     s"""WITH RECURSIVE ${verSqlCtes("documents")},
        |edges2 AS (
@@ -1401,6 +1416,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_fuzzy"   -> qDedupFuzzy _,
     "q_dedup_cc"      -> qDedupCc _,
+    "q_cc_star"       -> qCcStar _,
     "q_golden_record" -> qGoldenRecord _,
     "q_dedup_delta"   -> qDedupDelta _,
     "q_cluster_stats" -> qClusterStats _,
@@ -1423,6 +1439,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_fuzzy"   -> qDedupFuzzySql,
     "q_dedup_cc"      -> qDedupCcSql,
+    "q_cc_star"       -> qDedupCcSql,
     "q_golden_record" -> qGoldenRecordSql,
     "q_dedup_delta"   -> qDedupDeltaSql,
     "q_cluster_stats" -> qClusterStatsSql,

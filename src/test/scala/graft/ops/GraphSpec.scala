@@ -112,4 +112,29 @@ class GraphSpec extends SparkSpec {
     // three rounds; the recompute covers whichever shape `sf()` yields)
     assert(got == expected)
   }
+
+  test("star contraction equals label flooding on adversarial graphs") {
+    import spark.implicits._
+    // The case star contraction exists for: a long CHAIN (diameter =
+    // n−1, the flooding worst case), plus a star, a triangle, and
+    // singletons. Both algorithms must produce identical labels —
+    // component minimum for every member.
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val star = Seq((100L, 150L), (100L, 151L), (100L, 152L))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val pairs = (chain ++ star ++ tri).toDF("doc_a", "doc_b")
+    val ids = ((1L to 40L) ++ Seq(100L, 150L, 151L, 152L) ++
+      (200L to 202L) ++ Seq(900L, 901L)).toDF("doc_id")
+
+    val flood = graft.llm.Dedup.canonicalFixpoint(ids, pairs, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starred = Graph.starContractComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starred == flood)
+    // and both equal the closed-form answer
+    (1L to 40L).foreach(v => assert(starred(v) == 1L))
+    Seq(100L, 150L, 151L, 152L).foreach(v => assert(starred(v) == 100L))
+    (200L to 202L).foreach(v => assert(starred(v) == 200L))
+    assert(starred(900L) == 900L && starred(901L) == 901L)
+  }
 }
