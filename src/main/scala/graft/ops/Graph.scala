@@ -475,12 +475,96 @@ object Graph {
       .stripMargin
   }
 
+  // ---------------------------------------------------------- q_link_pred
+  /** Link prediction over the co-supply graph — the top-20 vertex
+    * pairs that are NOT edges but share neighbors, scored by two
+    * classic indices at once: common-neighbor count and the Resource
+    * Allocation index RA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) (Zhou,
+    * Lü & Zhang 2009 — the log-free cousin of Adamic-Adar, and the
+    * strongest of the local indices in their benchmark). Each wedge
+    * contributes `1e6 div deg(z)` in integer ppm, so the score is a
+    * sum of integers — order-independent and bit-identical
+    * cross-engine (an Adamic-Adar `1/ln deg` would put a float log
+    * in every term; RA keeps the same ordering signal exact).
+    *
+    * Scale: the wedge join is keyed on the CENTER vertex — every
+    * common neighbor z of (a, b) generates its wedge exactly once
+    * (far endpoints ordered), unlike the [[qTriangles]] degree
+    * orientation, which would silently drop the common neighbors
+    * that rank above an endpoint (wrong CN/RA semantics). On the
+    * analytic edge view that cost is bounded by construction
+    * (Σ deg(z)² over ≤[[EDGE_TOP]] edges); on an UNBOUNDED corpus
+    * graph the production variant excludes hub centers above a
+    * degree cap before the join — the standard prefix-filtering
+    * move, and principled for RA specifically because a hub's
+    * per-wedge contribution is already ≤ 1e6/cap ppm. The degree
+    * table is vertex-sized → '''broadcast'''. Top-20 via
+    * orderBy().limit() (TakeOrderedAndProject), ranked only after
+    * the 20-row cut.
+    */
+  private def qLinkPred(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = topEdges(s, d)
+    val deg = edges.select(col("sa").as("v"))
+      .unionAll(edges.select(col("sb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val dir = edges.select(col("sa").as("z"), col("sb").as("far"))
+      .unionAll(edges.select(col("sb").as("z"), col("sa").as("far")))
+    val wedges = dir.alias("x")
+      .join(dir.alias("y"),
+        col("x.z") === col("y.z") && col("x.far") < col("y.far"))
+      .select(col("x.far").as("a"), col("y.far").as("b"), col("x.z"))
+      .join(broadcast(deg).withColumnRenamed("v", "z"), Seq("z"))
+    val scored = wedges
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+      .join(edges.select(col("sa").as("a"), col("sb").as("b")),
+        Seq("a", "b"), "left_anti")
+    scored
+      .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("ra_ppm").desc, col("cn").desc,
+          col("a"), col("b"))).cast("int"))
+      .select(col("a"), col("b"), col("cn"), col("ra_ppm"), col("rnk"))
+  }
+
+  private val qLinkPredSql: String =
+    s"""WITH $topEdgesSql,
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT sa AS v FROM edges UNION ALL SELECT sb AS v FROM edges)
+       |  GROUP BY 1),
+       |dir AS (
+       |  SELECT sa AS z, sb AS far FROM edges
+       |  UNION ALL SELECT sb AS z, sa AS far FROM edges),
+       |scored AS (
+       |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_ppm
+       |  FROM (
+       |    SELECT x.far AS a, y.far AS b, x.z
+       |    FROM dir x JOIN dir y
+       |      ON x.z = y.z AND x.far < y.far) w
+       |  JOIN deg dz ON dz.v = w.z
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM edges e WHERE e.sa = s.a AND e.sb = s.b))
+       |SELECT a, b, cn, ra_ppm, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY ra_ppm DESC, cn DESC, a, b) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> qTriangles _,
     "q_pagerank"  -> qPagerank _,
     "q_kcore"     -> qKcore _,
     "q_bellman"   -> qBellman _,
-    "q_lpa"       -> qLpa _
+    "q_lpa"       -> qLpa _,
+    "q_link_pred" -> qLinkPred _
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,7 +572,8 @@ object Graph {
     "q_pagerank"  -> qPagerankSql,
     "q_kcore"     -> qKcoreSql,
     "q_bellman"   -> qBellmanSql,
-    "q_lpa"       -> qLpaSql
+    "q_lpa"       -> qLpaSql,
+    "q_link_pred" -> qLinkPredSql
   )
 
   /** Connected components by ALTERNATING STAR CONTRACTION — the

@@ -1956,7 +1956,291 @@ object Operational {
       |  class_size < 5 AS at_risk
       |FROM classes GROUP BY class_size""".stripMargin
 
+  // ------------------------------------------------------------ q_benford
+  /** Benford first-digit audit over order totals — the classic fraud /
+    * synthetic-data screen: the distribution of leading significant
+    * digits of `o_totalprice` against Benford's law
+    * P(d) = log₁₀(1 + 1/d). The expectation is baked in as the nine
+    * published ppm constants (exact integers on both engines — a
+    * runtime log10 would put a float in the compare), the observed
+    * share is `floor(1e6·c_d / N)`, and the reported deviation is
+    * their absolute difference, all integer.
+    *
+    * Scale: map-only digit extraction (first char of the floored
+    * total — totals are ≥ 1, so no sign/zero handling), one hash agg
+    * with exactly 9 groups; the grand total is a 1-row frame →
+    * '''broadcast''' cross join. Nothing but the scan grows with data.
+    */
+  private val BENFORD_PPM = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  private def qBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    val expArr = array(BENFORD_PPM.map(lit): _*)
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("obs_ppm", expr(
+        "CAST((num - num % n_total) / n_total AS BIGINT)"))
+      .withColumn("exp_ppm", element_at(expArr, col("digit")))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
+  private val qBenfordSql: String = {
+    val arr = BENFORD_PPM.mkString("[", ", ", "]")
+    s"""WITH digits AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits),
+       |obs AS (
+       |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1)
+       |SELECT digit, n,
+       |  CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+       |  CAST($arr[digit] AS BIGINT) AS exp_ppm,
+       |  CAST(abs(CAST(n AS HUGEINT) * 1000000 // n_total - $arr[digit])
+       |       AS BIGINT) AS dev_ppm
+       |FROM obs, tot""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- q_ks
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    * the ECDF-based companion to [[qDrift]]'s chi-square: compare the
+    * early-period and late-period value distributions on the shared
+    * 20-bucket grid and report D = max |ECDF_a − ECDF_b|. Integer-
+    * exact: D·(n_a·n_b) = max over buckets of |cum_a·n_b − cum_b·n_a|
+    * (every term an integer), reported as `ks_ppm = floor(1e6·D_scaled
+    * / (n_a·n_b))` in DECIMAL(38,0) (cum·n crosses int64 at warehouse
+    * counts). The bucket ECDF only changes at occupied buckets, so
+    * running the max over present buckets equals the max over the
+    * full grid — absent buckets can't host the supremum.
+    *
+    * Scale: map-only (type, bucket, period) assignment, one hash agg
+    * with ≤ types×20 groups; the cumulative sums and the max run in a
+    * window PARTITIONED BY event_type over a frame bounded at 20
+    * rows — metadata-sized, never corpus-sized. The per-type totals
+    * ride along via a broadcast join.
+    */
+  private def qKs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / BUCKET_W), lit(0L)),
+          lit(N_BUCKETS - 1L)).cast("long").as("bucket"),
+        when(col("ts") < lit(DRIFT_SPLIT).cast("timestamp"), 1L)
+          .otherwise(0L).as("in_a"))
+    val cells = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("in_a")).as("a"), sum(lit(1L) - col("in_a")).as("b"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_a", sum(col("a")).over(w))
+      .withColumn("cum_b", sum(col("b")).over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("d_scaled", abs(
+        expr("CAST(cum_a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(cum_b AS DECIMAL(38,0)) * n_a")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d_scaled")).as("dmax"))
+      .withColumn("den", expr("CAST(n_a AS DECIMAL(38,0)) * n_b"))
+      .withColumn("ks_ppm", expr(
+        "CAST((dmax * 1000000 - (dmax * 1000000) % den) / den AS BIGINT)"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_ppm"))
+  }
+
+  private val qKsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(least(greatest(floor(value / $BUCKET_W), 0),
+       |               ${N_BUCKETS - 1}) AS BIGINT) AS bucket,
+       |    CASE WHEN ts < TIMESTAMP '$DRIFT_SPLIT' THEN 1 ELSE 0 END
+       |      AS in_a
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type, bucket,
+       |    CAST(sum(in_a) AS BIGINT) AS a,
+       |    CAST(sum(1 - in_a) AS BIGINT) AS b
+       |  FROM ev GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, sum(a) AS n_a, sum(b) AS n_b
+       |  FROM cells GROUP BY 1),
+       |cum AS (
+       |  SELECT event_type, bucket,
+       |    sum(a) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_a,
+       |    sum(b) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_b
+       |  FROM cells),
+       |sc AS (
+       |  SELECT c.event_type, t.n_a, t.n_b,
+       |    max(abs(CAST(c.cum_a AS HUGEINT) * t.n_b
+       |            - CAST(c.cum_b AS HUGEINT) * t.n_a)) AS dmax
+       |  FROM cum c JOIN tot t USING (event_type)
+       |  GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(dmax * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+       |    AS ks_ppm
+       |FROM sc""".stripMargin
+
+  // --------------------------------------------------------------- q_gini
+  /** Gini concentration of customer spend — the inequality readout a
+    * revenue or corpus-contribution dashboard tracks, computed from
+    * the BINNED Lorenz curve: customers bucketed by exact-decimal
+    * lifetime spend into fixed 25 k-wide classes, then the grouped-
+    * data Gini `1 − Σ n_i·(S_{i−1}+S_i) / (N·S)` over the ≤20-class
+    * histogram (the standard binned estimator — a lower bound of the
+    * exact Gini, tight when bins are narrow; documented contract).
+    * Spend sums run in DECIMAL(18,2) (float addition would be
+    * order-dependent), the Lorenz products in DECIMAL(38,6), and the
+    * result floors to ppm — bit-identical cross-engine.
+    *
+    * Scale: this shape exists precisely so NO global sort over
+    * customers happens (the exact Gini needs every customer ranked —
+    * a single-partition window at warehouse scale): one customer agg,
+    * one ≤20-group bucket agg, cumulative sums over the BOUNDED
+    * bucket frame, one 1-row reduce.
+    */
+  private val GINI_BUCKET_W = 25000L
+  private val GINI_BUCKETS = 20L
+
+  private def qGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Integer CENTS from the first agg on — every later product and
+    // quotient is DECIMAL(38,0)-exact (HUGEINT on the oracle side).
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS DECIMAL(38,0))").as("spend_c"))
+    val buckets = spend
+      .withColumn("bucket",
+        least(expr(s"CAST(spend_c div ${GINI_BUCKET_W * 100} AS BIGINT)"),
+          lit(GINI_BUCKETS - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_i"), sum(col("spend_c")).as("s_i"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_s", sum(col("s_i")).over(w))
+      .agg(sum(col("n_i")).as("n_customers"),
+        sum(col("s_i")).cast("decimal(38,0)").as("total_c"),
+        sum(expr("CAST(n_i AS DECIMAL(38,0)) * (2 * cum_s - s_i)"))
+          .cast("decimal(38,0)").as("lorenz"))
+      .withColumn("den",
+        expr("CAST(n_customers AS DECIMAL(38,0)) * total_c"))
+      .withColumn("num", expr("(den - lorenz) * 1000000"))
+      .withColumn("gini_ppm",
+        expr("CAST((num - num % den) / den AS BIGINT)"))
+      .select(col("n_customers"), col("total_c").cast("long").as("total_c"),
+        col("gini_ppm"))
+  }
+
+  private val qGiniSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT)
+       |      AS spend_c
+       |  FROM orders GROUP BY 1),
+       |buckets AS (
+       |  SELECT least(CAST(spend_c // ${GINI_BUCKET_W * 100} AS BIGINT),
+       |               ${GINI_BUCKETS - 1}) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_i,
+       |    sum(spend_c) AS s_i
+       |  FROM spend GROUP BY 1),
+       |cum AS (
+       |  SELECT *, sum(s_i) OVER (ORDER BY bucket) AS cum_s FROM buckets),
+       |agg AS (
+       |  SELECT CAST(sum(n_i) AS BIGINT) AS n_customers,
+       |    CAST(sum(s_i) AS HUGEINT) AS total_c,
+       |    CAST(sum(CAST(n_i AS HUGEINT) * (2 * cum_s - s_i)) AS HUGEINT)
+       |      AS lorenz
+       |  FROM cum)
+       |SELECT n_customers, CAST(total_c AS BIGINT) AS total_c,
+       |  CAST((CAST(n_customers AS HUGEINT) * total_c - lorenz) * 1000000
+       |       // (CAST(n_customers AS HUGEINT) * total_c) AS BIGINT)
+       |    AS gini_ppm
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------- q_theil_sen
+  /** Theil–Sen robust trend per event type — the median of all
+    * pairwise day-to-day slopes of the daily event count, the
+    * outlier-proof alternative to least-squares for "is this metric
+    * trending" monitoring. Slopes are integer ppm/day
+    * (`1e6·(c_j−c_i) div'ed by (day_j−day_i)` with the repo's
+    * truncate-toward-zero `(n − n % d)/d` idiom — both engines
+    * truncate identically for negative numerators), and the median
+    * is the LOWER median (element ⌈m/2⌉ of the sorted slope list) so
+    * the result stays integer — documented contract.
+    *
+    * Scale: the pairwise self-join and the ranking window are both
+    * PARTITIONED BY event_type over the DAILY frame — days are
+    * calendar-bounded (≤31 here, ≤365/yr), so pairs are ≤ d·(d−1)/2
+    * per type regardless of corpus size. Everything below the daily
+    * rollup is one hash agg on (type, day).
+    */
+  private def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.alias("i")
+      .join(daily.alias("j"),
+        col("i.event_type") === col("j.event_type") &&
+          col("i.day") < col("j.day"))
+      .select(col("i.event_type").as("event_type"),
+        (col("j.c") - col("i.c")).as("dc"),
+        datediff(col("j.day"), col("i.day")).cast("long").as("dd"))
+      .withColumn("num", expr("CAST(1000000 AS DECIMAL(38,0)) * dc"))
+      .withColumn("slope_ppm",
+        expr("CAST((num - num % dd) / dd AS BIGINT)"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_ppm"), col("dc"), col("dd"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        col("slope_ppm").as("slope_ppm_med"))
+  }
+
+  private val qTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.event_type,
+      |    j.c - i.c AS dc,
+      |    CAST(j.day - i.day AS BIGINT) AS dd
+      |  FROM daily i JOIN daily j
+      |    ON i.event_type = j.event_type AND i.day < j.day),
+      |slopes AS (
+      |  SELECT event_type, dc, dd,
+      |    CAST((CAST(1000000 AS HUGEINT) * dc
+      |          - (CAST(1000000 AS HUGEINT) * dc) % dd) // dd AS BIGINT)
+      |      AS slope_ppm
+      |  FROM pairs),
+      |ranked AS (
+      |  SELECT event_type, slope_ppm,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY slope_ppm, dc, dd) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM slopes)
+      |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+      |  slope_ppm AS slope_ppm_med
+      |FROM ranked WHERE rk = (m + 1) // 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> qBenford _,
+    "q_ks" -> qKs _,
+    "q_gini" -> qGini _,
+    "q_theil_sen" -> qTheilSen _,
     "q_constraints" -> qConstraints _,
     "q_motif" -> qMotif _,
     "q_ts_pairs" -> qTsPairs _,
@@ -1993,6 +2277,10 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_benford" -> qBenfordSql,
+    "q_ks" -> qKsSql,
+    "q_gini" -> qGiniSql,
+    "q_theil_sen" -> qTheilSenSql,
     "q_constraints" -> qConstraintsSql,
     "q_motif" -> qMotifSql,
     "q_ts_pairs" -> qTsPairsSql,

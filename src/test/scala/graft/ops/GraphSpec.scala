@@ -137,4 +137,31 @@ class GraphSpec extends SparkSpec {
     (200L to 202L).foreach(v => assert(starred(v) == 200L))
     assert(starred(900L) == 900L && starred(901L) == 901L)
   }
+
+  test("q_link_pred equals the Scala-side CN/RA over the edge view") {
+    val edges = Graph.topEdges(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val cand = (for {
+      (z, nbrs) <- adj.toSeq; a <- nbrs; b <- nbrs if a < b
+    } yield ((a, b), z)).groupBy(_._1)
+      .filterNot { case (pair, _) => edges.contains(pair) }
+      .map { case ((a, b), ws) =>
+        (a, b, ws.size.toLong, ws.map(w => 1000000L / deg(w._2)).sum)
+      }.toSeq
+    val expected = cand
+      .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }.take(20)
+      .zipWithIndex
+      .map { case ((a, b, cn, ra), i) => (a, b, cn, ra, i + 1) }.toSet
+    val got = SparkEntry.queries("q_link_pred")(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cn"), r.getAs[Long]("ra_ppm"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(got == expected)
+    // no predicted pair may already be an edge
+    assert(got.forall { case (a, b, _, _, _) => !edges.contains((a, b)) })
+  }
 }

@@ -116,4 +116,85 @@ class OperationalSpec extends SparkSpec {
       .toSet
     assert(got == expected)
   }
+
+  test("q_benford covers digits 1-9 and its ppm shares are coherent") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf()).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSet == (1 to 9).toSet)
+    // The baked-in Benford expectation is a proper ppm distribution.
+    assert(rows.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
+    // Floored observed shares sum to 1e6 minus at most 8 ulps of floor.
+    val obs = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obs > 1000000L - 9 && obs <= 1000000L)
+    assert(rows.forall(r => r.getAs[Long]("dev_ppm") ==
+      math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))))
+  }
+
+  test("q_ks equals the Scala-side bucketed two-sample KS") {
+    val split = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val expected = Tables.events(spark, sf())
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0),
+        math.min(math.max(math.floor(r.getDouble(2) / 5.0).toLong, 0L), 19L),
+        r.getTimestamp(1).toLocalDateTime.isBefore(split)))
+      .groupBy(_._1).map { case (tpe, xs) =>
+        val na = xs.count(_._3).toLong
+        val nb = xs.size - na
+        var cumA = 0L; var cumB = 0L; var dmax = BigInt(0)
+        xs.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, cell) =>
+          cumA += cell.count(_._3); cumB += cell.count(!_._3)
+          val d = (BigInt(cumA) * nb - BigInt(cumB) * na).abs
+          if (d > dmax) dmax = d
+        }
+        (tpe, na, nb, (dmax * 1000000 / (BigInt(na) * nb)).toLong)
+      }.toSet
+    val got = SparkEntry.queries("q_ks")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("ks_ppm"))).toSet
+    assert(got == expected)
+  }
+
+  test("q_gini equals the Scala-side binned Lorenz computation") {
+    val spends = Tables.orders(spark, sf())
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (_, xs) =>
+        (xs.map(_._2).sum * 100).toBigInt
+      }.toSeq
+    val buckets = spends.groupBy(c => (c / 2500000L).min(19).toLong)
+      .toSeq.sortBy(_._1)
+    var cum = BigInt(0); var lorenz = BigInt(0)
+    buckets.foreach { case (_, xs) =>
+      val si = xs.sum; cum += si
+      lorenz += BigInt(xs.size) * (2 * cum - si)
+    }
+    val n = BigInt(spends.size); val total = spends.sum
+    val expGini = ((n * total - lorenz) * 1000000 / (n * total)).toLong
+    val r = SparkEntry.queries("q_gini")(spark, sf()).collect().head
+    assert(r.getAs[Long]("n_customers") == spends.size.toLong)
+    assert(r.getAs[Long]("total_c") == total.toLong)
+    assert(r.getAs[Long]("gini_ppm") == expGini)
+  }
+
+  test("q_theil_sen equals the Scala-side pairwise-slope lower median") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, xs) =>
+      val slopes = (for {
+        (_, di, ci) <- xs; (_, dj, cj) <- xs if di.isBefore(dj)
+      } yield {
+        val dc = BigInt(cj - ci) * 1000000
+        val dd = BigInt(dj.toEpochDay - di.toEpochDay)
+        ((dc - dc % dd) / dd).toLong
+      }).sorted
+      val m = slopes.length
+      (tpe, m.toLong, slopes((m + 1) / 2 - 1))
+    }.toSet
+    val got = SparkEntry.queries("q_theil_sen")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("slope_ppm_med"))).toSet
+    assert(got == expected)
+  }
 }

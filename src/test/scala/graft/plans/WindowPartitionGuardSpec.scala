@@ -27,6 +27,9 @@ class WindowPartitionGuardSpec extends SparkSpec {
     * no limit node but is bounded by construction. Value = why.
     */
   private val boundedByConstruction: Map[String, String] = Map(
+    "q_gini" -> ("cumulative Lorenz sum runs over the spend-bucket " +
+      "aggregate — ≤ GINI_BUCKETS (20) rows by construction; the whole " +
+      "point of the binned estimator is avoiding the per-customer sort")
   )
 
   private def hasLimitBelow(p: SparkPlan): Boolean =
