@@ -148,13 +148,99 @@ object Mixing {
        |  CAST(n_boiler AS DOUBLE) / n_grams > 0.5 AS is_template
        |FROM agg""".stripMargin
 
+  // ----------------------------------------------------------- q_source_sim
+  /** Source-to-source corpus similarity — the pairwise readout a
+    * mixture designer consults before weighting ([[qMixture]] decides
+    * HOW MUCH of each source; this measures HOW REDUNDANT two sources
+    * are): total-variation distance between per-source term
+    * distributions, TV = ½·Σ_t |p_a(t) − p_b(t)|. TV is the exact,
+    * bounded alternative to cosine here — shares are integer ppb
+    * (`floor(1e9·c/n)`), every |difference| ≤ 1e9 and every sum ≤ 1e9
+    * (shares sum to ≤ 1e9 per source), so NOTHING approaches overflow
+    * at any corpus size, where a cosine's Σc_a·c_b squares raw counts
+    * past DECIMAL(38,0) at warehouse volumes. Terms present in only
+    * one source contribute their full share: TV·2 = Σ_common|s_a−s_b|
+    * + (S_a − Σ_common s_a) + (S_b − Σ_common s_b) with S_x the
+    * per-source share totals — so only COMMON terms ever join.
+    *
+    * Scale: one (source, term) hash agg; the pair join is keyed on
+    * TERM with fanout ≤ sources² per term — sources are metadata-
+    * bounded (a recipe enumerates them), so the join never goes
+    * quadratic in the corpus; per-source totals are a ≤|sources|-row
+    * frame → '''broadcast'''. Output is sources²/2 rows.
+    */
+  private def qSourceSim(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"))
+    val share = tf.join(broadcast(tot), Seq("source"))
+      .withColumn("num", expr("CAST(c AS DECIMAL(38,0)) * 1000000000"))
+      .withColumn("s", expr("CAST((num - num % n) / n AS BIGINT)"))
+      .select(col("source"), col("term"), col("s"))
+    val stot = share.groupBy(col("source")).agg(sum(col("s")).as("s_tot"))
+    share.alias("a")
+      .join(share.alias("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("a.s") - col("b.s"))).as("gap"),
+        sum(col("a.s")).as("ca"), sum(col("b.s")).as("cb"))
+      .join(broadcast(stot).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("s_tot", "sa_tot"), Seq("source_a"))
+      .join(broadcast(stot).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("s_tot", "sb_tot"), Seq("source_b"))
+      .withColumn("tv_ppb", expr(
+        "(gap + (sa_tot - ca) + (sb_tot - cb)) div 2"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("tv_ppb"))
+  }
+
+  private val qSourceSimSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1),
+      |share AS (
+      |  SELECT tf.source, tf.term,
+      |    CAST(CAST(tf.c AS HUGEINT) * 1000000000 // tot.n AS BIGINT) AS s
+      |  FROM tf JOIN tot USING (source)),
+      |stot AS (SELECT source, CAST(sum(s) AS BIGINT) AS s_tot
+      |         FROM share GROUP BY 1),
+      |pair AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common,
+      |    CAST(sum(abs(a.s - b.s)) AS BIGINT) AS gap,
+      |    CAST(sum(a.s) AS BIGINT) AS ca,
+      |    CAST(sum(b.s) AS BIGINT) AS cb
+      |  FROM share a JOIN share b
+      |    ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common,
+      |  CAST((gap + (ta.s_tot - ca) + (tb.s_tot - cb)) // 2 AS BIGINT)
+      |    AS tv_ppb
+      |FROM pair
+      |JOIN stot ta ON ta.source = pair.source_a
+      |JOIN stot tb ON tb.source = pair.source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture"     -> qMixture _,
-    "q_boilerplate" -> qBoilerplate _
+    "q_boilerplate" -> qBoilerplate _,
+    "q_source_sim"  -> qSourceSim _
   )
 
   val oracles: Map[String, String] = Map(
     "q_mixture"     -> qMixtureSql,
-    "q_boilerplate" -> qBoilerplateSql
+    "q_boilerplate" -> qBoilerplateSql,
+    "q_source_sim"  -> qSourceSimSql
   )
 }

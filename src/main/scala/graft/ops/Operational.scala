@@ -2236,7 +2236,116 @@ object Operational {
       |  slope_ppm AS slope_ppm_med
       |FROM ranked WHERE rk = (m + 1) // 2""".stripMargin
 
+  // --------------------------------------------------------- q_concurrency
+  /** Peak concurrency per day — the capacity-planning readout (how
+    * many users are active AT ONCE, not per day): each user's daily
+    * presence interval [first event, last event] at minute
+    * resolution, swept with the classic +1/−1 boundary-event prefix
+    * sum; the day's peak is the max running occupancy, reported with
+    * the earliest minute attaining it.
+    *
+    * Scale: this is the INTERVAL-SWEEP shape — never an interval
+    * self-join (quadratic on busy days): one (user, day) hash agg
+    * collapses the corpus to per-user intervals, boundary deltas
+    * aggregate to ≤1440 minute cells per day, and the running sum +
+    * argmax run in windows PARTITIONED BY day over that calendar-
+    * bounded frame. Nothing past the first agg scales with volume.
+    */
+  private def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min((hour(col("ts")) * 60 + minute(col("ts"))).cast("long"))
+        .as("m_in"),
+        max((hour(col("ts")) * 60 + minute(col("ts"))).cast("long"))
+          .as("m_out"))
+    val deltas = iv.select(col("day"), col("m_in").as("minute"),
+        lit(1L).as("delta"))
+      .unionAll(iv.select(col("day"), (col("m_out") + 1L).as("minute"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day"), col("minute"))
+      .agg(sum(col("delta")).as("d"))
+    val w = Window.partitionBy(col("day")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val occ = deltas.withColumn("occ", sum(col("d")).over(w))
+    occ
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("occ").desc, col("minute"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("occ").as("max_concurrent"),
+        col("minute").as("at_minute"))
+  }
+
+  private val qConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(min(hour(ts) * 60 + minute(ts)) AS BIGINT) AS m_in,
+      |    CAST(max(hour(ts) * 60 + minute(ts)) AS BIGINT) AS m_out
+      |  FROM events GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT day, minute, CAST(sum(delta) AS BIGINT) AS d FROM (
+      |    SELECT day, m_in AS minute, 1 AS delta FROM iv
+      |    UNION ALL
+      |    SELECT day, m_out + 1 AS minute, -1 AS delta FROM iv)
+      |  GROUP BY 1, 2),
+      |occ AS (
+      |  SELECT day, minute,
+      |    sum(d) OVER (PARTITION BY day ORDER BY minute) AS occ
+      |  FROM deltas)
+      |SELECT day, CAST(occ AS BIGINT) AS max_concurrent,
+      |  minute AS at_minute
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY day
+      |                               ORDER BY occ DESC, minute) AS rk
+      |  FROM occ)
+      |WHERE rk = 1""".stripMargin
+
+  // -------------------------------------------------------- q_l_diversity
+  /** l-diversity audit — the follow-up [[qKanon]] needs: k-anonymity
+    * bounds re-identification but a class whose members all share one
+    * SENSITIVE value still leaks it (homogeneity attack; Machanavajjhala
+    * et al. 2007). Per quasi-identifier class (nation × balance
+    * bucket), l = distinct sensitive values (market segment); report
+    * the l histogram with class/member counts and the l < 3 at-risk
+    * flag.
+    *
+    * Scale: ONE class-keyed aggregation with a SINGLE distinct (the
+    * two-phase partial-distinct plan — the multi-distinct Expand that
+    * [[qProfile]] documents never appears with one distinct agg),
+    * then a metadata-sized l-histogram agg; distinct segments per
+    * class are bounded by the segment domain.
+    */
+  private def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val members = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+    val classes = members
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        count_distinct(col("c_mktsegment")).as("l"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_members")).as("n_members"))
+      .withColumn("at_risk", col("l") < 3)
+  }
+
+  private val qLDiversitySql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(n_members) AS BIGINT) AS n_members,
+      |  l < 3 AS at_risk
+      |FROM classes GROUP BY l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> qConcurrency _,
+    "q_l_diversity" -> qLDiversity _,
     "q_benford" -> qBenford _,
     "q_ks" -> qKs _,
     "q_gini" -> qGini _,
@@ -2277,6 +2386,8 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_concurrency" -> qConcurrencySql,
+    "q_l_diversity" -> qLDiversitySql,
     "q_benford" -> qBenfordSql,
     "q_ks" -> qKsSql,
     "q_gini" -> qGiniSql,

@@ -191,4 +191,41 @@ class EmbeddingMixSpec extends SparkSpec {
       assert(r.getBoolean(4) === (frac > 0.5))
     }
   }
+
+  test("source_sim: TV distance bounded, all pairs present, Scala parity") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q_source_sim")(spark, sf()).collect()
+    val sources = graft.Tables.documents(spark, sf())
+      .select(col("source")).distinct().collect().map(_.getString(0))
+    val nPairs = sources.length * (sources.length - 1) / 2
+    assert(out.length == nPairs)
+    out.foreach { r =>
+      val tv = r.getAs[Long]("tv_ppb")
+      assert(tv >= 0L && tv <= 1000000000L)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    // full Scala recompute of the floored-share TV for every pair
+    val counts = graft.Tables.documents(spark, sf())
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1)
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+      .groupBy(identity).map { case ((s, t), xs) => (s, t, xs.size.toLong) }
+      .groupBy(_._1)
+    val shares = counts.map { case (s, xs) =>
+      val n = xs.map(_._3).sum
+      s -> xs.map { case (_, t, c) => t -> BigInt(c) * 1000000000 / n }.toMap
+    }
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val (sa, sb) = (shares(a), shares(b))
+      val gap = (sa.keySet ++ sb.keySet).toSeq.map { t =>
+        (sa.getOrElse(t, BigInt(0)) - sb.getOrElse(t, BigInt(0))).abs
+      }.sum
+      (a, b, (gap / 2).toLong)
+    }).toSet
+    val got = out.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"), r.getAs[Long]("tv_ppb"))).toSet
+    assert(got == expected)
+  }
 }

@@ -176,6 +176,49 @@ class OperationalSpec extends SparkSpec {
     assert(r.getAs[Long]("gini_ppm") == expGini)
   }
 
+  test("q_concurrency equals the Scala-side interval sweep") {
+    val iv = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toLocalDateTime
+        ((r.getLong(0), t.toLocalDate), t.getHour * 60L + t.getMinute)
+      }
+      .groupBy(_._1).map { case ((u, day), xs) =>
+        (day, xs.map(_._2).min, xs.map(_._2).max)
+      }
+    val expected = iv.groupBy(_._1).map { case (day, xs) =>
+      val deltas = xs.flatMap { case (_, mIn, mOut) =>
+        Seq(mIn -> 1L, (mOut + 1) -> -1L)
+      }.groupBy(_._1).map { case (m, ds) => m -> ds.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      var occ = 0L; var best = Long.MinValue; var bestMin = -1L
+      deltas.foreach { case (m, dl) =>
+        occ += dl
+        if (occ > best) { best = occ; bestMin = m }
+      }
+      (day, best, bestMin)
+    }.toSet
+    val got = SparkEntry.queries("q_concurrency")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getAs[Long]("max_concurrent"),
+        r.getAs[Long]("at_minute"))).toSet
+    assert(got == expected)
+  }
+
+  test("q_l_diversity partitions all customers and avoids Expand") {
+    val df = SparkEntry.queries("q_l_diversity")(spark, sf())
+    val expands = df.queryExecution.executedPlan.collect {
+      case e: ExpandExec => e
+    }
+    assert(expands.isEmpty, "single-distinct agg must not plan an Expand")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables.customer(spark, sf()).count())
+    assert(rows.forall { r =>
+      val l = r.getAs[Long]("l")
+      l >= 1 && r.getAs[Boolean]("at_risk") == (l < 3)
+    })
+  }
+
   test("q_theil_sen equals the Scala-side pairwise-slope lower median") {
     val daily = Tables.events(spark, sf())
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
