@@ -214,17 +214,95 @@ object Scd {
        |SELECT user_id, op, old_event_id, old_type, new_event_id, new_type
        |FROM j WHERE op IS NOT NULL""".stripMargin
 
+  // --------------------------------------------------------------- q_merge
+  /** MERGE INTO — the sink-side upsert a CDC mirror applies per batch
+    * (the lakehouse statement `MERGE INTO base USING batch ON key WHEN
+    * MATCHED [AND is_delete] THEN DELETE / UPDATE WHEN NOT MATCHED
+    * THEN INSERT`), expressed as the full-outer-join rewrite every
+    * engine lowers MERGE to. Base = last-writer-wins state before
+    * [[DIFF_T1]]; batch = the changes since, COMPACTED to one action
+    * per key FIRST (`max_by` on (ts, event_id)) — the discipline that
+    * makes MERGE deterministic when a batch carries multiple writes
+    * for one key (SQL MERGE errors on duplicate matches; compaction
+    * is what production CDC appliers do instead). A final `error`
+    * event is the delete marker; anything else upserts. Every
+    * surviving row carries its action (`kept`/`updated`/`inserted`)
+    * — the audit column a MERGE metrics sink reports.
+    *
+    * Scale: two `max_by` compactions (map-side partials) + ONE
+    * key-keyed full outer join; both sides hash on user_id so the
+    * join reuses the agg exchanges — the whole statement is one
+    * shuffle per side regardless of event volume, and the output is
+    * keys, not events. Deletes drop rows; nothing re-reads the base
+    * twice (the anti-join + union MERGE rewrite would).
+    */
+  private def qMerge(s: SparkSession, d: String): DataFrame = {
+    def lww(df: DataFrame, pfx: String): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("ts"), col("event_type"),
+        col("value")), struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"),
+        col("s.event_id").as(s"${pfx}_event_id"),
+        col("s.ts").as(s"${pfx}_ts"),
+        col("s.event_type").as(s"${pfx}_type"),
+        col("s.value").as(s"${pfx}_value"))
+    val ev = graft.Tables.events(s, d)
+    val base = lww(ev.filter(col("ts") < lit(DIFF_T1)), "base")
+    val batch = lww(ev.filter(col("ts") >= lit(DIFF_T1)), "b")
+    base.join(batch, Seq("user_id"), "full_outer")
+      .filter(col("b_type").isNull || col("b_type") =!= "error")
+      .withColumn("action",
+        when(col("b_event_id").isNull, lit("kept"))
+          .when(col("base_event_id").isNull, lit("inserted"))
+          .otherwise(lit("updated")))
+      .select(col("user_id"),
+        coalesce(col("b_event_id"), col("base_event_id")).as("event_id"),
+        coalesce(col("b_ts"), col("base_ts")).as("ts"),
+        coalesce(col("b_type"), col("base_type")).as("event_type"),
+        coalesce(col("b_value"), col("base_value")).as("value"),
+        col("action"))
+  }
+
+  private val qMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY ts DESC, event_id DESC)
+       |      AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$DIFF_T1')
+       |  WHERE rn = 1),
+       |batch AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY ts DESC, event_id DESC)
+       |      AS rn
+       |    FROM events WHERE ts >= TIMESTAMP '$DIFF_T1')
+       |  WHERE rn = 1)
+       |SELECT coalesce(base.user_id, batch.user_id) AS user_id,
+       |  coalesce(batch.event_id, base.event_id) AS event_id,
+       |  coalesce(batch.ts, base.ts) AS ts,
+       |  coalesce(batch.event_type, base.event_type) AS event_type,
+       |  coalesce(batch.value, base.value) AS value,
+       |  CASE WHEN batch.event_id IS NULL THEN 'kept'
+       |       WHEN base.event_id IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS action
+       |FROM base FULL OUTER JOIN batch ON batch.user_id = base.user_id
+       |WHERE batch.event_type IS NULL OR batch.event_type <> 'error'"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"          -> (qScd2 _),
     "q_latest_state"  -> (qLatestState _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_point_in_time" -> (qPointInTime _)
+    "q_point_in_time" -> (qPointInTime _),
+    "q_merge"         -> (qMerge _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_scd2"          -> qScd2Sql,
     "q_latest_state"  -> qLatestStateSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
-    "q_point_in_time" -> qPointInTimeSql
+    "q_point_in_time" -> qPointInTimeSql,
+    "q_merge"         -> qMergeSql
   )
 }

@@ -459,8 +459,114 @@ object Sketches {
       |  CAST(floor(abs(s_p95 - p95) * 1000000 / p95) AS BIGINT) AS err95_ppm
       |FROM fq, sq""".stripMargin
 
+  // ------------------------------------------------------------------ q_hll
+  /** HyperLogLog cardinality of distinct document texts — the
+    * fixed-size (m registers, here 64 bytes) companion to
+    * [[qKmvDistinct]]'s K-minima sketch, run as the same
+    * exactness-contract calibration: registers, raw estimate, exact
+    * count, error ppm. ALL-INTEGER HLL: register and rank come from
+    * two NON-LINEAR derivations of the mixed hash — g₁ = h²+h mod P
+    * for j = g₁ mod m, g₂ = (h+1)²+h mod P for the rank word
+    * w = g₂ div m < 2^[[HLL_RANK_BITS]]. The squaring is load-bearing:
+    * [[mixed]]'s affine map keeps sequential-suffix corpora on a 2-D
+    * LATTICE, so register index and rank stay correlated and the
+    * high-ρ values pile into few registers (measured: 2.3×
+    * underestimate at n=2000); squaring mod P breaks the lattice while
+    * staying int64-exact (P² < 2⁶³) on both engines — the same reason
+    * splitmix-style finalizers exist, without the 64-bit wraparound
+    * DuckDB's BIGINT refuses. ρ = leading-zero count + 1 derived from
+    * `length(bin(w))` (identical string semantics on
+    * both engines — no float log2), and the harmonic denominator
+    * Σ 2^(−M_j) scaled by 2^[[HLL_SCALE]] into an exact integer via
+    * bit shifts, so `est = α_m·m²·2^SCALE div (Z_scaled·1000)` (α_64
+    * = 0.709, Flajolet–Fuss–Gandouet–Meunier 2007, baked in as
+    * 709/1000) is bit-identical cross-engine. The small-range
+    * linear-counting branch needs ln — kept OUT of the oracle-checked
+    * surface; `n_empty` rides along so a consumer can apply it.
+    *
+    * Scale: one (register)-keyed max agg — 64 groups, partials
+    * collapse map-side, and the mergeable state is 64 bytes per
+    * partition vs KMV's K·8 — the reason HLL is the default at
+    * 100 TB. The distinct-hash pre-agg dominates and is exactly the
+    * cost `count_distinct` (the calibration twin) already pays.
+    */
+  private val HLL_M = 64L
+  private val HLL_RANK_BITS = 24L
+  private val HLL_SCALE = 30L
+
+  /** Scala reference of the (register, rank-word) derivation —
+    * shared with the spec recompute so impl and test cannot drift.
+    */
+  private[graft] def hllJW(h: Long): (Int, Long) = {
+    val g1 = (h * h + h) % P
+    val g2 = ((h + 1) * (h + 1) + h) % P
+    ((g1 % HLL_M).toInt, g2 / HLL_M)
+  }
+
+  private def qHll(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(mixed(poly_hash(col("text"))).as("h"))
+      .distinct()
+    val regs = h
+      .select(expr(s"((h * h + h) % $P) % $HLL_M").as("j"),
+        expr(s"(((h + 1) * (h + 1) + h) % $P) div $HLL_M").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(HLL_RANK_BITS + 1))
+          .otherwise(lit(HLL_RANK_BITS) - length(bin(col("w"))) + 1))
+      .groupBy(col("j")).agg(max(col("rho")).as("m_j"))
+    val sk = regs.agg(count(lit(1)).as("n_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT)," +
+        s" CAST($HLL_SCALE - m_j AS INT))")).as("z_present"))
+    val ex = h.agg(count(lit(1)).as("exact_distinct"))
+    sk.crossJoin(broadcast(ex))
+      .withColumn("n_empty", lit(HLL_M) - col("n_present"))
+      .withColumn("z_scaled",
+        col("z_present") + col("n_empty") * (1L << HLL_SCALE))
+      .withColumn("est_distinct", expr(
+        s"(709 * ${HLL_M * HLL_M} * ${1L << HLL_SCALE}L)" +
+          s" div (z_scaled * 1000)"))
+      .withColumn("err_ppm", expr(
+        "abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+      .select(col("n_empty"), col("z_scaled"), col("est_distinct"),
+        col("exact_distinct"), col("err_ppm"))
+  }
+
+  private val qHllSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT ${phSql("text")} AS h FROM documents),
+       |jw AS (
+       |  SELECT ((h * h + h) % $P) % $HLL_M AS j,
+       |    (((h + 1) * (h + 1) + h) % $P) // $HLL_M AS w
+       |  FROM h),
+       |regs AS (
+       |  SELECT j,
+       |    max(CASE WHEN w = 0 THEN ${HLL_RANK_BITS + 1}
+       |        ELSE $HLL_RANK_BITS - length(bin(w)) + 1 END) AS m_j
+       |  FROM jw GROUP BY 1),
+       |sk AS (
+       |  SELECT count(*) AS n_present,
+       |    sum(1 << ($HLL_SCALE - m_j)) AS z_present
+       |  FROM regs),
+       |ex AS (SELECT count(*) AS exact_distinct FROM h),
+       |est AS (
+       |  SELECT CAST($HLL_M - n_present AS BIGINT) AS n_empty,
+       |    CAST(z_present + ($HLL_M - n_present) * ${1L << HLL_SCALE}
+       |         AS BIGINT) AS z_scaled,
+       |    exact_distinct
+       |  FROM sk, ex)
+       |SELECT n_empty, z_scaled,
+       |  CAST((CAST(709 AS BIGINT) * ${HLL_M * HLL_M} * ${1L << HLL_SCALE})
+       |       // (z_scaled * 1000) AS BIGINT) AS est_distinct,
+       |  exact_distinct,
+       |  CAST(abs((CAST(709 AS BIGINT) * ${HLL_M * HLL_M}
+       |            * ${1L << HLL_SCALE})
+       |           // (z_scaled * 1000) - exact_distinct) * 1000000
+       |       // exact_distinct AS BIGINT) AS err_ppm
+       |FROM est""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll" -> qHll,
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
     "q_countmin" -> qCountmin,
@@ -469,6 +575,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll" -> qHllSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_countmin" -> qCountminSql,

@@ -85,4 +85,56 @@ class ScdSpec extends SparkSpec {
     assert(rows(0).getLong(1) == 12L && rows(0).getString(3) == "B")
     assert(rows(1).getLong(1) == 20L && rows(1).getString(3) == "C")
   }
+
+  test("merge: upsert/delete/keep semantics on a controlled batch") {
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val d = Files.createTempDirectory("merge-spec").toString
+    Seq(
+      (10L, t(10), 1L, "A", 1.0, "{}"),      // base, updated by batch
+      (11L, t(20), 1L, "B", 2.0, "{}"),
+      (20L, t(10), 2L, "C", 3.0, "{}"),      // base, deleted by batch
+      (21L, t(21), 2L, "error", 0.0, "{}"),
+      (30L, t(12), 3L, "D", 4.0, "{}"),      // base only → kept
+      (40L, t(22), 4L, "E", 5.0, "{}"),      // batch only → inserted
+      (50L, t(23), 5L, "error", 0.0, "{}"),  // delete of absent key → no-op
+      (60L, t(20), 6L, "F", 6.0, "{}"),      // batch-internal compaction:
+      (61L, t(25), 6L, "G", 7.0, "{}")       //   last write G wins
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = Scd.queries("q_merge")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(3), r.getString(5)))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L, 6L))
+    assert(got(1L) == ((11L, "B", "updated")))
+    assert(got(3L) == ((30L, "D", "kept")))
+    assert(got(4L) == ((40L, "E", "inserted")))
+    assert(got(6L) == ((61L, "G", "inserted")))
+  }
+
+  test("merge: actions reconcile with base/batch key sets on the corpus") {
+    val ev = graft.Tables.events(spark, sf())
+    val baseKeys = ev.filter(col("ts") < lit("2024-01-15"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val batchLast = ev.filter(col("ts") >= lit("2024-01-15"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"),
+        struct(col("ts"), col("event_id"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Scd.queries("q_merge")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    rows.foreach { case (u, action) =>
+      action match {
+        case "kept" =>
+          assert(baseKeys.contains(u) && !batchLast.contains(u))
+        case "updated" =>
+          assert(baseKeys.contains(u) && batchLast(u) != "error")
+        case "inserted" =>
+          assert(!baseKeys.contains(u) && batchLast(u) != "error")
+      }
+    }
+    val expectedKeys = baseKeys.filter(u =>
+      batchLast.get(u).forall(_ != "error")) ++
+      batchLast.filter(_._2 != "error").keySet
+    assert(rows.keySet == expectedKeys)
+  }
 }
