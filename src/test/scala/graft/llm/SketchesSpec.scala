@@ -107,4 +107,28 @@ class SketchesSpec extends SparkSpec {
     // (deterministic data — a fixed value, not a flaky bound).
     assert(est > n * 0.6 && est < n * 1.4, s"HLL estimate $est vs $n")
   }
+
+  test("hll: per-shard register vectors merge to the corpus sketch") {
+    // The mergeability law the 100 TB deployment rests on: sketch each
+    // shard independently, take the per-register MAX across shards,
+    // and the merged vector must equal the whole-corpus sketch exactly
+    // (register max is associative/commutative — order and shard
+    // boundaries cannot matter).
+    val texts = (1L to 1500L).map(i => s"merge law $i")
+    def sketch(ts: Seq[String]): Array[Long] = {
+      val regs = Array.fill(64)(0L)
+      ts.map(Sketches.mixedHash).distinct.foreach { h =>
+        val (j, w) = Sketches.hllJW(h)
+        val rho = if (w == 0) 25L
+          else 24L - java.lang.Long.toBinaryString(w).length + 1
+        if (rho > regs(j)) regs(j) = rho
+      }
+      regs
+    }
+    val whole = sketch(texts)
+    val shards = texts.grouped(97).map(sketch).toSeq
+    val merged = shards.reduce((a, b) =>
+      a.zip(b).map { case (x, y) => math.max(x, y) })
+    assert(merged.toSeq == whole.toSeq)
+  }
 }
