@@ -503,16 +503,25 @@ object Sketches {
     ((g1 % HLL_M).toInt, g2 / HLL_M)
   }
 
+  /** Column twins of [[hllJW]] + ρ, shared with the streaming sketch
+    * ([[graft.streaming.StreamingHll]]) so online registers match the
+    * batch ones by construction. Input: the mixed hash column named
+    * `h`; output: (register j, ρ).
+    */
+  private[graft] def hllRegRho: (Column, Column) = {
+    val w = expr(s"(((h + 1) * (h + 1) + h) % $P) div $HLL_M")
+    (expr(s"((h * h + h) % $P) % $HLL_M"),
+      when(w === 0L, lit(HLL_RANK_BITS + 1))
+        .otherwise(lit(HLL_RANK_BITS) - length(bin(w)) + 1))
+  }
+
   private def qHll(s: SparkSession, d: String): DataFrame = {
     val h = Tables.documents(s, d)
       .select(mixed(poly_hash(col("text"))).as("h"))
       .distinct()
+    val (jc, rhoc) = hllRegRho
     val regs = h
-      .select(expr(s"((h * h + h) % $P) % $HLL_M").as("j"),
-        expr(s"(((h + 1) * (h + 1) + h) % $P) div $HLL_M").as("w"))
-      .withColumn("rho",
-        when(col("w") === 0L, lit(HLL_RANK_BITS + 1))
-          .otherwise(lit(HLL_RANK_BITS) - length(bin(col("w"))) + 1))
+      .select(jc.as("j"), rhoc.as("rho"))
       .groupBy(col("j")).agg(max(col("rho")).as("m_j"))
     val sk = regs.agg(count(lit(1)).as("n_present"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT)," +

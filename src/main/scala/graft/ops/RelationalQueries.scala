@@ -1494,7 +1494,88 @@ object RelationalQueries {
        |LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------------- q_skyline
+  /** Skyline (Pareto frontier) — the multi-objective "best tradeoffs"
+    * operator relational algebra lacks (Börzsönyi, Kossmann &
+    * Stocker, ICDE 2001): parts minimizing price while maximizing
+    * size; a part survives iff nothing is both cheaper-or-equal and
+    * bigger-or-equal with one strict. Exact via the DOMAIN-COLLAPSE +
+    * two-level prefix-max plan:
+    *
+    *  1. collapse to one row per DISTINCT price (exact cents) with
+    *     the max size there and its multiplicity — the frame below is
+    *     then bounded by the PRICE DOMAIN cardinality (a catalog's
+    *     distinct price points), which is data-independent, not row
+    *     count;
+    *  2. per fixed-width price bucket, the max size (≤ span/width
+    *     rows); prefix-max over STRICTLY CHEAPER buckets gives each
+    *     bucket its cross-bucket dominance threshold (the one
+    *     unpartitioned window — over the bucket aggregate, allowlisted
+    *     in the plan guard with this rationale);
+    *  3. within each bucket, a bucket-PARTITIONED running max over
+    *     strictly cheaper in-bucket prices; survive iff size beats
+    *     both maxima strictly.
+    *
+    * The naive skyline is a quadratic self-join; the sort-based one is
+    * a global sort. This plan is two hash aggs + bounded windows —
+    * the 100 TB shape.
+    */
+  private val SKY_BUCKET_CENTS = 200L
+
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d)
+      .select(expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)").as("price_c"), col("p_size"))
+      .groupBy(col("price_c"), col("p_size"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("price_c"))
+      .agg(max_by(struct(col("p_size"), col("n")), col("p_size")).as("s"))
+      .select(col("price_c"), col("s.p_size").as("size"),
+        col("s.n").as("n_parts"))
+      .withColumn("b", expr(s"price_c div $SKY_BUCKET_CENTS"))
+    val buckets = pts.groupBy(col("b")).agg(max(col("size")).as("m_b"))
+      .withColumn("thresh", max(col("m_b")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("run_in", max(col("size")).over(inBucket))
+      .join(broadcast(buckets.select(col("b"), col("thresh"))), Seq("b"))
+      .filter(col("size") > greatest(
+        coalesce(col("run_in"), lit(-1)), coalesce(col("thresh"), lit(-1))))
+      .select(col("price_c"), col("size"), col("n_parts"))
+  }
+
+  private val qSkylineSql: String =
+    s"""WITH pts AS (
+       |  SELECT price_c,
+       |    max_by(p_size, p_size) AS size,
+       |    max_by(n, p_size) AS n_parts,
+       |    price_c // $SKY_BUCKET_CENTS AS b
+       |  FROM (
+       |    SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+       |                AS BIGINT) AS price_c,
+       |      p_size, CAST(count(*) AS BIGINT) AS n
+       |    FROM part GROUP BY 1, 2)
+       |  GROUP BY price_c),
+       |buckets AS (
+       |  SELECT b, max(size) AS m_b,
+       |    max(max(size)) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS thresh
+       |  FROM pts GROUP BY b),
+       |runs AS (
+       |  SELECT p.price_c, p.size, p.n_parts, p.b,
+       |    max(p.size) OVER (PARTITION BY p.b ORDER BY p.price_c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_in
+       |  FROM pts p)
+       |SELECT r.price_c, r.size, r.n_parts
+       |FROM runs r JOIN buckets USING (b)
+       |WHERE r.size > greatest(coalesce(r.run_in, -1),
+       |                        coalesce(buckets.thresh, -1))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline"    -> qSkyline _,
     "q1_agg"       -> q1Agg _,
     "q_join_star"  -> qJoinStar _,
     "q_semi"       -> qSemi _,
@@ -1547,6 +1628,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skyline"    -> qSkylineSql,
     "q1_agg"       -> q1AggSql,
     "q_join_star"  -> qJoinStarSql,
     "q_semi"       -> qSemiSql,

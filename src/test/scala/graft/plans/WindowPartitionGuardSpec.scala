@@ -29,7 +29,11 @@ class WindowPartitionGuardSpec extends SparkSpec {
   private val boundedByConstruction: Map[String, String] = Map(
     "q_gini" -> ("cumulative Lorenz sum runs over the spend-bucket " +
       "aggregate — ≤ GINI_BUCKETS (20) rows by construction; the whole " +
-      "point of the binned estimator is avoiding the per-customer sort")
+      "point of the binned estimator is avoiding the per-customer sort"),
+    "q_skyline" -> ("cross-bucket prefix-max runs over the price-BUCKET " +
+      "aggregate (span/width rows, data-independent); the per-point " +
+      "windows are bucket-partitioned and the point frame is bounded " +
+      "by the price DOMAIN, not row count — see qSkyline's scaladoc")
   )
 
   private def hasLimitBelow(p: SparkPlan): Boolean =
