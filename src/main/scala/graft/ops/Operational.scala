@@ -2343,7 +2343,64 @@ object Operational {
       |  l < 3 AS at_risk
       |FROM classes GROUP BY l""".stripMargin
 
+  // ----------------------------------------------------- q_time_to_convert
+  /** Conversion-latency histogram — the "how long from first view to
+    * first purchase" readout that sits beside [[qFunnel]]'s stage
+    * counts (the funnel says HOW MANY converted; this says HOW FAST):
+    * per user, the first `view` and the first `purchase` STRICTLY
+    * after it, lag bucketed in whole hours (µs-exact `unix_micros` ≡
+    * `epoch_us` arithmetic, `div` to hours — no timestamp subtraction
+    * semantics to disagree on), capped at [[TTC_CAP_H]]; viewers who
+    * never converted land in bucket −1 — the histogram partitions the
+    * viewing population.
+    *
+    * Scale: first-view frame = one filtered user-keyed min agg; the
+    * qualifying-purchase min is a second agg over the purchase rows
+    * joined user-keyed onto it (both shuffles hash on user_id, the
+    * join rides the agg exchange); the histogram is a ≤cap+2-group
+    * agg with map-side partials. No window, no self-join over raw
+    * events.
+    */
+  private val TTC_CAP_H = 72L
+
+  private def qTimeToConvert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+    firstView.join(firstConv, Seq("user_id"), "left")
+      .withColumn("lag_h",
+        when(col("p_us").isNull, lit(-1L))
+          .otherwise(least(expr("(p_us - v_us) div 3600000000"),
+            lit(TTC_CAP_H))))
+      .groupBy(col("lag_h")).agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qTimeToConvertSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |fv AS (
+       |  SELECT user_id, min(ts_us) AS v_us FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |fc AS (
+       |  SELECT ev.user_id, min(ev.ts_us) AS p_us
+       |  FROM ev JOIN fv USING (user_id)
+       |  WHERE ev.event_type = 'purchase' AND ev.ts_us > fv.v_us
+       |  GROUP BY 1)
+       |SELECT CASE WHEN p_us IS NULL THEN -1
+       |            ELSE least((p_us - v_us) // 3600000000, $TTC_CAP_H)
+       |       END AS lag_h,
+       |  CAST(count(*) AS BIGINT) AS n_users
+       |FROM fv LEFT JOIN fc USING (user_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_to_convert" -> qTimeToConvert _,
     "q_concurrency" -> qConcurrency _,
     "q_l_diversity" -> qLDiversity _,
     "q_benford" -> qBenford _,
@@ -2386,6 +2443,7 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_to_convert" -> qTimeToConvertSql,
     "q_concurrency" -> qConcurrencySql,
     "q_l_diversity" -> qLDiversitySql,
     "q_benford" -> qBenfordSql,

@@ -219,6 +219,29 @@ class OperationalSpec extends SparkSpec {
     })
   }
 
+  test("q_time_to_convert equals the Scala recompute and covers all viewers") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (_, xs) =>
+      val views = xs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = xs.filter(x => x._2 == "purchase" && x._3 > v).map(_._3)
+        Some(if (ps.isEmpty) -1L
+        else math.min((ps.min - v) / 3600000000L, 72L))
+      }
+    }.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val got = SparkEntry.queries("q_time_to_convert")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val nViewers = ev.filter(_._2 == "view").map(_._1).distinct.length
+    assert(got.values.sum == nViewers.toLong)
+  }
+
   test("q_theil_sen equals the Scala-side pairwise-slope lower median") {
     val daily = Tables.events(spark, sf())
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
