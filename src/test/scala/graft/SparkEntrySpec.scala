@@ -30,13 +30,16 @@ class SparkEntrySpec extends SparkSpec {
         val n = fn(spark, sf()).count()
         if (n == 0) Some(name) else None
     }
-    // q_anti (customers without orders), similarity pair queries, and
+    // q_anti (customers without orders), similarity pair queries,
     // q_tpch7 (bilateral trade between ONE nation pair in a 2-year
-    // window — 4 groups at sf0.01, zero at sf0.001's ~6k lineitems) may
-    // legitimately be empty at tiny SF; everything else must produce rows.
+    // window — 4 groups at sf0.01, zero at sf0.001's ~6k lineitems),
+    // and q_link_pred (at sf0.001 the top-edge co-supply graph is so
+    // dense that every common-neighbor pair is ALREADY an edge — no
+    // links left to predict) may legitimately be empty at tiny SF;
+    // everything else must produce rows.
     assert(
       empty.forall(Set("q_anti", "q_cosine_pairs", "q_minhash_lsh",
-        "q_ngram_jaccard", "q_setops", "q_tpch7")),
+        "q_ngram_jaccard", "q_setops", "q_tpch7", "q_link_pred")),
       s"unexpectedly empty: $empty")
   }
 }
