@@ -2399,7 +2399,57 @@ object Operational {
        |FROM fv LEFT JOIN fc USING (user_id)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q_fano
+  /** Burstiness audit — the Fano factor (variance-to-mean ratio) of
+    * daily event counts per type: F ≈ 1 is Poisson-like arrival
+    * (healthy organic traffic), F ≫ 1 is bursty (incidents, batch
+    * replays, bot storms), F ≪ 1 is suspiciously regular (synthetic
+    * or rate-limited). The dispersion companion to [[qAutocorr]]
+    * (periodicity) and [[qChangepoint]] (level shifts). Integer-
+    * exact: with daily counts x over n days, F·10⁶ =
+    * `(n·Σx² − (Σx)²)·10⁶ div ((n−1)·Σx)` — sample variance over
+    * mean, denominators cleared, all in DECIMAL(38,0)/HUGEINT
+    * (n·Σx² crosses int64 at warehouse volumes).
+    *
+    * Scale: one (type, day) hash agg collapses the corpus, then one
+    * ≤types-group agg of the component sums. Nothing but the scan
+    * grows with volume.
+    */
+  private def qFano(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr(
+        "(CAST(n_days AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000"))
+      .filter(col("n_days") > 1) // sample variance undefined on one day
+      .withColumn("den", expr("CAST(n_days - 1 AS DECIMAL(38,0)) * sx"))
+      .withColumn("fano_ppm",
+        expr("CAST((num - num % den) / den AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+        col("fano_ppm"))
+
+  private val qFanoSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |comp AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sx AS n_events,
+      |  CAST((CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |       * 1000000
+      |       // (CAST(n_days - 1 AS HUGEINT) * sx) AS BIGINT) AS fano_ppm
+      |FROM comp WHERE n_days > 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
     "q_concurrency" -> qConcurrency _,
     "q_l_diversity" -> qLDiversity _,
@@ -2443,6 +2493,7 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_concurrency" -> qConcurrencySql,
     "q_l_diversity" -> qLDiversitySql,

@@ -242,6 +242,24 @@ class OperationalSpec extends SparkSpec {
     assert(got.values.sum == nViewers.toLong)
   }
 
+  test("q_fano equals the Scala-side cleared-denominator dispersion") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val expected = daily.groupBy(_._1).collect {
+      case (tpe, xs) if xs.length > 1 =>
+        val n = BigInt(xs.length); val sx = xs.map(x => BigInt(x._2)).sum
+        val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+        (tpe, xs.length.toLong, sx.toLong,
+          ((n * sxx - sx * sx) * 1000000 / ((n - 1) * sx)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_fano")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("fano_ppm"))).toSet
+    assert(got == expected)
+  }
+
   test("q_theil_sen equals the Scala-side pairwise-slope lower median") {
     val daily = Tables.events(spark, sf())
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
