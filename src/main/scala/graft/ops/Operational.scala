@@ -2448,7 +2448,101 @@ object Operational {
       |       // (CAST(n_days - 1 AS HUGEINT) * sx) AS BIGINT) AS fano_ppm
       |FROM comp WHERE n_days > 1""".stripMargin
 
+  // ------------------------------------------------------------ q_bootstrap
+  /** Poisson bootstrap of the mean order value — THE way to put a
+    * confidence interval on a 100 TB statistic in ONE pass: classical
+    * bootstrap resamples n rows with replacement B times (B extra
+    * passes, a per-replicate global sample), but for large n the
+    * multinomial replicate weights converge to independent
+    * Poisson(1), so every row can draw its B weights LOCALLY from a
+    * deterministic hash and all B replicates accumulate in the same
+    * map-side pass (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012). Here: B = [[BOOT_B]]
+    * replicas, weight ∈ {0,1,2,3} by the truncated-Poisson ppm
+    * thresholds (367879/735759/919699 = e⁻¹ cumulative masses) on an
+    * integer hash of (orderkey, replica) — no RNG, bit-identical
+    * cross-engine; the affine draw is passed through the q²+q mod P
+    * squaring (the q_hll lesson: affine alone leaves consecutive
+    * replicas on an arithmetic progression, correlating their weights
+    * and biasing the spread a CI reads off); replicate mean in exact
+    * integer cents via floor division. Output: one row per replica
+    * (its deviation from the point estimate IS the bootstrap
+    * distribution a CI reads off).
+    *
+    * Scale: the explode is ×B map-side work with NO extra input pass;
+    * the aggregation has exactly B groups (partials collapse
+    * map-side), the point estimate is a 1-row '''broadcast'''.
+    * Nothing scales with volume but the one scan.
+    */
+  private val BOOT_B = 32
+  private val BOOT_P = 1000000007L
+  private val BOOT_A = 747796405L
+  private val BOOT_C = 40503L
+
+  private def qBootstrap(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val point = base.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sc"))
+      .select(expr("CAST((sc - sc % n) / n AS BIGINT)").as("point_mean_c"))
+    base
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(1), lit(BOOT_B))).as("replica"))
+      .withColumn("q", expr(
+        s"((o_orderkey % $BOOT_P) * $BOOT_A + replica * $BOOT_C)" +
+          s" % $BOOT_P"))
+      .withColumn("u", expr(s"((q * q + q) % $BOOT_P) % 1000000"))
+      .withColumn("w", expr(
+        "CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1" +
+          " WHEN u < 919699 THEN 2 ELSE 3 END"))
+      .groupBy(col("replica"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * cents")).as("wc"))
+      .withColumn("mean_c", expr("CAST((wc - wc % n_eff) / n_eff AS BIGINT)"))
+      .crossJoin(broadcast(point))
+      .select(col("replica"), col("n_eff"), col("mean_c"),
+        col("point_mean_c"),
+        (col("mean_c") - col("point_mean_c")).as("dev_c"))
+  }
+
+  private val qBootstrapSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |pt AS (
+       |  SELECT CAST(sum(CAST(cents AS HUGEINT)) // count(*) AS BIGINT)
+       |    AS point_mean_c
+       |  FROM base),
+       |drawn AS (
+       |  SELECT cents, replica, ((q * q + q) % $BOOT_P) % 1000000 AS u
+       |  FROM (
+       |    SELECT b.cents, r.replica,
+       |      ((b.o_orderkey % $BOOT_P) * $BOOT_A + r.replica * $BOOT_C)
+       |        % $BOOT_P AS q
+       |    FROM base b
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $BOOT_B))
+       |                AS replica) r)),
+       |rep AS (
+       |  SELECT replica,
+       |    CAST(sum(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |                  WHEN u < 919699 THEN 2 ELSE 3 END) AS BIGINT)
+       |      AS n_eff,
+       |    sum(CAST(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |                  WHEN u < 919699 THEN 2 ELSE 3 END AS HUGEINT)
+       |        * cents) AS wc
+       |  FROM drawn GROUP BY 1)
+       |SELECT CAST(replica AS INTEGER) AS replica, n_eff,
+       |  CAST(wc // n_eff AS BIGINT) AS mean_c,
+       |  point_mean_c,
+       |  CAST(wc // n_eff AS BIGINT) - point_mean_c AS dev_c
+       |FROM rep, pt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
     "q_concurrency" -> qConcurrency _,
@@ -2493,6 +2587,7 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_concurrency" -> qConcurrencySql,

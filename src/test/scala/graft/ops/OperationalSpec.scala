@@ -242,6 +242,44 @@ class OperationalSpec extends SparkSpec {
     assert(got.values.sum == nViewers.toLong)
   }
 
+  test("q_bootstrap replicas match the Scala draw and calibrate to the SE") {
+    val P = 1000000007L
+    val cents = Tables.orders(spark, sf())
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def weight(k: Long, r: Long): Long = {
+      val q = ((k % P) * 747796405L + r * 40503L) % P
+      val u = ((q * q + q) % P) % 1000000L
+      if (u < 367879) 0L else if (u < 735759) 1L
+      else if (u < 919699) 2L else 3L
+    }
+    val expected = (1 to 32).map { r =>
+      val (wsum, wc) = cents.foldLeft((BigInt(0), BigInt(0))) {
+        case ((a, b), (k, c)) =>
+          val w = weight(k, r.toLong); (a + w, b + BigInt(w) * c)
+      }
+      (r, wsum.toLong, (wc / wsum).toLong)
+    }.toSet
+    val rows = SparkEntry.queries("q_bootstrap")(spark, sf()).collect()
+    val got = rows.map(r => (r.getInt(0), r.getAs[Long]("n_eff"),
+      r.getAs[Long]("mean_c"))).toSet
+    assert(got == expected)
+    // calibration: the replicate SD must land within a ±50% band of
+    // the theoretical sigma/sqrt(n) standard error (deterministic
+    // draw — a fixed value, not a flaky bound; 32 replicas put the
+    // SD estimate itself within ~13%, the band is generous).
+    val means = rows.map(_.getAs[Long]("mean_c").toDouble)
+    val mu = means.sum / means.length
+    val sd = math.sqrt(means.map(m => (m - mu) * (m - mu)).sum /
+      (means.length - 1))
+    val xs = cents.map(_._2.toDouble)
+    val xmu = xs.sum / xs.length
+    val se = math.sqrt(xs.map(x => (x - xmu) * (x - xmu)).sum /
+      (xs.length - 1) / xs.length)
+    assert(sd > se * 0.5 && sd < se * 1.5, s"replicate SD $sd vs SE $se")
+  }
+
   test("q_fano equals the Scala-side cleared-denominator dispersion") {
     val daily = Tables.events(spark, sf())
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
