@@ -1889,6 +1889,71 @@ object TextAnalysis {
       |  top_c * 1000000 // n_tokens AS top_share_ppm
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------ q_templates
+  /** Content-TEMPLATE mining — documents grouped by their VOCABULARY
+    * signature: mask digit runs to `0` (the log-template move, Drain
+    * He et al. 2017, reduced to its scalable core), tokenize, and
+    * fingerprint the SORTED DISTINCT token set. A family is a set of
+    * documents built from exactly the same words — shuffled,
+    * repeated, or re-ordered machine-generated variants (exact
+    * Jaccard = 1), the degenerate corner of near-dup space that
+    * [[graft.llm.Dedup]]'s MinHash only APPROXIMATES and exact dedup
+    * (byte-identical) misses entirely. Top-20 families by population
+    * with spread across sources — a family spanning ONE source is
+    * boilerplate ([[graft.llm.Mixing]] q_boilerplate territory);
+    * spanning MANY it is syndicated/templated content the mixture
+    * planner must know about.
+    *
+    * Scale: map-only mask + tokenize + hash (the token set never
+    * leaves the row — only its 32-hex md5 shuffles), ONE groupBy on
+    * the template hash (map-side combined; min(sample) carries one
+    * 60-char prefix per partial), top-20 via `orderBy().limit()`
+    * (TakeOrderedAndProject), rank over the 20 rows.
+    */
+  private def qTemplates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masked = regexp_replace(
+      regexp_replace(col("text"), "[0-9]+", "0"), " +", " ")
+    val sig = concat_ws(" ",
+      array_sort(array_distinct(split(masked, " "))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(sig.cast("binary")).as("template_id"),
+        substring(col("text"), 1, 60).as("sample"))
+      .groupBy(col("template_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"),
+        min(col("sample")).as("sample"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("template_id"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("template_id")))
+        .cast("int"))
+  }
+
+  private val qTemplatesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(
+      |      regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
+      |                     ' +', ' ', 'g'), ' '))), ' ')) AS template_id,
+      |    substr(text, 1, 60) AS sample
+      |  FROM documents),
+      |fam AS (
+      |  SELECT template_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    min(doc_id) AS example_doc, min(sample) AS sample
+      |  FROM m GROUP BY 1)
+      |SELECT template_id, n_docs, n_sources, example_doc, sample,
+      |  CAST(rnk AS INTEGER) AS rnk
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY n_docs DESC, template_id) AS rnk
+      |  FROM fam WHERE n_docs >= 2)
+      |WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_surprisal" -> qDocSurprisal _,
     "q_source_hhi"  -> qSourceHhi _,
@@ -1902,6 +1967,7 @@ object TextAnalysis {
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_bigram_lm"   -> qBigramLm _,
     "q_vocab_growth" -> qVocabGrowth _,
+    "q_templates"   -> qTemplates _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_bm25"        -> qBm25 _,
@@ -1928,6 +1994,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_templates"   -> qTemplatesSql,
     "q_doc_surprisal" -> qDocSurprisalSql,
     "q_source_hhi"  -> qSourceHhiSql,
     "q_chi2"        -> qChi2Sql,

@@ -558,13 +558,180 @@ object Graph {
        |  FROM cand)
        |WHERE rnk <= 20""".stripMargin
 
+  // -------------------------------------------------------------- q_hits
+  /** HITS (Kleinberg 1999) over the BIPARTITE customer→supplier
+    * purchase graph — hubs are customers whose orders concentrate on
+    * authoritative suppliers, authorities are suppliers favored by
+    * strong hubs. The bipartite form is HITS's sweet spot (mutual
+    * reinforcement with no self-loops); on the undirected co-supply
+    * view hubs ≡ authorities and the query would be PageRank-lite.
+    *
+    * [[HITS_ITERS]] synchronous rounds, every score a SCALED BIGINT
+    * (base 10¹²) with floor division and an L1 re-normalization
+    * (`x·10¹² div Σx`) per half-step — pure integer arithmetic, so
+    * round k is bit-identical on any engine and any partitioning
+    * (the [[qPagerank]] determinism discipline; the float HITS with
+    * L2 normalization would put a sqrt in every round). Output:
+    * top-15 authorities and top-15 hubs, one frame, `role` column.
+    *
+    * Scale: each half-step is one join of the edge list against the
+    * vertex-keyed score frame + one agg — shuffle carries
+    * (vertex, long) only. The L1 normalizer is a 1-row agg →
+    * '''broadcast''' crossJoin. Edge list = distinct (customer,
+    * supplier) pairs: linear in lineitem, built once,
+    * `localCheckpoint` because every half-step rescans it.
+    */
+  private val HITS_ITERS = 2
+
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    def l1norm(x: DataFrame, k: String): DataFrame = {
+      val tot = x.agg(sum(col("s")).as("tot"))
+      x.crossJoin(broadcast(tot))
+        .select(col(k), expr("CAST(s AS DECIMAL(38,0)) * 1000000000000" +
+          " div tot").cast("long").as("s"))
+    }
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("s"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HITS_ITERS) {
+      auth = l1norm(
+        edges.join(hub, Seq("c")).groupBy(col("p"))
+          .agg(sum(col("s")).as("s")), "p")
+      hub = l1norm(
+        edges.join(auth, Seq("p")).groupBy(col("c"))
+          .agg(sum(col("s")).as("s")), "c")
+    }
+    val topAuth = auth.orderBy(col("s").desc, col("p")).limit(15)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("s").desc, col("p"))).cast("int"))
+      .select(lit("authority").as("role"), col("p").as("node"),
+        col("s").as("score_scaled"), col("rnk"))
+    val topHub = hub.orderBy(col("s").desc, col("c")).limit(15)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("s").desc, col("c"))).cast("int"))
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("s").as("score_scaled"), col("rnk"))
+    topAuth.unionAll(topHub)
+  }
+
+  private val qHitsSql: String = {
+    // Unrolled half-steps: raw sum then L1 renormalization, exactly
+    // the Spark sequence. HUGEINT carries the s·10¹² product.
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS s FROM e),
+       |a1r AS (
+       |  SELECT e.p, CAST(sum(h0.s) AS BIGINT) AS s
+       |  FROM e JOIN h0 ON h0.c = e.c GROUP BY 1),
+       |a1 AS (
+       |  SELECT p, CAST(CAST(s AS HUGEINT) * 1000000000000
+       |    // (SELECT sum(s) FROM a1r) AS BIGINT) AS s FROM a1r),
+       |h1r AS (
+       |  SELECT e.c, CAST(sum(a1.s) AS BIGINT) AS s
+       |  FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
+       |h1 AS (
+       |  SELECT c, CAST(CAST(s AS HUGEINT) * 1000000000000
+       |    // (SELECT sum(s) FROM h1r) AS BIGINT) AS s FROM h1r),
+       |a2r AS (
+       |  SELECT e.p, CAST(sum(h1.s) AS BIGINT) AS s
+       |  FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
+       |a2 AS (
+       |  SELECT p, CAST(CAST(s AS HUGEINT) * 1000000000000
+       |    // (SELECT sum(s) FROM a2r) AS BIGINT) AS s FROM a2r),
+       |h2r AS (
+       |  SELECT e.c, CAST(sum(a2.s) AS BIGINT) AS s
+       |  FROM e JOIN a2 ON a2.p = e.p GROUP BY 1),
+       |h2 AS (
+       |  SELECT c, CAST(CAST(s AS HUGEINT) * 1000000000000
+       |    // (SELECT sum(s) FROM h2r) AS BIGINT) AS s FROM h2r),
+       |ta AS (
+       |  SELECT 'authority' AS role, p AS node, s AS score_scaled,
+       |    CAST(row_number() OVER (ORDER BY s DESC, p) AS INTEGER) AS rnk
+       |  FROM a2),
+       |th AS (
+       |  SELECT 'hub' AS role, c AS node, s AS score_scaled,
+       |    CAST(row_number() OVER (ORDER BY s DESC, c) AS INTEGER) AS rnk
+       |  FROM h2)
+       |SELECT * FROM ta WHERE rnk <= 15
+       |UNION ALL SELECT * FROM th WHERE rnk <= 15""".stripMargin
+  }
+
+  // ---------------------------------------------------------- q_local_cc
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT over the co-supply
+    * graph — cc(v) = 2·tri(v)·10⁶ div (d(v)·(d(v)−1)) in integer
+    * ppm, for vertices with d ≥ 2 (elsewhere undefined, excluded).
+    * Complements [[qTriangles]] (raw counts) with the normalized
+    * density signal community detectors threshold on.
+    *
+    * Scale: reuses the exact oriented-wedge triangle plan (O(m^{3/2})
+    * bound, hub-skew-proof — see [[qTriangles]]); the degree join is
+    * vertex-sized → '''broadcast'''. No window, no global sort.
+    */
+  private def qLocalCc(s: SparkSession, d: String): DataFrame = {
+    val edges = topEdges(s, d)
+    val deg = edges.select(col("sa").as("v"))
+      .unionAll(edges.select(col("sb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tri = qTriangles(s, d)
+      .select(col("supplier").as("v"), col("n_triangles"))
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("v").as("supplier"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("2 * coalesce(n_triangles, CAST(0 AS BIGINT)) * 1000000" +
+          " div (d * (d - 1))").as("cc_ppm"))
+  }
+
+  private val qLocalCcSql: String =
+    s"""WITH $topEdgesSql,
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT sa AS v FROM edges UNION ALL SELECT sb AS v FROM edges)
+       |  GROUP BY 1),
+       |o AS (
+       |  SELECT CASE WHEN (da.d, e.sa) < (db.d, e.sb)
+       |              THEN e.sa ELSE e.sb END AS u,
+       |         CASE WHEN (da.d, e.sa) < (db.d, e.sb)
+       |              THEN e.sb ELSE e.sa END AS v
+       |  FROM edges e
+       |  JOIN deg da ON da.v = e.sa
+       |  JOIN deg db ON db.v = e.sb),
+       |ou AS (SELECT o.u, o.v, d.d AS dv FROM o JOIN deg d ON d.v = o.v),
+       |tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM ou a
+       |  JOIN ou b ON a.u = b.u AND ((a.dv, a.v) < (b.dv, b.v))
+       |  WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = a.v AND c.v = b.v)),
+       |tc AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT x AS v FROM tri
+       |    UNION ALL SELECT y AS v FROM tri
+       |    UNION ALL SELECT z AS v FROM tri)
+       |  GROUP BY 1)
+       |SELECT deg.v AS supplier, deg.d AS degree,
+       |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(2 * coalesce(tc.n_triangles, 0) * 1000000
+       |    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+       |FROM deg LEFT JOIN tc ON tc.v = deg.v
+       |WHERE deg.d >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> qTriangles _,
     "q_pagerank"  -> qPagerank _,
     "q_kcore"     -> qKcore _,
     "q_bellman"   -> qBellman _,
     "q_lpa"       -> qLpa _,
-    "q_link_pred" -> qLinkPred _
+    "q_link_pred" -> qLinkPred _,
+    "q_hits"      -> qHits _,
+    "q_local_cc"  -> qLocalCc _
   )
 
   val oracles: Map[String, String] = Map(
@@ -573,7 +740,9 @@ object Graph {
     "q_kcore"     -> qKcoreSql,
     "q_bellman"   -> qBellmanSql,
     "q_lpa"       -> qLpaSql,
-    "q_link_pred" -> qLinkPredSql
+    "q_link_pred" -> qLinkPredSql,
+    "q_hits"      -> qHitsSql,
+    "q_local_cc"  -> qLocalCcSql
   )
 
   /** Connected components by ALTERNATING STAR CONTRACTION — the

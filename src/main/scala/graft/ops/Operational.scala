@@ -1919,6 +1919,103 @@ object Operational {
       |  END AS r_ppm
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------- q_cross_corr
+  /** Lead–lag CROSS-correlation between event types — for every
+    * ordered type pair (ta < tb) and lag k ∈ −7..7, the Pearson
+    * correlation of ta's daily count with tb's count k days later
+    * (k > 0: ta LEADS tb; k < 0: ta lags). The causal-direction
+    * companion of [[qAutocorr]]: autocorrelation finds a series'
+    * own periodicity, this finds which series moves FIRST — the
+    * "views today, purchases tomorrow" readout that sizes funnels
+    * and staffs fulfillment.
+    *
+    * Same determinism/scale discipline as [[qAutocorr]]: corpus →
+    * (type, day) integer cells first; DECIMAL(38,0)/HUGEINT component
+    * sums; the Pearson ratio evaluated in IEEE doubles from exact
+    * integers, floored to ppm — bit-identical cross-engine. The lag
+    * frame (15 rows) '''broadcasts'''; the pair join is calendar-
+    * aligned (day + k), missing-day-safe; output is
+    * types² · 15 rows — dashboard-sized regardless of volume.
+    */
+  private def qCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lags = s.range(-7, 8).select(col("id").cast("int").as("k"))
+    val a = daily.select(col("event_type").as("ta"), col("day"),
+      col("n").as("xa"))
+    val b = daily.select(col("event_type").as("tb"),
+      col("day").as("bday"), col("n").as("xb"))
+    a.crossJoin(broadcast(lags))
+      .join(b,
+        col("ta") < col("tb") &&
+          col("bday") === expr("date_add(day, k)"))
+      .groupBy(col("ta"), col("tb"), col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("xa").cast("decimal(38,0)")).as("sx"),
+        sum(col("xb").cast("decimal(38,0)")).as("sy"),
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xa") * col("xa")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xb") * col("xb")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("r_ppm", expr(
+        """CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+          |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |          (n_pairs * CAST(syy AS DOUBLE) -
+          |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+          |     THEN NULL
+          |     ELSE floor(
+          |       (n_pairs * CAST(sxy AS DOUBLE) -
+          |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+          |       sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+          |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |            (n_pairs * CAST(syy AS DOUBLE) -
+          |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+          |END""".stripMargin))
+      .select(col("ta"), col("tb"), col("k"), col("n_pairs"),
+        col("r_ppm"))
+  }
+
+  private val qCrossCorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lags AS (SELECT CAST(k AS INTEGER) AS k
+      |         FROM generate_series(-7, 7) t(k)),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, l.k,
+      |    a.n AS xa, b.n AS xb
+      |  FROM daily a
+      |  CROSS JOIN lags l
+      |  JOIN daily b ON a.event_type < b.event_type
+      |    AND b.day = a.day + l.k),
+      |agg AS (
+      |  SELECT ta, tb, k, count(*) AS n_pairs,
+      |    SUM(CAST(xa AS HUGEINT)) AS sx,
+      |    SUM(CAST(xb AS HUGEINT)) AS sy,
+      |    SUM(CAST(xa * xb AS HUGEINT)) AS sxy,
+      |    SUM(CAST(xa * xa AS HUGEINT)) AS sxx,
+      |    SUM(CAST(xb * xb AS HUGEINT)) AS syy
+      |  FROM pairs GROUP BY 1, 2, 3)
+      |SELECT ta, tb, k, n_pairs,
+      |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+      |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |            (n_pairs * CAST(syy AS DOUBLE) -
+      |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+      |       THEN NULL
+      |       ELSE CAST(floor(
+      |         (n_pairs * CAST(sxy AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+      |         sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+      |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              (n_pairs * CAST(syy AS DOUBLE) -
+      |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+      |         AS BIGINT)
+      |  END AS r_ppm
+      |FROM agg""".stripMargin
+
   // -------------------------------------------------------------- q_kanon
   /** k-anonymity audit over quasi-identifiers (Sweeney): customers
     * group into equivalence classes by (nation, market segment,
@@ -2541,7 +2638,223 @@ object Operational {
        |  CAST(wc // n_eff AS BIGINT) - point_mean_c AS dev_c
        |FROM rep, pt""".stripMargin
 
+  // ----------------------------------------------------------------- q_rfm
+  /** RFM segmentation — the classic customer-value grid: per customer,
+    * Recency (last order day), Frequency (order count), Monetary
+    * (exact total cents via [[graft.Det.money2]]), each quintiled
+    * 1 (best) … 5, then the 125-cell segment grid with counts and
+    * exact total spend. The marketing-side complement of
+    * [[qDecileLift]]'s single-score gains table.
+    *
+    * Quintile assignment replicates `ntile(5)` BIT-IDENTICALLY with
+    * NO global window (the [[qDecileLift]] discipline): each metric's
+    * value histogram is domain-bounded — order days by the calendar,
+    * order counts by activity, spend by the DOLLAR domain (monetary
+    * ranks at whole-dollar resolution — ties inside a dollar break by
+    * custkey; sub-dollar rank resolution on a quintile cut is noise
+    * by construction) — so "customers strictly better" comes from a
+    * '''broadcast''' non-equi self-join over the histogram, the
+    * global rank is that prefix + a row_number WITHIN the value group
+    * (value-partitioned window, one shuffle, never single-partition),
+    * and the tile falls out by the exact ntile arithmetic: with
+    * q = n div 5, r = n mod 5, tiles 1..r hold q+1 rows.
+    *
+    * Scale: three value-partitioned shuffles of the customer frame +
+    * three broadcast histograms; the output is the ≤125-row grid.
+    */
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        // o_orderdate arrives TIMESTAMP_NTZ (isAdjustedToUTC=false
+        // parquet); the session runs UTC, so reinterpreting the naive
+        // wall-clock as UTC matches DuckDB's epoch_us exactly (the
+        // Tables.events normalization rationale).
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        (graft.Det.money2(col("o_totalprice")) * 100).cast("long")
+          .as("cents"))
+    val users = o.groupBy(col("o_custkey"))
+      .agg(max(expr("ts_us div 86400000000")).as("r_day"),
+        count(lit(1)).as("f_cnt"),
+        sum(col("cents")).as("m_cents"))
+      .withColumn("m_dollars", expr("m_cents div 100"))
+    val tot = users.agg(count(lit(1)).as("n"))
+    // ntile(5) by `metric` DESC (tie: custkey) without a global window.
+    def tile5(in: DataFrame, metric: String, out: String): DataFrame = {
+      val hist = in.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      val higher = hist.alias("a")
+        .join(broadcast(hist.alias("b")),
+          col("b." + metric) > col("a." + metric), "left")
+        .groupBy(col("a." + metric).as(metric))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("n_higher"))
+      in.join(broadcast(higher), Seq(metric))
+        .withColumn("rnk", col("n_higher") + row_number().over(
+          Window.partitionBy(col(metric)).orderBy(col("o_custkey"))))
+        .crossJoin(broadcast(tot))
+        .withColumn(out, expr(
+          """CAST(IF(rnk <= (n % 5) * (n div 5 + 1),
+            |  (rnk + n div 5) div (n div 5 + 1),
+            |  n % 5 + (rnk - (n % 5) * (n div 5 + 1)
+            |           + n div 5 - 1) div (n div 5))
+            |AS INT)""".stripMargin.replace("\n", " ")))
+        .drop("n_higher", "rnk", "n")
+    }
+    val scored = tile5(tile5(tile5(users,
+      "r_day", "r_tile"), "f_cnt", "f_tile"), "m_dollars", "m_tile")
+    scored.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).as("sum_cents"))
+      .select(col("r_tile"), col("f_tile"), col("m_tile"),
+        col("n_customers"), col("sum_cents").cast("long").as("sum_cents"))
+  }
+
+  private val qRfmSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey,
+      |    max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+      |    CAST(count(*) AS BIGINT) AS f_cnt,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |             AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT o_custkey,
+      |    ntile(5) OVER (ORDER BY r_day DESC, o_custkey) AS r_tile,
+      |    ntile(5) OVER (ORDER BY f_cnt DESC, o_custkey) AS f_tile,
+      |    ntile(5) OVER (ORDER BY m_cents // 100 DESC, o_custkey)
+      |      AS m_tile,
+      |    m_cents
+      |  FROM u)
+      |SELECT CAST(r_tile AS INTEGER) AS r_tile,
+      |  CAST(f_tile AS INTEGER) AS f_tile,
+      |  CAST(m_tile AS INTEGER) AS m_tile,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(m_cents) AS BIGINT) AS sum_cents
+      |FROM t GROUP BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------- q_kaplan_meier
+  /** Kaplan–Meier survival curve of user retention — per weekly
+    * interval: users at risk, churn events, right-censorings, and the
+    * product-limit survival estimate in integer ppm. A user's clock
+    * starts at their first event; they CHURN at their last event's
+    * week if that last event predates the corpus horizon by more than
+    * [[KM_GAP_DAYS]] (they had time to return and didn't), otherwise
+    * they are right-CENSORED at the horizon — the textbook estimator
+    * (Kaplan & Meier 1958) with the engine's determinism discipline:
+    * S_t = S_{t−1}·(n_t − d_t) div n_t in BIGINT ppm, floor division
+    * at every step, so the curve is bit-identical on any engine and
+    * any partitioning (the float cumprod is order-stable only by
+    * luck).
+    *
+    * The sequential recurrence runs as a RECURSIVE CTE over the
+    * MATERIALIZED per-interval table (the [[graft.ops.ModernSql]]
+    * q_reach pattern: `localCheckpoint` first so Spark's UnionLoop
+    * re-scans ≤[[KM_T]]+1 rows per iteration instead of re-running
+    * the corpus aggregation). The oracle runs its own recursion in
+    * DuckDB — two engines' recursive execution compared on the same
+    * integer sequence.
+    *
+    * Scale: ONE user-keyed aggregation collapses the corpus to
+    * (first_day, last_day) per user; everything after runs on the
+    * ≤weeks-in-corpus interval histogram (calendar-bounded, NOT
+    * data-bounded) — broadcast joins, no windows. The recursion depth
+    * is ≤[[KM_T]]+1.
+    */
+  private val KM_GAP_DAYS = 14L
+  private val KM_T = 12L
+
+  private def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val horizon = ev.agg(max(col("day")).as("max_day"))
+    val durs = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        expr(s"IF(ld <= max_day - $KM_GAP_DAYS, 1L, 0L)").as("churned"),
+        expr(s"IF(ld <= max_day - $KM_GAP_DAYS," +
+          " (ld - fd) div 7, (max_day - fd) div 7)").as("dur_w"))
+    val hist = durs.groupBy(col("dur_w"))
+      .agg(sum(col("churned")).as("d"),
+        sum(lit(1L) - col("churned")).as("c"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    val grid = s.range(0, KM_T + 1).select(col("id").as("t"))
+    val removedBefore = grid.alias("g")
+      .join(broadcast(hist.alias("h")), col("h.dur_w") < col("g.t"), "left")
+      .groupBy(col("g.t").as("t"))
+      .agg(coalesce(sum(col("h.d") + col("h.c")), lit(0L)).as("gone"))
+    val intervals = removedBefore
+      .join(broadcast(hist), col("dur_w") === col("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("n") - col("gone")).as("n_at_risk"),
+        coalesce(col("d"), lit(0L)).as("d_events"),
+        coalesce(col("c"), lit(0L)).as("c_censored"))
+      .localCheckpoint(true)
+    intervals.createOrReplaceTempView("km_intervals")
+    s.sql(
+      """WITH RECURSIVE km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
+        |  SELECT t, n_at_risk, d_events, c_censored,
+        |    (1000000 * (n_at_risk - d_events)) div n_at_risk
+        |  FROM km_intervals WHERE t = 0
+        |  UNION ALL
+        |  SELECT i.t, i.n_at_risk, i.d_events, i.c_censored,
+        |    (k.s_ppm * (i.n_at_risk - i.d_events)) div i.n_at_risk
+        |  FROM km k JOIN km_intervals i ON i.t = k.t + 1
+        |  WHERE i.n_at_risk > 0)
+        |SELECT CAST(t AS BIGINT) AS week, n_at_risk,
+        |  d_events AS n_churned, c_censored AS n_censored,
+        |  CAST(s_ppm AS BIGINT) AS s_ppm
+        |FROM km""".stripMargin)
+  }
+
+  private val qKaplanMeierSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       |h AS (SELECT max(day) AS max_day FROM ev),
+       |durs AS (
+       |  SELECT CASE WHEN ld <= max_day - $KM_GAP_DAYS
+       |              THEN 1 ELSE 0 END AS churned,
+       |    CASE WHEN ld <= max_day - $KM_GAP_DAYS
+       |         THEN (ld - fd) // 7 ELSE (max_day - fd) // 7 END AS dur_w
+       |  FROM (SELECT user_id, min(day) AS fd, max(day) AS ld
+       |        FROM ev GROUP BY 1), h),
+       |hist AS (
+       |  SELECT dur_w, CAST(sum(churned) AS BIGINT) AS d,
+       |    CAST(sum(1 - churned) AS BIGINT) AS c
+       |  FROM durs GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+       |grid AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, ${KM_T + 1})),
+       |iv AS (
+       |  SELECT g.t,
+       |    (SELECT n FROM tot)
+       |      - coalesce((SELECT CAST(sum(h2.d + h2.c) AS BIGINT)
+       |                  FROM hist h2 WHERE h2.dur_w < g.t), 0)
+       |      AS n_at_risk,
+       |    coalesce((SELECT d FROM hist h3 WHERE h3.dur_w = g.t), 0)
+       |      AS d_events,
+       |    coalesce((SELECT c FROM hist h4 WHERE h4.dur_w = g.t), 0)
+       |      AS c_censored
+       |  FROM grid g),
+       |km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
+       |  SELECT t, n_at_risk, d_events, c_censored,
+       |    (1000000 * (n_at_risk - d_events)) // n_at_risk
+       |  FROM iv WHERE t = 0
+       |  UNION ALL
+       |  SELECT i.t, i.n_at_risk, i.d_events, i.c_censored,
+       |    (k.s_ppm * (i.n_at_risk - i.d_events)) // i.n_at_risk
+       |  FROM km k JOIN iv i ON i.t = k.t + 1
+       |  WHERE i.n_at_risk > 0)
+       |SELECT CAST(t AS BIGINT) AS week,
+       |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       |  CAST(d_events AS BIGINT) AS n_churned,
+       |  CAST(c_censored AS BIGINT) AS n_censored,
+       |  CAST(s_ppm AS BIGINT) AS s_ppm
+       |FROM km""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> qRfm _,
+    "q_kaplan_meier" -> qKaplanMeier _,
+    "q_cross_corr" -> qCrossCorr _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
@@ -2587,6 +2900,9 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
+    "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_cross_corr" -> qCrossCorrSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,
