@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.Graph.queries, ops.Graph.oracles),
     (ops.Tpch.queries, ops.Tpch.oracles),
     (ops.ModernSql.queries, ops.ModernSql.oracles),
+    (ops.LayoutAudit.queries, ops.LayoutAudit.oracles),
     (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
     (llm.Dedup.queries, llm.Dedup.oracles),
     (llm.Similarity.queries, llm.Similarity.oracles),

@@ -1,0 +1,246 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout AUDIT queries — the measurement side of
+  * [[graft.sources.Layout]]'s write operators. `writeClustered` /
+  * `writeZOrdered` decide how a 100 TB table lands on disk; these
+  * queries QUANTIFY what a given layout buys before anyone pays for a
+  * rewrite: per candidate clustering key, the expected fraction of
+  * files a point probe must read under the current layout vs a
+  * clustered one (parquet min/max skipping is exactly "skip every
+  * file whose [min,max] excludes the predicate value"). This is the
+  * sizing study a lakehouse OPTIMIZE/CLUSTER BY decision runs on a
+  * sample before touching petabytes.
+  *
+  * Both queries are integer-exact end to end (file ids, min/max,
+  * cover counts, ppm ratios — no floats), so the DuckDB oracle
+  * compares bit-identically.
+  *
+  * Reference provenance: no layout surface in the reference
+  * (`/root/reference/readme.md:1-5`); extends SURVEY.md §2.3 on the
+  * warehouse-maintenance axis, beside [[Operational]]'s q_freshness /
+  * q_incr_agg.
+  */
+object LayoutAudit {
+
+  /** Simulated file count — the granularity min/max skipping works
+    * at. 32 here; at 100 TB the same audit runs with the real file
+    * count (the frames below stay file-count-sized, so any F works).
+    */
+  private val F = 32L
+
+  // --------------------------------------------------------- q_cluster_depth
+  /** Min/max pruning effectiveness per candidate clustering key.
+    *
+    * Layouts simulated per candidate column c:
+    *  - '''ingest''': file = equi-width bucket of l_orderkey — the
+    *    arrival-order proxy (files fill as orders arrive, so each
+    *    file covers a contiguous orderkey span and an arbitrary
+    *    slice of every other column);
+    *  - '''range''': file = equi-width bucket of c over its [lo, hi]
+    *    span — what [[graft.sources.Layout.writeClustered]] produces
+    *    WITHOUT paying the global sort a rank-based split would cost
+    *    (lo/hi come from one broadcast scalar aggregate).
+    *
+    * Metric: over the DISTINCT values v of c, the mean (in ppm) of
+    * `files whose [min,max] covers v / F` — the expected fraction of
+    * files an equality probe reads. 1/F is perfect clustering; 1.0
+    * means min/max statistics prune nothing. l_orderkey itself rides
+    * along as a control: its ingest layout IS clustered (ingest ≡
+    * its own range bucketing), so the audit must report ≈1/F there
+    * while the uncorrelated keys sit near 1.0 — measured at sf0.01:
+    * 31250 ppm (exactly 1/32) vs 999296/1000000 for part/supp.
+    *
+    * Scale: one pass computes per-(file, candidate) min/max (a
+    * [[F]]-row frame per layout) — '''broadcast'''; the cover join is
+    * distinct-values × F map-side work, then one aggregation. Nothing
+    * but the scan grows with row count.
+    */
+  private val cands = Seq("l_orderkey", "l_suppkey", "l_partkey")
+
+  private def coverStats(rows: DataFrame, c: String, file: Column,
+      layout: String): DataFrame = {
+    val fm = rows.groupBy(file.as("f"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+    val dv = rows.select(col(c).as("v")).distinct()
+    dv.join(broadcast(fm), col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nf"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
+      .select(lit(c).as("col_name"), lit(layout).as("layout"),
+        lit(F).as("n_files"), col("n_distinct"),
+        expr(s"cover * 1000000 div (n_distinct * $F)").as("avg_cover_ppm"))
+  }
+
+  private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+      .localCheckpoint(true) // feeds 6 (candidate × layout) passes
+    val span = li.agg(
+      min(col("l_orderkey")).as("lo_o"), max(col("l_orderkey")).as("hi_o"),
+      min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
+      min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
+    val withSpan = li.crossJoin(broadcast(span))
+    def rangeFile(c: String, lo: String, hi: String): Column =
+      expr(s"least(($c - $lo) * $F div ($hi - $lo + 1), ${F - 1})")
+    val parts = cands.flatMap { c =>
+      val k = c.split("_")(1).head.toString // o / s / p
+      Seq(
+        coverStats(withSpan, c, rangeFile("l_orderkey", "lo_o", "hi_o"),
+          "ingest"),
+        coverStats(withSpan, c, rangeFile(c, s"lo_$k", s"hi_$k"), "range"))
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
+  private val qClusterDepthSql: String = {
+    def one(c: String, layout: String, fileExpr: String): String =
+      s"""SELECT '$c' AS col_name, '$layout' AS layout,
+         |  CAST($F AS BIGINT) AS n_files,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(nf) * 1000000 // (count(*) * $F) AS BIGINT)
+         |    AS avg_cover_ppm
+         |FROM (
+         |  SELECT dv.v, CAST(count(*) AS BIGINT) AS nf
+         |  FROM (SELECT DISTINCT $c AS v FROM li) dv
+         |  JOIN (
+         |    SELECT $fileExpr AS f, min($c) AS lo, max($c) AS hi
+         |    FROM li GROUP BY 1) fm
+         |    ON dv.v >= fm.lo AND dv.v <= fm.hi
+         |  GROUP BY 1)""".stripMargin
+    val rf = Map(
+      "l_orderkey" -> s"least((l_orderkey - (SELECT min(l_orderkey) FROM li)) * $F // ((SELECT max(l_orderkey) - min(l_orderkey) FROM li) + 1), ${F - 1})",
+      "l_suppkey" -> s"least((l_suppkey - (SELECT min(l_suppkey) FROM li)) * $F // ((SELECT max(l_suppkey) - min(l_suppkey) FROM li) + 1), ${F - 1})",
+      "l_partkey" -> s"least((l_partkey - (SELECT min(l_partkey) FROM li)) * $F // ((SELECT max(l_partkey) - min(l_partkey) FROM li) + 1), ${F - 1})")
+    val blocks = Seq("l_orderkey", "l_suppkey", "l_partkey").flatMap { c =>
+      Seq(one(c, "ingest", rf("l_orderkey")), one(c, "range", rf(c)))
+    }
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey, l_partkey FROM lineitem)
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q_zorder
+  /** Two-dimensional clustering audit — does a Morton (Z-order) curve
+    * on (l_suppkey, l_partkey) keep point probes on BOTH dimensions
+    * prunable, where single-key range clustering serves only its own
+    * key? The decision query behind
+    * [[graft.sources.Layout.writeZOrdered]]: run it on a sample,
+    * compare the three layouts, then pay for the rewrite the numbers
+    * justify.
+    *
+    * Layouts (all [[F]] files): `range_supp` / `range_part` —
+    * equi-width on one key; `zorder` — each key min/max-scaled to a
+    * 5-bit grid coordinate, bits interleaved (supp even, part odd
+    * positions), file = z div [[F]] (the z-value is 10 bits → exactly
+    * F contiguous curve segments). The interleave is unrolled integer
+    * arithmetic — identical text in both engines, no bit intrinsics
+    * to disagree on.
+    *
+    * Metric: [[qClusterDepth]]'s avg_cover_ppm, probed per dimension
+    * → 3 layouts × 2 probe dimensions. Expected shape: range_supp ≈
+    * 1/F on supp but ≈1 on part (and vice versa); zorder lands near
+    * √(1/F) on BOTH — the curve's guarantee.
+    *
+    * Scale: identical to [[qClusterDepth]] — per-file min/max frames
+    * broadcast, distinct-value cover joins map-side, one agg each.
+    */
+  private def morton5(gs: String, gp: String): String =
+    (0 until 5).map { i =>
+      s"(($gs div ${1 << i}) % 2) * ${1L << (2 * i)}" +
+        s" + (($gp div ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  private def qZorder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"))
+      .localCheckpoint(true) // feeds 6 (layout × probe) passes
+    val span = li.agg(
+      min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
+      min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
+    val ws = li.crossJoin(broadcast(span))
+      .withColumn("gs",
+        expr(s"least((l_suppkey - lo_s) * 32 div (hi_s - lo_s + 1), 31)"))
+      .withColumn("gp",
+        expr(s"least((l_partkey - lo_p) * 32 div (hi_p - lo_p + 1), 31)"))
+      .withColumn("fz", expr(s"(${morton5("gs", "gp")}) div $F"))
+      .withColumn("fs", expr(s"least((l_suppkey - lo_s) * $F" +
+        s" div (hi_s - lo_s + 1), ${F - 1})"))
+      .withColumn("fp", expr(s"least((l_partkey - lo_p) * $F" +
+        s" div (hi_p - lo_p + 1), ${F - 1})"))
+      .localCheckpoint(true)
+    def probe(layout: String, fileCol: String, dim: String): DataFrame = {
+      val fm = ws.groupBy(col(fileCol).as("f"))
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+      val dv = ws.select(col(dim).as("v")).distinct()
+      dv.join(broadcast(fm),
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy(col("v")).agg(count(lit(1)).as("nf"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
+        .select(lit(layout).as("layout"), lit(dim).as("probe_dim"),
+          col("n_distinct"),
+          expr(s"cover * 1000000 div (n_distinct * $F)")
+            .as("avg_cover_ppm"))
+    }
+    Seq(
+      probe("range_supp", "fs", "l_suppkey"),
+      probe("range_supp", "fs", "l_partkey"),
+      probe("range_part", "fp", "l_suppkey"),
+      probe("range_part", "fp", "l_partkey"),
+      probe("zorder", "fz", "l_suppkey"),
+      probe("zorder", "fz", "l_partkey"))
+      .reduce(_.unionAll(_))
+  }
+
+  private val qZorderSql: String = {
+    def one(layout: String, fileCol: String, dim: String): String =
+      s"""SELECT '$layout' AS layout, '$dim' AS probe_dim,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(nf) * 1000000 // (count(*) * $F) AS BIGINT)
+         |    AS avg_cover_ppm
+         |FROM (
+         |  SELECT dv.v, CAST(count(*) AS BIGINT) AS nf
+         |  FROM (SELECT DISTINCT $dim AS v FROM ws) dv
+         |  JOIN (
+         |    SELECT $fileCol AS f, min($dim) AS lo, max($dim) AS hi
+         |    FROM ws GROUP BY 1) fm
+         |    ON dv.v >= fm.lo AND dv.v <= fm.hi
+         |  GROUP BY 1)""".stripMargin
+    val mz = morton5("gs", "gp").replace("div", "//")
+    s"""WITH span AS (
+       |  SELECT min(l_suppkey) AS lo_s, max(l_suppkey) AS hi_s,
+       |    min(l_partkey) AS lo_p, max(l_partkey) AS hi_p
+       |  FROM lineitem),
+       |g AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    least((l_suppkey - lo_s) * 32 // (hi_s - lo_s + 1), 31) AS gs,
+       |    least((l_partkey - lo_p) * 32 // (hi_p - lo_p + 1), 31) AS gp,
+       |    least((l_suppkey - lo_s) * $F // (hi_s - lo_s + 1), ${F - 1})
+       |      AS fs,
+       |    least((l_partkey - lo_p) * $F // (hi_p - lo_p + 1), ${F - 1})
+       |      AS fp
+       |  FROM lineitem, span),
+       |ws AS (
+       |  SELECT l_suppkey, l_partkey, fs, fp, ($mz) // $F AS fz FROM g)
+       |${Seq(
+           one("range_supp", "fs", "l_suppkey"),
+           one("range_supp", "fs", "l_partkey"),
+           one("range_part", "fp", "l_suppkey"),
+           one("range_part", "fp", "l_partkey"),
+           one("zorder", "fz", "l_suppkey"),
+           one("zorder", "fz", "l_partkey")).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_depth" -> qClusterDepth _,
+    "q_zorder" -> qZorder _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cluster_depth" -> qClusterDepthSql,
+    "q_zorder" -> qZorderSql
+  )
+}
