@@ -1889,6 +1889,104 @@ object TextAnalysis {
       |  top_c * 1000000 // n_tokens AS top_share_ppm
       |FROM agg""".stripMargin
 
+  // ----------------------------------------------------------- q_keyphrases
+  /** RAKE keyphrase extraction (Rose et al. 2010) — corpus top-20
+    * multi-word keyphrases. Candidate phrases are maximal runs of
+    * non-stopword tokens (≤ [[RAKE_MAX_LEN]] words); each word scores
+    * deg(w)/freq(w) over the candidate set (deg = Σ length of the
+    * phrases containing w — favors words that travel in long
+    * phrases; freq = raw instance count), a phrase scores the sum of
+    * its words — here as `Σ deg(w)·10⁶ div freq(w)` integer ppm, so
+    * ranking is bit-identical cross-engine (the published float
+    * ratio adds nothing but nondeterminism).
+    *
+    * Scale: phrase segmentation is a per-document running stopword
+    * count (window PARTITIONED by doc — doc-bounded, never global);
+    * word stats are vocabulary-keyed aggregations; the score join is
+    * phrase-word × vocabulary keyed on the word; identical phrase
+    * instances collapse by text before the top-20
+    * `orderBy().limit()` (TakeOrderedAndProject). Nothing scales
+    * with corpus size except the linear scan and vocabulary-sized
+    * frames.
+    */
+  private val RAKE_MAX_LEN = 4
+
+  private def qKeyphrases(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "w")
+    val seg = toks
+      .withColumn("stop",
+        col("w").isInCollection(stopwords).cast("long"))
+      .withColumn("sid", sum(col("stop")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("stop") === 0)
+    val phr = seg.groupBy(col("doc_id"), col("sid"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        collect_list(col("w")).as("ws"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= RAKE_MAX_LEN)
+    val pw = phr.select(col("doc_id"), col("sid"), col("phrase"),
+      col("plen"), explode(col("ws")).as("w"))
+    val stats = pw.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val inst = pw.join(stats, Seq("w"))
+      .groupBy(col("doc_id"), col("sid"), col("phrase"))
+      .agg(sum(expr("deg * 1000000 div freq")).as("score_ppm"))
+    val fam = inst.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("score_ppm")).as("score_ppm"))
+    fam.orderBy(col("score_ppm").desc, col("n_occur").desc, col("phrase"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("n_occur").desc,
+          col("phrase"))).cast("int"))
+  }
+
+  private val qKeyphrasesSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(len(tk))) AS INTEGER) AS pos,
+       |    unnest(tk) AS w
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |        FROM documents)),
+       |seg AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN w IN ($sw) THEN 1 ELSE 0 END AS stop,
+       |    sum(CASE WHEN w IN ($sw) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM toks),
+       |phr AS (
+       |  SELECT doc_id, sid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    list(w) AS ws, CAST(count(*) AS BIGINT) AS plen
+       |  FROM seg WHERE stop = 0 GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT doc_id, sid, phrase, plen, unnest(ws) AS w
+       |  FROM phr WHERE plen <= $RAKE_MAX_LEN),
+       |stats AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM pw GROUP BY 1),
+       |inst AS (
+       |  SELECT doc_id, sid, phrase,
+       |    CAST(sum(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+       |  FROM pw JOIN stats USING (w) GROUP BY 1, 2, 3),
+       |fam AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+       |    min(score_ppm) AS score_ppm
+       |  FROM inst GROUP BY 1)
+       |SELECT phrase, n_occur, score_ppm, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY score_ppm DESC, n_occur DESC, phrase) AS rnk
+       |  FROM fam)
+       |WHERE rnk <= 20""".stripMargin
+  }
+
   // ------------------------------------------------------------ q_templates
   /** Content-TEMPLATE mining — documents grouped by their VOCABULARY
     * signature: mask digit runs to `0` (the log-template move, Drain
@@ -1967,6 +2065,7 @@ object TextAnalysis {
     "q_bigram_novelty" -> qBigramNovelty _,
     "q_bigram_lm"   -> qBigramLm _,
     "q_vocab_growth" -> qVocabGrowth _,
+    "q_keyphrases"  -> qKeyphrases _,
     "q_templates"   -> qTemplates _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
@@ -1994,6 +2093,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_keyphrases"  -> qKeyphrasesSql,
     "q_templates"   -> qTemplatesSql,
     "q_doc_surprisal" -> qDocSurprisalSql,
     "q_source_hhi"  -> qSourceHhiSql,

@@ -162,6 +162,60 @@ object Operational {
        |FROM orders
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ q_incr_join
+  /** Incremental maintenance of a JOIN view — the two-sided extension
+    * of [[qIncrAgg]]: the materialized view V = orders ⋈ lineitem
+    * aggregated to per-priority (item count, decimal quantity sum),
+    * refreshed after BOTH tables grow. With ΔO/ΔL the post-
+    * [[SPLIT_DATE]] arrivals, the delta of the join is the standard
+    * IVM expansion
+    *   ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL
+    * (each pair shows up in exactly one term), reduced to algebraic
+    * partials and merged with the base view's partials on the group
+    * key. The oracle is the full recompute — green means the
+    * incremental expansion lost and double-counted nothing.
+    *
+    * Scale: the refresh touches base tables only against a DELTA
+    * (ΔO⋈L₀ and O₀⋈ΔL join a day's arrivals against the corpus —
+    * keyed on the join key, so with the base tables bucketed on
+    * orderkey (BucketingSpec's layout) the big side never reshuffles;
+    * ΔO⋈ΔL is delta×delta). Partials collapse map-side; the final
+    * merge is group-count-sized. O(delta + groups) per refresh
+    * instead of O(corpus) — the join-view analog of q_incr_agg,
+    * closing the gap its scaladoc left ("non-algebraic distinct is
+    * sketch territory"; joins are THIS territory).
+    */
+  private def qIncrJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_quantity").cast("decimal(18,4)").as("q"))
+    val ob = o.filter(col("o_orderdate") < lit(SPLIT_DATE))
+    val od = o.filter(col("o_orderdate") >= lit(SPLIT_DATE))
+    val lb = l.filter(col("l_shipdate") < lit(SPLIT_DATE))
+    val ld = l.filter(col("l_shipdate") >= lit(SPLIT_DATE))
+    def partials(oSide: DataFrame, lSide: DataFrame): DataFrame =
+      oSide.join(lSide, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"), sum(col("q")).as("pq"))
+    Seq(partials(ob, lb), partials(od, lb), partials(ob, ld),
+        partials(od, ld))
+      .reduce(_.unionAll(_))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("pn")).as("n_items"),
+        sum(col("pq")).cast("double").as("sum_qty"))
+  }
+
+  private val qIncrJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ q_skew_join
   /** The salted skew join ([[Skew.saltedJoin]]) as an oracle-gated
     * query: lineitem ⋈ supplier through the salted construction, then
@@ -2855,6 +2909,7 @@ object Operational {
     "q_rfm" -> qRfm _,
     "q_kaplan_meier" -> qKaplanMeier _,
     "q_cross_corr" -> qCrossCorr _,
+    "q_incr_join" -> qIncrJoin _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
@@ -2903,6 +2958,7 @@ object Operational {
     "q_rfm" -> qRfmSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_cross_corr" -> qCrossCorrSql,
+    "q_incr_join" -> qIncrJoinSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,
