@@ -664,6 +664,86 @@ object Graph {
        |UNION ALL SELECT * FROM th WHERE rnk <= 15""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_ppr
+  /** PERSONALIZED PageRank from supplier 0 (the [[graft.ops.ModernSql]]
+    * q_reach seed) — random walk with restart: all teleport mass
+    * returns to the SEED instead of spreading uniformly, so the score
+    * ranks vertices by proximity to the seed (the
+    * recommendation/expansion primitive: "suppliers like this one"),
+    * where global PageRank ranks by overall centrality. Same integer
+    * determinism discipline as [[qPagerank]]: base-10¹² BIGINT
+    * scores, floor division, [[PR_ITERS]] synchronous rounds —
+    * bit-identical on any engine/partitioning.
+    *
+    * Scale: identical shape to [[qPagerank]] — per round one
+    * vertex-keyed join + agg over the materialized edge list, degree
+    * frame '''broadcast'''; the only change is the teleport term
+    * (seed indicator instead of 1/N), which is map-side arithmetic.
+    * Top-20 via orderBy().limit() (TakeOrderedAndProject).
+    */
+  private def qPpr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.IntegerType
+    val edges = topEdges(s, d)
+    val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val verts = deg.select(col("u").as("v"))
+    var pr = verts.select(col("v"),
+      expr("IF(v = 0, CAST(1000000000000 AS BIGINT)," +
+        " CAST(0 AS BIGINT))").as("pr"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = dir
+        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
+        .join(broadcast(deg), Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(expr("pr div d")).as("m"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          expr("IF(v = 0, CAST(150000000000 AS BIGINT)," +
+            " CAST(0 AS BIGINT))" +
+            " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100").as("pr"))
+    }
+    pr.filter(col("pr") > 0)
+      .orderBy(col("pr").desc, col("v")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pr").desc, col("v"))).cast(IntegerType))
+      .select(col("v").as("supplier"), col("pr").as("ppr_scaled"),
+        col("rnk"))
+  }
+
+  private val qPprSql: String = {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT verts.v,
+         |    (CASE WHEN verts.v = 0 THEN 150000000000 ELSE 0 END)
+         |      + (85 * coalesce(s.m, 0)) // 100 AS pr
+         |  FROM verts LEFT JOIN (
+         |    SELECT dir.v AS v, CAST(sum(p0.pr // deg.d) AS BIGINT) AS m
+         |    FROM dir JOIN $prev p0 ON p0.v = dir.u
+         |             JOIN deg ON deg.u = dir.u
+         |    GROUP BY 1) s ON s.v = verts.v)""".stripMargin
+    s"""WITH $topEdgesSql,
+       |dir AS (
+       |  SELECT sa AS u, sb AS v FROM edges
+       |  UNION ALL SELECT sb AS u, sa AS v FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+       |verts AS (SELECT u AS v FROM deg),
+       |pr0 AS (
+       |  SELECT v, CASE WHEN v = 0 THEN CAST(1000000000000 AS BIGINT)
+       |                 ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM verts),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT v AS supplier, CAST(pr AS BIGINT) AS ppr_scaled,
+       |  CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (ORDER BY pr DESC, v) AS rnk
+       |  FROM pr3 WHERE pr > 0)
+       |WHERE rnk <= 20""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_local_cc
   /** Per-vertex LOCAL CLUSTERING COEFFICIENT over the co-supply
     * graph — cc(v) = 2·tri(v)·10⁶ div (d(v)·(d(v)−1)) in integer
@@ -731,7 +811,8 @@ object Graph {
     "q_lpa"       -> qLpa _,
     "q_link_pred" -> qLinkPred _,
     "q_hits"      -> qHits _,
-    "q_local_cc"  -> qLocalCc _
+    "q_local_cc"  -> qLocalCc _,
+    "q_ppr"       -> qPpr _
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,7 +823,8 @@ object Graph {
     "q_lpa"       -> qLpaSql,
     "q_link_pred" -> qLinkPredSql,
     "q_hits"      -> qHitsSql,
-    "q_local_cc"  -> qLocalCcSql
+    "q_local_cc"  -> qLocalCcSql,
+    "q_ppr"       -> qPprSql
   )
 
   /** Connected components by ALTERNATING STAR CONTRACTION — the

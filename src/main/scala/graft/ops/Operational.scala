@@ -2494,6 +2494,89 @@ object Operational {
       |  l < 3 AS at_risk
       |FROM classes GROUP BY l""".stripMargin
 
+  // --------------------------------------------------------- q_tcloseness
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[qKanon]] (class sizes) and [[qLDiversity]] (distinct sensitive
+    * values): a class can be large AND diverse yet still leak if its
+    * sensitive-value DISTRIBUTION deviates from the corpus — skewness
+    * attack (Li, Li & Venkatasubramanian 2007). Per quasi-identifier
+    * class (nation × balance bucket), t = total-variation distance
+    * between the class's market-segment distribution and the global
+    * one, in integer ppm (`Σ|p−q| div 2` over ppm shares — the
+    * [[graft.llm.Mixing]] q_source_sim metric applied to privacy),
+    * with the t > 0.3 at-risk flag.
+    *
+    * Scale: one (class, segment) aggregation collapses the
+    * population; the segment-domain grid comes from a '''broadcast'''
+    * of the segment-sized global frame against the class frame —
+    * absent (class, segment) cells materialize with p = 0 so their
+    * global mass counts (skipping them understates t). Output is
+    * class-count-sized (QI domain), never population-sized.
+    */
+  private def qTcloseness(s: SparkSession, d: String): DataFrame = {
+    val members = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+    val cc = members
+      .groupBy(col("c_nationkey"), col("bal_bucket"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = cc.groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_members"))
+    val gs = cc.groupBy(col("c_mktsegment")).agg(sum(col("cnt")).as("g"))
+    val n = gs.agg(sum(col("g")).as("n"))
+    val gshare = gs.crossJoin(broadcast(n))
+      .select(col("c_mktsegment"), expr("g * 1000000 div n").as("q_ppm"))
+    ct.crossJoin(broadcast(gshare))
+      .join(cc, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_members"),
+        col("q_ppm"),
+        expr("coalesce(cnt, CAST(0 AS BIGINT)) * 1000000" +
+          " div n_members").as("p_ppm"))
+      .groupBy(col("c_nationkey"), col("bal_bucket"), col("n_members"))
+      // `div`, not `/`: Spark's double cast truncates where DuckDB's
+      // rounds — integer floor division sidesteps the disagreement.
+      .agg(sum(abs(col("p_ppm") - col("q_ppm"))).as("s2"))
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_members"),
+        expr("s2 div 2").as("t_ppm"))
+      .withColumn("at_risk", col("t_ppm") > 300000)
+  }
+
+  private val qTclosenessSql: String =
+    """WITH m AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    c_mktsegment
+      |  FROM customer),
+      |cc AS (
+      |  SELECT c_nationkey, bal_bucket, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM m GROUP BY 1, 2, 3),
+      |ct AS (
+      |  SELECT c_nationkey, bal_bucket, CAST(sum(cnt) AS BIGINT)
+      |    AS n_members
+      |  FROM cc GROUP BY 1, 2),
+      |gs AS (
+      |  SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS g
+      |  FROM cc GROUP BY 1),
+      |gshare AS (
+      |  SELECT c_mktsegment,
+      |    CAST(g * 1000000 // (SELECT sum(g) FROM gs) AS BIGINT) AS q_ppm
+      |  FROM gs),
+      |grid AS (
+      |  SELECT ct.c_nationkey, ct.bal_bucket, ct.n_members,
+      |    gshare.c_mktsegment, gshare.q_ppm,
+      |    CAST(coalesce(cc.cnt, 0) * 1000000 // ct.n_members AS BIGINT)
+      |      AS p_ppm
+      |  FROM ct CROSS JOIN gshare
+      |  LEFT JOIN cc ON cc.c_nationkey = ct.c_nationkey
+      |    AND cc.bal_bucket = ct.bal_bucket
+      |    AND cc.c_mktsegment = gshare.c_mktsegment)
+      |SELECT c_nationkey, bal_bucket, n_members,
+      |  CAST(sum(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS t_ppm,
+      |  CAST(sum(abs(p_ppm - q_ppm)) // 2 AS BIGINT) > 300000 AS at_risk
+      |FROM grid GROUP BY 1, 2, 3""".stripMargin
+
   // ----------------------------------------------------- q_time_to_convert
   /** Conversion-latency histogram — the "how long from first view to
     * first purchase" readout that sits beside [[qFunnel]]'s stage
@@ -2910,6 +2993,7 @@ object Operational {
     "q_kaplan_meier" -> qKaplanMeier _,
     "q_cross_corr" -> qCrossCorr _,
     "q_incr_join" -> qIncrJoin _,
+    "q_tcloseness" -> qTcloseness _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
@@ -2959,6 +3043,7 @@ object Operational {
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_cross_corr" -> qCrossCorrSql,
     "q_incr_join" -> qIncrJoinSql,
+    "q_tcloseness" -> qTclosenessSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,
