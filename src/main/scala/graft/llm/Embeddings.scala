@@ -400,7 +400,126 @@ object Embeddings {
       |  max(nrm) AS norm_max
       |FROM per GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------------- q_pca
+  /** Distributed PCA, the Gram-matrix way — top principal component of
+    * the embedding cloud over the first [[PCA_DIM]] dims (the
+    * q_mrl_recall prefix convention): ONE pass aggregates the exact
+    * centered second-moment matrix `C_ij = Σ c_i·c_j` (the only part
+    * that touches the data — at 100 TB this is the whole cost, and it
+    * is a map-side-combined 256-group aggregation), then power
+    * iteration runs on the dim²-sized matrix frame.
+    *
+    * Integer determinism where float PCA has none:
+    *  - coordinates quantized by the shared `floor(x·10⁶)` rule;
+    *  - the mean is computed on [[PCA_OFF]]-shifted values so every
+    *    floor division sees a NONNEGATIVE numerator — Spark's `div`
+    *    truncates toward zero while DuckDB's `//` floors, and they
+    *    only agree on nonnegatives (same reason the normalization
+    *    splits into sign · abs-quotient);
+    *  - power iteration normalizes by the L∞ norm (`·10⁶ div
+    *    max|w|`) instead of the float L2 norm — no sqrt, every
+    *    iterate a BIGINT vector, bit-identical on any engine and
+    *    partitioning. [[PCA_ITERS]] fixed rounds (convergence-free
+    *    determinism, like q_pagerank).
+    *
+    * Scale: quantize+center are map-only (mean broadcast); the Gram
+    * outer product is a vec_id-keyed self-join of the exploded
+    * coordinate frame — both sides the SAME plan, so the exchange is
+    * computed once and reused, and partials collapse to ≤dim² rows
+    * per partition map-side. Iterations touch only the 256-row
+    * matrix with a broadcast 16-row vector. Eigenvalue reported
+    * ÷10¹² (it scales with n·amplitude² — keep it DECIMAL end to end
+    * past ~1e12 rows).
+    */
+  private val PCA_DIM = 16
+  private val PCA_OFF = 100000000L // shift: mean numerators stay >= 0
+  private val PCA_ITERS = 3
+
+  private def qPca(s: SparkSession, d: String): DataFrame = {
+    val qvec16 =
+      s"transform(slice(embedding, 1, $PCA_DIM)," +
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      expr(qvec16).as("q"))
+    val n1 = e.agg(count(lit(1)).as("n"))
+    val base = e.select(col("vec_id"), posexplode(col("q")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val mu = base.groupBy(col("i"))
+      .agg(sum(expr(s"CAST(x + $PCA_OFF AS DECIMAL(38,0))")).as("sx"))
+      .crossJoin(broadcast(n1))
+      .select(col("i"), expr(s"sx div n - $PCA_OFF").as("mu"))
+    val cent = base.join(broadcast(mu), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("c"))
+    val cov = cent.alias("a")
+      .join(cent.alias("b"), Seq("vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("c"))
+      .localCheckpoint(true) // feeds every power iteration
+    var v = s.range(0, PCA_DIM).select(col("id").cast("int").as("j"),
+      lit(1000000L).as("v"))
+    var nrm: DataFrame = null
+    for (_ <- 1 to PCA_ITERS) {
+      val w = cov.join(broadcast(v), Seq("j"))
+        .groupBy(col("i")).agg(sum(expr("c * v")).as("w"))
+      nrm = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"),
+          expr("CAST(sign(w) AS BIGINT)" +
+            " * CAST((abs(w) * 1000000) div nullif(m, 0) AS BIGINT)")
+            .as("v"))
+    }
+    v.crossJoin(broadcast(nrm))
+      .select(col("j").as("dim_i"), col("v").as("v_ppm"),
+        expr("CAST(m div 1000000000000 AS BIGINT)").as("lambda_scaled"))
+  }
+
+  private val qPcaSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""w$k AS (
+         |  SELECT cov.i, sum(cov.c * $prev.v) AS w
+         |  FROM cov JOIN $prev ON $prev.j = cov.j GROUP BY 1),
+         |n$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS (
+         |  SELECT i AS j,
+         |    CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+         |      * ((abs(w) * 1000000) // nullif((SELECT m FROM n$k), 0))
+         |      AS v
+         |  FROM w$k)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(range(0, $PCA_DIM),
+       |    i -> CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+       |              AS BIGINT)) AS q
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, CAST(unnest(range(0, $PCA_DIM)) AS INTEGER) AS i,
+       |    unnest(q) AS x
+       |  FROM e),
+       |cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+       |mu AS (
+       |  SELECT i,
+       |    sum(CAST(x AS HUGEINT) + $PCA_OFF) // (SELECT n FROM cnt)
+       |      - $PCA_OFF AS mu
+       |  FROM base GROUP BY 1),
+       |cent AS (
+       |  SELECT vec_id, base.i, CAST(x - mu AS HUGEINT) AS c
+       |  FROM base JOIN mu ON mu.i = base.i),
+       |cov AS (
+       |  SELECT a.i, b.i AS j, sum(a.c * b.c) AS c
+       |  FROM cent a JOIN cent b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (
+       |  SELECT CAST(range AS INTEGER) AS j, CAST(1000000 AS HUGEINT) AS v
+       |  FROM range(0, $PCA_DIM)),
+       |${iter("v0", 1)},
+       |${iter("v1", 2)},
+       |${iter("v2", 3)}
+       |SELECT j AS dim_i, CAST(v AS BIGINT) AS v_ppm,
+       |  CAST((SELECT m FROM n$PCA_ITERS) // 1000000000000 AS BIGINT)
+       |    AS lambda_scaled
+       |FROM v$PCA_ITERS""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca"       -> qPca _,
     "q_embed_health" -> qEmbedHealth _,
     "q_rproj"     -> qRproj _,
     "q_pq"        -> qPq _,
@@ -409,6 +528,7 @@ object Embeddings {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pca"       -> qPcaSql,
     "q_embed_health" -> qEmbedHealthSql,
     "q_rproj"     -> qRprojSql,
     "q_pq"        -> qPqSql,
