@@ -164,4 +164,58 @@ class GraphSpec extends SparkSpec {
     // no predicted pair may already be an edge
     assert(got.forall { case (a, b, _, _, _) => !edges.contains((a, b)) })
   }
+
+  test("q_local_cc equals the brute-force clustering recompute") {
+    val edges = Graph.topEdges(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val expected = adj.collect {
+      case (v, nbrs) if nbrs.size >= 2 =>
+        val ns = nbrs.toSeq.sorted
+        var tri = 0L
+        for (i <- ns.indices; j <- i + 1 until ns.length)
+          if (adj(ns(i)).contains(ns(j))) tri += 1
+        val d = nbrs.size.toLong
+        (v, d, tri, 2L * tri * 1000000L / (d * (d - 1)))
+    }.toSet
+    val got = SparkEntry.queries("q_local_cc")(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("supplier"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("cc_ppm"))).toSet
+    assert(got == expected)
+  }
+
+  test("q_hits scores are a fixpoint-consistent integer sequence") {
+    // Independent Scala recompute of the exact 2-round integer HITS.
+    val edges = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def l1(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.view.mapValues(s => s * BigInt(1000000000000L) / tot).toMap
+    }
+    var hub: Map[Long, BigInt] =
+      byCust.keys.map(_ -> BigInt(1000000L)).toMap
+    var auth: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to 2) {
+      auth = l1(bySupp.view.mapValues(_.map(hub).sum).toMap)
+      hub = l1(byCust.view.mapValues(_.map(auth).sum).toMap)
+    }
+    def top15(m: Map[Long, BigInt]): Seq[(Long, Long)] =
+      m.toSeq.map { case (v, s) => (v, s.toLong) }
+        .sortBy { case (v, s) => (-s, v) }.take(15)
+    val expected =
+      top15(auth).zipWithIndex.map { case ((v, s), i) =>
+        ("authority", v, s, i + 1) } ++
+      top15(hub).zipWithIndex.map { case ((v, s), i) =>
+        ("hub", v, s, i + 1) }
+    val got = SparkEntry.queries("q_hits")(spark, sf()).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("node"),
+        r.getAs[Long]("score_scaled"), r.getAs[Int]("rnk"))).toSeq
+    assert(got.toSet == expected.toSet)
+  }
 }

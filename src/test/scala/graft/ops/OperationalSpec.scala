@@ -319,4 +319,60 @@ class OperationalSpec extends SparkSpec {
         r.getAs[Long]("slope_ppm_med"))).toSet
     assert(got == expected)
   }
+
+  test("q_kaplan_meier equals the Scala product-limit recompute") {
+    val days = Tables.events(spark, sf())
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = days.map(_._2).max
+    val durs = days.groupBy(_._1).values.map { es =>
+      val ds = es.map(_._2)
+      val (fd, ld) = (ds.min, ds.max)
+      val churned = ld <= maxDay - 14
+      (churned, if (churned) (ld - fd) / 7 else (maxDay - fd) / 7)
+    }.toSeq
+    val byWeek = durs.groupBy(_._2)
+    var atRisk = durs.size.toLong
+    var s = 0L
+    val expected = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var t = 0L
+    var stop = false
+    while (t <= 12 && !stop) {
+      if (atRisk <= 0) stop = true
+      else {
+        val d = byWeek.getOrElse(t, Nil).count(_._1).toLong
+        val c = byWeek.getOrElse(t, Nil).count(!_._1).toLong
+        s = (if (t == 0) 1000000L else s) * (atRisk - d) / atRisk
+        expected += ((t, atRisk, d, c, s))
+        atRisk -= d + c
+        t += 1
+      }
+    }
+    val got = SparkEntry.queries("q_kaplan_meier")(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("week"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Long]("n_censored"),
+        r.getAs[Long]("s_ppm"))).toSet
+    assert(got == expected.toSet)
+    // survival is monotone nonincreasing in ppm
+    val curve = expected.map(_._5)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("q_rfm tiles replicate ntile(5) and partition all customers") {
+    val rfm = SparkEntry.queries("q_rfm")(spark, sf()).collect()
+    val nCustomers = Tables.orders(spark, sf())
+      .select(col("o_custkey")).distinct().count()
+    assert(rfm.map(_.getAs[Long]("n_customers")).sum == nCustomers)
+    // each tile dimension splits the population into near-equal fifths
+    for (dim <- Seq("r_tile", "f_tile", "m_tile")) {
+      val byTile = rfm.groupBy(_.getAs[Int](dim)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+      assert(byTile.keySet == Set(1, 2, 3, 4, 5))
+      val sizes = byTile.values.toSeq
+      assert(sizes.max - sizes.min <= 1,
+        s"$dim tiles uneven: $byTile")
+    }
+  }
 }
