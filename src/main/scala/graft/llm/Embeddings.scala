@@ -435,26 +435,48 @@ object Embeddings {
   private val PCA_OFF = 100000000L // shift: mean numerators stay >= 0
   private val PCA_ITERS = 3
 
-  private def qPca(s: SparkSession, d: String): DataFrame = {
-    val qvec16 =
-      s"transform(slice(embedding, 1, $PCA_DIM)," +
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      expr(qvec16).as("q"))
-    val n1 = e.agg(count(lit(1)).as("n"))
-    val base = e.select(col("vec_id"), posexplode(col("q")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-    val mu = base.groupBy(col("i"))
-      .agg(sum(expr(s"CAST(x + $PCA_OFF AS DECIMAL(38,0))")).as("sx"))
-      .crossJoin(broadcast(n1))
-      .select(col("i"), expr(s"sx div n - $PCA_OFF").as("mu"))
-    val cent = base.join(broadcast(mu), Seq("i"))
-      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("c"))
-    val cov = cent.alias("a")
-      .join(cent.alias("b"), Seq("vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("c"))
-      .localCheckpoint(true) // feeds every power iteration
+  /** Memoized centered Gram matrix (dim²-row frame) — shared by
+    * [[qPca]] and [[qPcaVar]]; the production shape is a maintained
+    * statistics table refreshed with the corpus.
+    */
+  private val covMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def pcaCov(s: SparkSession, d: String): DataFrame =
+    covMemo.computeIfAbsent((s, d), _ => {
+      val qvec16 =
+        s"transform(slice(embedding, 1, $PCA_DIM)," +
+          " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        expr(qvec16).as("q"))
+      val n1 = e.agg(count(lit(1)).as("n"))
+      val base = e.select(col("vec_id"), posexplode(col("q")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      val mu = base.groupBy(col("i"))
+        .agg(sum(expr(s"CAST(x + $PCA_OFF AS DECIMAL(38,0))")).as("sx"))
+        .crossJoin(broadcast(n1))
+        .select(col("i"), expr(s"sx div n - $PCA_OFF").as("mu"))
+      val cent = base.join(broadcast(mu), Seq("i"))
+        .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("c"))
+      cent.alias("a")
+        .join(cent.alias("b"), Seq("vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("c"))
+        .localCheckpoint(true) // feeds every power iteration
+    })
+
+  /** Drop the memoized Gram matrix for `dir` (the
+    * [[graft.ops.Graph.invalidate]] contract).
+    */
+  def invalidate(dir: String): Unit =
+    covMemo.keySet.removeIf(_._2 == dir)
+
+  /** [[PCA_ITERS]] integer power-iteration rounds; returns the final
+    * (vector frame, L∞ normalizer frame).
+    */
+  private def powerIterate(s: SparkSession, cov: DataFrame)
+      : (DataFrame, DataFrame) = {
     var v = s.range(0, PCA_DIM).select(col("id").cast("int").as("j"),
       lit(1000000L).as("v"))
     var nrm: DataFrame = null
@@ -468,12 +490,20 @@ object Embeddings {
             " * CAST((abs(w) * 1000000) div nullif(m, 0) AS BIGINT)")
             .as("v"))
     }
+    (v, nrm)
+  }
+
+  private def qPca(s: SparkSession, d: String): DataFrame = {
+    val (v, nrm) = powerIterate(s, pcaCov(s, d))
     v.crossJoin(broadcast(nrm))
       .select(col("j").as("dim_i"), col("v").as("v_ppm"),
         expr("CAST(m div 1000000000000 AS BIGINT)").as("lambda_scaled"))
   }
 
-  private val qPcaSql: String = {
+  /** Shared oracle CTE chain: quantize → center → Gram → 3 power
+    * iterations (v3 = final vector, n3 = final L∞ normalizer).
+    */
+  private val pcaCoreSql: String = {
     def iter(prev: String, k: Int): String =
       s"""w$k AS (
          |  SELECT cov.i, sum(cov.c * $prev.v) AS w
@@ -485,7 +515,7 @@ object Embeddings {
          |      * ((abs(w) * 1000000) // nullif((SELECT m FROM n$k), 0))
          |      AS v
          |  FROM w$k)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(range(0, $PCA_DIM),
        |    i -> CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
        |              AS BIGINT)) AS q
@@ -511,15 +541,67 @@ object Embeddings {
        |  FROM range(0, $PCA_DIM)),
        |${iter("v0", 1)},
        |${iter("v1", 2)},
-       |${iter("v2", 3)}
+       |${iter("v2", 3)}""".stripMargin
+  }
+
+  private val qPcaSql: String =
+    s"""WITH $pcaCoreSql
        |SELECT j AS dim_i, CAST(v AS BIGINT) AS v_ppm,
        |  CAST((SELECT m FROM n$PCA_ITERS) // 1000000000000 AS BIGINT)
        |    AS lambda_scaled
        |FROM v$PCA_ITERS""".stripMargin
+
+  // ------------------------------------------------------------- q_pca_var
+  /** Explained-variance readout for [[qPca]]'s component — "what did
+    * PCA buy": the Rayleigh quotient vᵀCv/vᵀv of the power-iteration
+    * vector against the exact Gram matrix, the matrix trace (= total
+    * variance mass), and the explained share in integer ppm
+    * (`vᵀCv·10⁶ div (vᵀv·tr)`). C is a Gram matrix, hence PSD, so
+    * every quotient here divides NONNEGATIVE integers — the floor
+    * semantics both engines share.
+    *
+    * Scale: reuses the memoized dim²-row Gram frame ([[pcaCov]] —
+    * the one corpus pass); everything here is matrix-frame-sized
+    * joins with the broadcast 16-row vector. One output row.
+    */
+  private def qPcaVar(s: SparkSession, d: String): DataFrame = {
+    val cov = pcaCov(s, d)
+    val (v, _) = powerIterate(s, cov)
+    val vv = v.agg(sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("vv"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c")).as("tr"))
+    val num = cov
+      .join(broadcast(v.select(col("j"), col("v").as("vj"))), Seq("j"))
+      .join(broadcast(v.select(col("j").as("i"), col("v").as("vi"))),
+        Seq("i"))
+      .agg(sum(expr("c * vi * vj")).as("num"))
+    num.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+      .select(
+        lit(PCA_DIM).as("dim"),
+        expr("CAST((num div vv) div 1000000 AS BIGINT)")
+          .as("rayleigh_scaled"),
+        expr("CAST(tr div 1000000 AS BIGINT)").as("trace_scaled"),
+        expr("CAST((num * 1000000) div (vv * tr) AS BIGINT)")
+          .as("explained_ppm"))
   }
+
+  private val qPcaVarSql: String =
+    s"""WITH $pcaCoreSql,
+       |vv AS (SELECT sum(v * v) AS vv FROM v$PCA_ITERS),
+       |tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j),
+       |num AS (
+       |  SELECT sum(cov.c * a.v * b.v) AS num
+       |  FROM cov JOIN v$PCA_ITERS a ON a.j = cov.i
+       |           JOIN v$PCA_ITERS b ON b.j = cov.j)
+       |SELECT CAST($PCA_DIM AS INTEGER) AS dim,
+       |  CAST((num // vv) // 1000000 AS BIGINT) AS rayleigh_scaled,
+       |  CAST(tr // 1000000 AS BIGINT) AS trace_scaled,
+       |  CAST((num * 1000000) // (vv * tr) AS BIGINT) AS explained_ppm
+       |FROM num, vv, tr""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca"       -> qPca _,
+    "q_pca_var"   -> qPcaVar _,
     "q_embed_health" -> qEmbedHealth _,
     "q_rproj"     -> qRproj _,
     "q_pq"        -> qPq _,
@@ -529,6 +611,7 @@ object Embeddings {
 
   val oracles: Map[String, String] = Map(
     "q_pca"       -> qPcaSql,
+    "q_pca_var"   -> qPcaVarSql,
     "q_embed_health" -> qEmbedHealthSql,
     "q_rproj"     -> qRprojSql,
     "q_pq"        -> qPqSql,
