@@ -2633,6 +2633,149 @@ object Operational {
        |FROM fv LEFT JOIN fc USING (user_id)
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q_funnel_window
+  /** Time-BOUNDED funnel (the ClickHouse `windowFunnel` contract):
+    * view → click → purchase where every later stage must land within
+    * [[FUNNEL_WINDOW_H]] hours of the user's FIRST VIEW (and strictly
+    * after the previous stage). [[qFunnel]] answers "did they ever
+    * convert"; this answers "did the SESSION convert" — the
+    * campaign-attribution window marketers actually buy. Emits users
+    * per stage plus the conversion share of viewers in ppm.
+    *
+    * Scale: same three user-keyed aggregations as [[qFunnel]] (the
+    * window bound is a filter on the qualifying join, not a new
+    * shuffle); stage frame stays user-sized, output is 3 rows.
+    */
+  private val FUNNEL_WINDOW_H = 24L
+
+  private def qFunnelWindow(s: SparkSession, d: String): DataFrame = {
+    val win = FUNNEL_WINDOW_H * 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("tv") && col("us") <= col("tv") + win)
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("tc"), first(col("tv")).as("tv2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("tc") && col("us") <= col("tv2") + win)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+    val staged = v
+      .join(c.select(col("user_id"), lit(1).as("hc")), Seq("user_id"),
+        "left")
+      .join(p.select(col("user_id"), lit(1).as("hp")), Seq("user_id"),
+        "left")
+      .select((lit(1) + coalesce(col("hc"), lit(0))
+        + coalesce(col("hp"), lit(0))).as("funnel_stage"))
+    val tot = staged.agg(count(lit(1)).as("n_viewers"))
+    staged.groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("funnel_stage"), col("n_users"),
+        expr("n_users * 1000000 div n_viewers").as("share_ppm"))
+  }
+
+  private val qFunnelWindowSql: String = {
+    val win = FUNNEL_WINDOW_H * 3600L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (
+       |  SELECT user_id, min(us) AS tv FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       |  SELECT ev.user_id, min(ev.us) AS tc, min(v.tv) AS tv2
+       |  FROM ev JOIN v USING (user_id)
+       |  WHERE ev.event_type = 'click' AND ev.us > v.tv
+       |    AND ev.us <= v.tv + $win
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT ev.user_id, min(ev.us) AS tp
+       |  FROM ev JOIN c USING (user_id)
+       |  WHERE ev.event_type = 'purchase' AND ev.us > c.tc
+       |    AND ev.us <= c.tv2 + $win
+       |  GROUP BY 1),
+       |staged AS (
+       |  SELECT 1 + (c.user_id IS NOT NULL)::INT
+       |    + (p.user_id IS NOT NULL)::INT AS funnel_stage
+       |  FROM v
+       |  LEFT JOIN c ON c.user_id = v.user_id
+       |  LEFT JOIN p ON p.user_id = v.user_id)
+       |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(count(*) * 1000000 // (SELECT count(*) FROM staged)
+       |       AS BIGINT) AS share_ppm
+       |FROM staged GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q_ltv_cohort
+  /** Cohort LTV curves — the monetary upgrade of [[qCohort]]'s
+    * presence matrix: users cohorted by FIRST-PURCHASE week, each
+    * (cohort, week-offset) cell carries active buyers, exact cents
+    * ([[graft.Det.money2]] discipline on event value), the CUMULATIVE
+    * cohort revenue, and cumulative cents per cohort member — the
+    * curve whose plateau is the LTV a growth team discounts CAC
+    * against.
+    *
+    * Scale: one user-keyed min-agg (cohort assignment) joined back
+    * co-partitioned, one (cohort, offset) cell agg; the cumulative
+    * window is COHORT-partitioned over the offset frame — bounded by
+    * the CALENDAR (weeks since cohort start), not by users or events.
+    * Cohort sizes ride the same cell frame (offset-0 active count =
+    * cohort size by construction: week 0 contains every member's
+    * first purchase).
+    */
+  private def qLtvCohort(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buys = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("w"),
+        (graft.Det.money2(col("value")) * 100).cast("long").as("cents"))
+    val cohort = buys.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    val cells = buys.join(cohort, Seq("user_id"))
+      .groupBy(col("cw"), (col("w") - col("cw")).as("offset_w"))
+      .agg(count_distinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("cents"))
+    val sizes = cohort.groupBy(col("cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val sized = cells.join(broadcast(sizes), Seq("cw"))
+    sized
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.partitionBy(col("cw")).orderBy(col("offset_w"))))
+      .select(col("cw").as("cohort_w"), col("offset_w"),
+        col("cohort_size"), col("n_active"), col("cents"),
+        col("cum_cents"),
+        expr("cum_cents div cohort_size").as("cum_per_user_cents"))
+  }
+
+  private val qLtvCohortSql: String =
+    """WITH buys AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS w,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |cohort AS (
+      |  SELECT user_id, min(w) AS cw FROM buys GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cw, b.w - c.cw AS offset_w,
+      |    CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active,
+      |    CAST(sum(b.cents) AS BIGINT) AS cents
+      |  FROM buys b JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM cohort GROUP BY 1)
+      |SELECT cells.cw AS cohort_w, offset_w, cohort_size, n_active,
+      |  cents,
+      |  CAST(sum(cents) OVER (PARTITION BY cells.cw ORDER BY offset_w)
+      |       AS BIGINT) AS cum_cents,
+      |  CAST(CAST(sum(cents) OVER (PARTITION BY cells.cw
+      |                             ORDER BY offset_w) AS BIGINT)
+      |       // cohort_size AS BIGINT) AS cum_per_user_cents
+      |FROM cells JOIN sizes ON sizes.cw = cells.cw""".stripMargin
+
   // ---------------------------------------------------------------- q_fano
   /** Burstiness audit — the Fano factor (variance-to-mean ratio) of
     * daily event counts per type: F ≈ 1 is Poisson-like arrival
@@ -2994,6 +3137,8 @@ object Operational {
     "q_cross_corr" -> qCrossCorr _,
     "q_incr_join" -> qIncrJoin _,
     "q_tcloseness" -> qTcloseness _,
+    "q_funnel_window" -> qFunnelWindow _,
+    "q_ltv_cohort" -> qLtvCohort _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
     "q_time_to_convert" -> qTimeToConvert _,
@@ -3044,6 +3189,8 @@ object Operational {
     "q_cross_corr" -> qCrossCorrSql,
     "q_incr_join" -> qIncrJoinSql,
     "q_tcloseness" -> qTclosenessSql,
+    "q_funnel_window" -> qFunnelWindowSql,
+    "q_ltv_cohort" -> qLtvCohortSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
     "q_time_to_convert" -> qTimeToConvertSql,

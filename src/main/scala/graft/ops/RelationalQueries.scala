@@ -853,6 +853,51 @@ object RelationalQueries {
       |WHERE c_custkey NOT IN
       |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin
 
+  // ---------------------------------------------------------- q_bloom_join
+  /** Bloom-PRUNED join — the runtime-filter technique as an explicit
+    * user operator: the dimension side (the sub-10-nation suppliers) builds one
+    * 8 KB Bloom sketch, the FACT scan drops every row whose key
+    * cannot be in it BEFORE the join, and the exact join then removes
+    * the sketch's false positives. The result is bit-identical to the
+    * plain join (the oracle runs exactly that) — green proves the
+    * prune was sound (no false negatives) AND that correctness never
+    * depended on the sketch's error.
+    *
+    * Scale: this is `InjectRuntimeFilter`'s plan, hand-held: at
+    * 100 TB a 1%-selective dimension turns the fact shuffle from
+    * corpus-sized to match-sized for the cost of a broadcast scalar
+    * and a map-side probe. The explicit form exists for the cases
+    * the optimizer's heuristics miss (pre-filtered dims behind
+    * non-join predicates, multi-stage pipelines reusing one sketch).
+    */
+  private def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFns.register(s)
+    Tables.registerViews(s, d)
+    s.sql(
+      """WITH dim AS (
+        |  SELECT s_suppkey FROM supplier WHERE s_nationkey < 10),
+        |pruned AS (
+        |  SELECT l_suppkey, l_extendedprice FROM lineitem
+        |  WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(s_suppkey, 1000L, 65536L) FROM dim),
+        |    l_suppkey))
+        |SELECT d.s_suppkey AS supplier,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM pruned JOIN dim d ON l_suppkey = d.s_suppkey
+        |GROUP BY 1""".stripMargin)
+  }
+
+  private val qBloomJoinSql: String =
+    """SELECT s_suppkey AS supplier,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 10
+      |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------------- q_outer
   /** FULL OUTER join of two aggregates with COALESCE over the null
     * sides. Scale: both inputs are already-aggregated (25-nation)
@@ -1599,6 +1644,7 @@ object RelationalQueries {
     "q_array_fns"  -> qArrayFns _,
     "q_approx"     -> qApprox _,
     "q_bloom_membership" -> qBloomMembership _,
+    "q_bloom_join" -> qBloomJoin _,
     "q_pivot"      -> qPivot _,
     "q_window_range" -> qWindowRange _,
     "q_scalar_subq"  -> qScalarSubq _,
@@ -1677,6 +1723,7 @@ object RelationalQueries {
     "q_setops_all" -> qSetopsAllSql,
     "q_gapfill"    -> qGapfillSql,
     "q_approx"     -> qApproxSql,
-    "q_bloom_membership" -> qBloomMembershipSql
+    "q_bloom_membership" -> qBloomMembershipSql,
+    "q_bloom_join" -> qBloomJoinSql
   )
 }
