@@ -428,7 +428,10 @@ object Graph {
     */
   private val LPA_ROUNDS = 3
 
-  private def qLpa(s: SparkSession, d: String): DataFrame = {
+  /** 3-round deterministic LPA labels (v, lbl) — shared by [[qLpa]]
+    * and [[qModularity]].
+    */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = topEdges(s, d)
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
@@ -448,10 +451,17 @@ object Graph {
         .filter(col("rk") === 1)
         .select(col("v"), col("lbl"))
     }
-    lbl.select(col("v").as("supplier"), col("lbl").as("community"))
+    lbl
   }
 
-  private val qLpaSql: String = {
+  private def qLpa(s: SparkSession, d: String): DataFrame =
+    lpaLabels(s, d)
+      .select(col("v").as("supplier"), col("lbl").as("community"))
+
+  /** Oracle CTE chain ending at `l3` = the LPA labels — shared by
+    * [[qLpaSql]] and [[qModularitySql]].
+    */
+  private val lpaCoreSql: String = {
     def round(i: Int, prev: String): String =
       s"""l$i AS (
          |  SELECT v, lbl FROM (
@@ -463,17 +473,184 @@ object Graph {
          |      FROM dir JOIN $prev p ON p.v = dir.u
          |      GROUP BY 1, 2) f)
          |  WHERE rk = 1)""".stripMargin
-    s"""WITH $topEdgesSql,
+    s"""$topEdgesSql,
        |dir AS (
        |  SELECT sa AS u, sb AS v FROM edges
        |  UNION ALL SELECT sb AS u, sa AS v FROM edges),
        |l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM dir),
        |${round(1, "l0")},
        |${round(2, "l1")},
-       |${round(3, "l2")}
+       |${round(3, "l2")}""".stripMargin
+  }
+
+  private val qLpaSql: String =
+    s"""WITH $lpaCoreSql
        |SELECT v AS supplier, CAST(lbl AS BIGINT) AS community FROM l3"""
       .stripMargin
+
+  // ---------------------------------------------------------- q_modularity
+  /** Newman MODULARITY of the LPA partition — the number that says
+    * whether [[qLpa]]'s communities are real structure or noise:
+    * Q = Σ_c [e_c/m − (d_c/2m)²], reported PER COMMUNITY in integer
+    * ppm via the single-division form
+    * `contrib = (4m·e_c − d_c²)·10⁶ / 4m²` with the sign-split
+    * quotient (numerators can be negative; Spark's `div` truncates
+    * while DuckDB's `//` floors, so the division runs on |num| and
+    * the sign multiplies back — the [[graft.llm.Embeddings]] q_pca
+    * discipline). Σ contrib ≈ Q·10⁶; communities with negative
+    * contribution are worse than random — the pruning signal a
+    * community pipeline acts on.
+    *
+    * Scale: labels come from the shared [[lpaLabels]] rounds; the
+    * audit itself is two vertex-/edge-keyed joins against the
+    * '''broadcast''' label frame + community-count-sized aggs.
+    * DECIMAL(38,0) products — 4m·e_c crosses int64 on warehouse
+    * graphs.
+    */
+  private def qModularity(s: SparkSession, d: String): DataFrame = {
+    val edges = topEdges(s, d)
+    val lbl = lpaLabels(s, d).localCheckpoint(true)
+    val m1 = edges.agg(count(lit(1)).as("m"))
+    val ein = edges
+      .join(broadcast(lbl.select(col("v").as("sa"), col("lbl").as("la"))),
+        Seq("sa"))
+      .join(broadcast(lbl.select(col("v").as("sb"), col("lbl").as("lb"))),
+        Seq("sb"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select(col("sa").as("v"))
+      .unionAll(edges.select(col("sb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dv"))
+    val dsum = deg.join(broadcast(lbl), Seq("v"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("dv")).as("d_sum"), count(lit(1)).as("n_nodes"))
+    dsum.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m1))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        expr("""CAST(sign(CAST(4 AS DECIMAL(38,0)) * m
+               |  * coalesce(e_in, CAST(0 AS BIGINT))
+               |  - CAST(d_sum AS DECIMAL(38,0)) * d_sum) AS BIGINT)
+               |* (abs((CAST(4 AS DECIMAL(38,0)) * m
+               |        * coalesce(e_in, CAST(0 AS BIGINT))
+               |        - CAST(d_sum AS DECIMAL(38,0)) * d_sum)
+               |       * 1000000)
+               |   div (CAST(4 AS DECIMAL(38,0)) * m * m))"""
+          .stripMargin.replace("\n", " ")).as("contrib_ppm"))
   }
+
+  private val qModularitySql: String =
+    s"""WITH $lpaCoreSql,
+       |m1 AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM edges),
+       |ein AS (
+       |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM edges e
+       |  JOIN l3 la ON la.v = e.sa
+       |  JOIN l3 lb ON lb.v = e.sb
+       |  WHERE la.lbl = lb.lbl
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS dv FROM (
+       |    SELECT sa AS v FROM edges UNION ALL SELECT sb AS v FROM edges)
+       |  GROUP BY 1),
+       |dsum AS (
+       |  SELECT l3.lbl AS community, CAST(sum(deg.dv) AS BIGINT) AS d_sum,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM deg JOIN l3 ON l3.v = deg.v
+       |  GROUP BY 1)
+       |SELECT dsum.community, n_nodes,
+       |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, d_sum,
+       |  CAST(CASE WHEN 4 * (SELECT m FROM m1) * coalesce(e_in, 0)
+       |                 - CAST(d_sum AS HUGEINT) * d_sum < 0
+       |            THEN -1 ELSE 1 END
+       |    * (abs((4 * (SELECT m FROM m1) * coalesce(e_in, 0)
+       |            - CAST(d_sum AS HUGEINT) * d_sum) * 1000000)
+       |       // (4 * (SELECT m FROM m1) * (SELECT m FROM m1)))
+       |    AS BIGINT) AS contrib_ppm
+       |FROM dsum LEFT JOIN ein ON ein.community = dsum.community"""
+      .stripMargin
+
+  // ------------------------------------------------------- q_assortativity
+  /** Degree ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the directed edge list: positive means
+    * hubs link hubs (social-style), negative means hubs link leaves
+    * (infrastructure-style) — the one-number topology fingerprint
+    * that predicts how the graph responds to hub removal (dedup
+    * canonical churn, supplier failure). Same determinism route as
+    * [[graft.ops.Operational]] q_autocorr: DECIMAL(38,0) component
+    * sums of exact integer degrees, Pearson evaluated in IEEE doubles
+    * from exact integers, floored to ppm.
+    *
+    * Scale: degree table vertex-sized → '''broadcast''' onto the edge
+    * list twice; one scalar aggregation. Nothing beyond the edge scan
+    * grows.
+    */
+  private def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val edges = topEdges(s, d)
+    val dir = edges.select(col("sa").as("u"), col("sb").as("w"))
+      .unionAll(edges.select(col("sb").as("u"), col("sa").as("w")))
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    dir
+      .join(broadcast(deg.select(col("u"), col("d").as("x"))), Seq("u"))
+      .join(broadcast(deg.select(col("u").as("w"), col("d").as("y"))),
+        Seq("w"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("r_ppm", expr(
+        """CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+          |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |          (n_pairs * CAST(syy AS DOUBLE) -
+          |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+          |     THEN NULL
+          |     ELSE floor(
+          |       (n_pairs * CAST(sxy AS DOUBLE) -
+          |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+          |       sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+          |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |            (n_pairs * CAST(syy AS DOUBLE) -
+          |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+          |END""".stripMargin))
+      .select(col("n_pairs"), col("r_ppm"))
+  }
+
+  private val qAssortativitySql: String =
+    s"""WITH $topEdgesSql,
+       |dir AS (
+       |  SELECT sa AS u, sb AS w FROM edges
+       |  UNION ALL SELECT sb AS u, sa AS w FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+       |        FROM dir GROUP BY 1),
+       |agg AS (
+       |  SELECT count(*) AS n_pairs,
+       |    SUM(CAST(dx.d AS HUGEINT)) AS sx,
+       |    SUM(CAST(dy.d AS HUGEINT)) AS sy,
+       |    SUM(CAST(dx.d * dy.d AS HUGEINT)) AS sxy,
+       |    SUM(CAST(dx.d * dx.d AS HUGEINT)) AS sxx,
+       |    SUM(CAST(dy.d * dy.d AS HUGEINT)) AS syy
+       |  FROM dir
+       |  JOIN deg dx ON dx.u = dir.u
+       |  JOIN deg dy ON dy.u = dir.w)
+       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+       |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |            (n_pairs * CAST(syy AS DOUBLE) -
+       |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+       |       THEN NULL
+       |       ELSE CAST(floor(
+       |         (n_pairs * CAST(sxy AS DOUBLE) -
+       |          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000 /
+       |         sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+       |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |              (n_pairs * CAST(syy AS DOUBLE) -
+       |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+       |         AS BIGINT)
+       |  END AS r_ppm
+       |FROM agg""".stripMargin
 
   // ---------------------------------------------------------- q_link_pred
   /** Link prediction over the co-supply graph — the top-20 vertex
@@ -812,7 +989,9 @@ object Graph {
     "q_link_pred" -> qLinkPred _,
     "q_hits"      -> qHits _,
     "q_local_cc"  -> qLocalCc _,
-    "q_ppr"       -> qPpr _
+    "q_ppr"       -> qPpr _,
+    "q_modularity" -> qModularity _,
+    "q_assortativity" -> qAssortativity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -824,7 +1003,9 @@ object Graph {
     "q_link_pred" -> qLinkPredSql,
     "q_hits"      -> qHitsSql,
     "q_local_cc"  -> qLocalCcSql,
-    "q_ppr"       -> qPprSql
+    "q_ppr"       -> qPprSql,
+    "q_modularity" -> qModularitySql,
+    "q_assortativity" -> qAssortativitySql
   )
 
   /** Connected components by ALTERNATING STAR CONTRACTION — the

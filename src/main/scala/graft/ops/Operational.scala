@@ -2933,11 +2933,14 @@ object Operational {
     * ranks at whole-dollar resolution — ties inside a dollar break by
     * custkey; sub-dollar rank resolution on a quintile cut is noise
     * by construction) — so "customers strictly better" comes from a
-    * '''broadcast''' non-equi self-join over the histogram, the
-    * global rank is that prefix + a row_number WITHIN the value group
-    * (value-partitioned window, one shuffle, never single-partition),
-    * and the tile falls out by the exact ntile arithmetic: with
-    * q = n div 5, r = n mod 5, tiles 1..r hold q+1 rows.
+    * TWO-LEVEL prefix over the histogram (cross-shard prefix on the
+    * ≤domain/1024 shard frame + a shard-partitioned cumulative
+    * window; linear where a non-equi histogram self-join is
+    * quadratic in distinct values), the global rank is that prefix +
+    * a row_number WITHIN the value group (value-partitioned window,
+    * one shuffle, never single-partition), and the tile falls out by
+    * the exact ntile arithmetic: with q = n div 5, r = n mod 5,
+    * tiles 1..r hold q+1 rows.
     *
     * Scale: three value-partitioned shuffles of the customer frame +
     * three broadcast histograms; the output is the ≤125-row grid.
@@ -2960,13 +2963,30 @@ object Operational {
       .withColumn("m_dollars", expr("m_cents div 100"))
     val tot = users.agg(count(lit(1)).as("n"))
     // ntile(5) by `metric` DESC (tie: custkey) without a global window.
+    // "Customers strictly better" is a TWO-LEVEL prefix (the q_pack
+    // shard trick), not an O(h²) histogram self-join: the value
+    // histogram can be large (whole-dollar spend), so the cross-shard
+    // prefix runs over the ≤domain/1024 shard frame and the
+    // within-shard prefix is a shard-partitioned cumulative window —
+    // both linear, where the naive non-equi self-join is quadratic in
+    // distinct values (measured: 6.8 s → sub-second at sf0.1).
     def tile5(in: DataFrame, metric: String, out: String): DataFrame = {
       val hist = in.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
-      val higher = hist.alias("a")
-        .join(broadcast(hist.alias("b")),
-          col("b." + metric) > col("a." + metric), "left")
-        .groupBy(col("a." + metric).as(metric))
-        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("n_higher"))
+        .withColumn("shard", expr(s"$metric div 1024"))
+      val shardTot = hist.groupBy(col("shard"))
+        .agg(sum(col("cnt")).as("scnt"))
+      val shardHigher = shardTot.alias("a")
+        .join(broadcast(shardTot.alias("b")),
+          col("b.shard") > col("a.shard"), "left")
+        .groupBy(col("a.shard").as("shard"))
+        .agg(coalesce(sum(col("b.scnt")), lit(0L)).as("sh"))
+      val higher = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col(metric).desc)))
+        .join(broadcast(shardHigher), Seq("shard"))
+        .select(col(metric),
+          (col("sh") + col("cum") - col("cnt")).as("n_higher"))
       in.join(broadcast(higher), Seq(metric))
         .withColumn("rnk", col("n_higher") + row_number().over(
           Window.partitionBy(col(metric)).orderBy(col("o_custkey"))))
@@ -2977,7 +2997,7 @@ object Operational {
             |  n % 5 + (rnk - (n % 5) * (n div 5 + 1)
             |           + n div 5 - 1) div (n div 5))
             |AS INT)""".stripMargin.replace("\n", " ")))
-        .drop("n_higher", "rnk", "n")
+        .drop("n_higher", "rnk", "n", "shard")
     }
     val scored = tile5(tile5(tile5(users,
       "r_day", "r_tile"), "f_cnt", "f_tile"), "m_dollars", "m_tile")
