@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.IntegerType
   *
   * The container ships no image/audio codec libraries, so decode is a
   * DISPATCH: real dependency-free header parses for BMP, PNG, JPEG,
-  * GIF, and TIFF images and WAV audio ([[decodeBmp]]/[[decodePng]]/
-  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWav]]), a
+  * GIF, and TIFF images and WAV/FLAC/AIFF audio ([[decodeBmp]]/[[decodePng]]/
+  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWav]]/[[decodeFlac]]/[[decodeAiff]]), a
   * deterministic stub (clearly marked below) for every other format. Everything Spark-side is
   * real: schema, batch shape, partitioning, and the map-partitions
   * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
@@ -227,9 +227,63 @@ object Multimodal {
       if (byteRate > 0) Some(dataBytes.toLong * 1000L / byteRate) else None
     } else None
 
+  /** REAL codec path for FLAC audio — the `fLaC` magic followed by
+    * the mandatory first STREAMINFO metadata block (spec: type 0,
+    * 34 bytes). Duration = totalSamples·1000 / sampleRate from the
+    * packed fields at byte 10 of the block: 20-bit sample rate,
+    * 3-bit channels−1, 5-bit bits−1, 36-bit total samples. A FLAC
+    * whose header declares totalSamples = 0 ("unknown") returns
+    * None — the dispatch must not invent a duration.
+    */
+  def decodeFlac(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 42 ||
+        !payload.startsWith("fLaC".getBytes("US-ASCII")) ||
+        (payload(4) & 0x7f) != 0) return None
+    val b = 8 // STREAMINFO payload offset (4 magic + 4 block header)
+    val rate = ((payload(b + 10) & 0xff) << 12) |
+      ((payload(b + 11) & 0xff) << 4) | ((payload(b + 12) & 0xff) >> 4)
+    val samples = ((payload(b + 13) & 0x0fL) << 32) |
+      ((payload(b + 14) & 0xffL) << 24) | ((payload(b + 15) & 0xffL) << 16) |
+      ((payload(b + 16) & 0xffL) << 8) | (payload(b + 17) & 0xffL)
+    if (rate > 0 && samples > 0) Some(samples * 1000L / rate) else None
+  }
+
+  /** REAL codec path for AIFF audio — big-endian IFF: `FORM` + size +
+    * `AIFF`, then a chunk walk to `COMM` (2B channels, 4B sample
+    * frames, 2B sample size, 10B IEEE-754 extended-precision sample
+    * rate). The 80-bit float decodes as mantissaHigh32 ·
+    * 2^(exp−16383−31) — exact integer arithmetic for every real-world
+    * rate (8 kHz…192 kHz all have mantissas that fit the high word).
+    */
+  def decodeAiff(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 12 ||
+        !payload.startsWith("FORM".getBytes("US-ASCII")) ||
+        !payload.slice(8, 12).sameElements("AIFF".getBytes("US-ASCII")))
+      return None
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val id = new String(payload.slice(off, off + 4), "US-ASCII")
+      val len = be32(payload, off + 4)
+      if (id == "COMM" && len >= 18 && off + 8 + 18 <= payload.length) {
+        val c = off + 8
+        val frames = be32(payload, c + 2).toLong & 0xffffffffL
+        val exp = be16(payload, c + 8) & 0x7fff
+        val mantHi = be32(payload, c + 10).toLong & 0xffffffffL
+        val shift = exp - 16383 - 31
+        val rate =
+          if (shift >= 0) mantHi << shift else mantHi >> -shift
+        return if (rate > 0 && frames > 0)
+          Some(frames * 1000L / rate)
+        else None
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
+
   /** Codec dispatch: real header parses where the payload is a format
-    * this adapter understands (BMP/PNG/JPEG/GIF/TIFF images, WAV
-    * audio — all dependency-free), deterministic stub otherwise. This
+    * this adapter understands (BMP/PNG/JPEG/GIF/TIFF images, WAV/FLAC/
+    * AIFF audio — all dependency-free), deterministic stub otherwise. This
     * is the full adapter contract a production pipeline fills in per
     * format.
     */
@@ -243,7 +297,10 @@ object Multimodal {
           .map { case (w, h) => (w, h, 0L) }
           .getOrElse(decodeStub(kind, payload))
       case "audio" =>
-        decodeWav(payload).map(ms => (0, 0, ms))
+        decodeWav(payload)
+          .orElse(decodeFlac(payload))
+          .orElse(decodeAiff(payload))
+          .map(ms => (0, 0, ms))
           .getOrElse(decodeStub(kind, payload))
       case _ => decodeStub(kind, payload)
     }

@@ -259,6 +259,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decode("image", tif) == ((800, 600, 0L)))
   }
 
+  test("multimodal: FLAC and AIFF header parses yield true durations") {
+    // FLAC: "fLaC" + STREAMINFO (type 0, len 34). 44100 Hz, 88200
+    // samples => exactly 2000 ms. Packed at byte 10 of the block:
+    // rate<<12 spans bytes 10-12's high nibble.
+    val flac = new Array[Byte](8 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(flac, 0)
+    flac(4) = 0; flac(5) = 0; flac(6) = 0; flac(7) = 34
+    val b = 8
+    val rate = 44100
+    flac(b + 10) = ((rate >> 12) & 0xff).toByte
+    flac(b + 11) = ((rate >> 4) & 0xff).toByte
+    flac(b + 12) = (((rate & 0xf) << 4) | 0x0).toByte
+    val samples = 88200L
+    flac(b + 13) = ((samples >> 32) & 0x0f).toByte
+    flac(b + 14) = ((samples >> 24) & 0xff).toByte
+    flac(b + 15) = ((samples >> 16) & 0xff).toByte
+    flac(b + 16) = ((samples >> 8) & 0xff).toByte
+    flac(b + 17) = (samples & 0xff).toByte
+    assert(Multimodal.decodeFlac(flac).contains(2000L))
+    // unknown total samples (0) => None, never an invented duration
+    val flacNoLen = flac.clone()
+    Seq(13, 14, 15, 16, 17).foreach(i => flacNoLen(b + i) = 0)
+    assert(Multimodal.decodeFlac(flacNoLen).isEmpty)
+
+    // AIFF: FORM/AIFF + a COMM chunk. 48000 Hz as 80-bit extended:
+    // exp = 16383 + 15, mantissa high word = 48000 << (31 - 15).
+    val aiff = new Array[Byte](12 + 8 + 18)
+    "FORM".getBytes("US-ASCII").copyToArray(aiff, 0)
+    "AIFF".getBytes("US-ASCII").copyToArray(aiff, 8)
+    "COMM".getBytes("US-ASCII").copyToArray(aiff, 12)
+    aiff(16 + 3) = 18 // chunk length
+    val c = 20
+    aiff(c + 1) = 2 // channels
+    val frames = 96000 // 2 s at 48 kHz
+    aiff(c + 2) = ((frames >> 24) & 0xff).toByte
+    aiff(c + 3) = ((frames >> 16) & 0xff).toByte
+    aiff(c + 4) = ((frames >> 8) & 0xff).toByte
+    aiff(c + 5) = (frames & 0xff).toByte
+    aiff(c + 7) = 16 // sample size
+    val exp = 16383 + 15
+    aiff(c + 8) = ((exp >> 8) & 0xff).toByte
+    aiff(c + 9) = (exp & 0xff).toByte
+    val mantHi = 48000L << (31 - 15)
+    aiff(c + 10) = ((mantHi >> 24) & 0xff).toByte
+    aiff(c + 11) = ((mantHi >> 16) & 0xff).toByte
+    aiff(c + 12) = ((mantHi >> 8) & 0xff).toByte
+    aiff(c + 13) = (mantHi & 0xff).toByte
+    assert(Multimodal.decodeAiff(aiff).contains(2000L))
+
+    // dispatch prefers the real parses; garbage falls to the stub
+    assert(Multimodal.decode("audio", flac) == ((0, 0, 2000L)))
+    assert(Multimodal.decode("audio", aiff) == ((0, 0, 2000L)))
+    assert(Multimodal.decodeFlac("not flac".getBytes).isEmpty)
+    assert(Multimodal.decodeAiff("FORMxxxxWAVE".getBytes).isEmpty)
+  }
+
   test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
     val items = Multimodal.mediaFromDocuments(spark, sf())
     val one = items.filter(col("media_id") === 1).collect().head
