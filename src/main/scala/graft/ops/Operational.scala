@@ -3066,9 +3066,15 @@ object Operational {
     val ev = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-    val horizon = ev.agg(max(col("day")).as("max_day"))
-    val durs = ev.groupBy(col("user_id"))
+    // ONE corpus pass: the horizon (global max day) derives from the
+    // per-user frame (max over users' last days ≡ max over events),
+    // so the corpus is scanned once and the tiny user frame feeds
+    // both consumers.
+    val perUser = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .localCheckpoint(true)
+    val horizon = perUser.agg(max(col("ld")).as("max_day"))
+    val durs = perUser
       .crossJoin(broadcast(horizon))
       .select(
         expr(s"IF(ld <= max_day - $KM_GAP_DAYS, 1L, 0L)").as("churned"),
