@@ -895,6 +895,63 @@ object Operational {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- q_gap_histogram
+  /** Inter-event gap distribution — the histogram that JUSTIFIES the
+    * sessionization threshold instead of assuming it: per-user
+    * consecutive event gaps in whole seconds, bucketed on the log₂
+    * scale (bit length — no libm), counted per bucket with the
+    * cumulative share in ppm. A session cut belongs at the histogram
+    * knee (the bucket where the within-session mass ends and the
+    * between-visit tail begins); `q_sessionize`'s 30-minute gap is a
+    * claim this query audits (bucket 11 ≈ 2048 s ≈ 34 min).
+    *
+    * Scale: one user-partitioned lag window (per-user frames, never
+    * global), then a ≤64-group aggregation; the cumulative share runs
+    * over the bucket frame (≤64 rows, bounded by the 63-bit gap
+    * domain — allowlist-free because the limit-free window sits on a
+    * bounded-by-construction frame... pinned via the plan guard's
+    * bounded-by-construction list).
+    */
+  private def qGapHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"))))
+      .filter(col("prev").isNotNull)
+      .select(expr("(us - prev) div 1000000").as("gap_s"))
+      .filter(col("gap_s") >= 0)
+    val hist = gaps
+      .select(expr("CAST(IF(gap_s < 1, 0," +
+        " length(bin(gap_s)) - 1) AS INT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("t"))
+    hist
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        expr("cum * 1000000 div t").as("cum_share_ppm"))
+  }
+
+  private val qGapHistogramSql: String =
+    """WITH gaps AS (
+      |  SELECT (us - prev) // 1000000 AS gap_s FROM (
+      |    SELECT epoch_us(ts) AS us,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                              ORDER BY epoch_us(ts)) AS prev
+      |    FROM events)
+      |  WHERE prev IS NOT NULL AND (us - prev) // 1000000 >= 0),
+      |hist AS (
+      |  SELECT CAST(CASE WHEN gap_s < 1 THEN 0
+      |              ELSE length(bin(gap_s)) - 1 END AS INTEGER)
+      |    AS bucket, CAST(count(*) AS BIGINT) AS n
+      |  FROM gaps GROUP BY 1)
+      |SELECT bucket, n,
+      |  CAST(CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) * 1000000
+      |       // (SELECT sum(n) FROM hist) AS BIGINT) AS cum_share_ppm
+      |FROM hist""".stripMargin
+
   // ------------------------------------------------------- q_decile_lift
   /** Decile gains table — the model-evaluation / campaign-targeting
     * readout: rank users by a score (here activity = event count, the
@@ -3164,6 +3221,7 @@ object Operational {
     "q_incr_join" -> qIncrJoin _,
     "q_tcloseness" -> qTcloseness _,
     "q_funnel_window" -> qFunnelWindow _,
+    "q_gap_histogram" -> qGapHistogram _,
     "q_ltv_cohort" -> qLtvCohort _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
@@ -3216,6 +3274,7 @@ object Operational {
     "q_incr_join" -> qIncrJoinSql,
     "q_tcloseness" -> qTclosenessSql,
     "q_funnel_window" -> qFunnelWindowSql,
+    "q_gap_histogram" -> qGapHistogramSql,
     "q_ltv_cohort" -> qLtvCohortSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,

@@ -33,7 +33,10 @@ class WindowPartitionGuardSpec extends SparkSpec {
     "q_skyline" -> ("cross-bucket prefix-max runs over the price-BUCKET " +
       "aggregate (span/width rows, data-independent); the per-point " +
       "windows are bucket-partitioned and the point frame is bounded " +
-      "by the price DOMAIN, not row count — see qSkyline's scaladoc")
+      "by the price DOMAIN, not row count — see qSkyline's scaladoc"),
+    "q_gap_histogram" -> ("cumulative share runs over the log2-bucket " +
+      "aggregate — ≤64 rows by the 63-bit gap domain, data-independent; " +
+      "the per-gap window is user-partitioned")
   )
 
   private def hasLimitBelow(p: SparkPlan): Boolean =
