@@ -599,8 +599,78 @@ object Embeddings {
        |  CAST((num * 1000000) // (vv * tr) AS BIGINT) AS explained_ppm
        |FROM num, vv, tr""".stripMargin
 
+  // ----------------------------------------------------------- q_embed_drift
+  /** Embedding-distribution DRIFT audit — the retraining/reindexing
+    * trigger: split the store into two cohorts (vec_id parity — the
+    * stand-in for before/after an embedding-model change or a data
+    * window boundary) and compare per-dimension means. Reports the
+    * 5 most-shifted dimensions (|Δmean| in the shared
+    * floor(x·10⁶) integer scale) plus every dimension's shift — an
+    * index built on cohort A serves cohort B only while this stays
+    * small; a concentrated shift in few dims usually means a
+    * preprocessing change, a broad shift means a model change.
+    *
+    * Integer-exact: per-cohort per-dim DECIMAL sums of quantized
+    * coordinates, means via the [[PCA_OFF]]-shift trick (floor
+    * division on nonnegative numerators only), |Δ| of integers.
+    *
+    * Scale: ONE pass over the store (map-only explode + (dim, cohort)
+    * agg — 2·dim groups, map-side combined); ranking runs on the
+    * dim-sized frame via orderBy().limit().
+    */
+  private def qEmbedDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d)
+      .select(pmod(col("vec_id"), lit(2)).as("cohort"),
+        posexplode(expr(
+          "transform(embedding," +
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val means = base.groupBy(col("i"), col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(x + $PCA_OFF AS DECIMAL(38,0))")).as("sx"))
+      .select(col("i"), col("cohort"),
+        expr(s"sx div n - $PCA_OFF").as("mu"))
+    val wide = means.groupBy(col("i"))
+      .agg(min(when(col("cohort") === 0, col("mu"))).as("mu_a"),
+        min(when(col("cohort") === 1, col("mu"))).as("mu_b"))
+      .select(col("i").as("dim_i"), col("mu_a"), col("mu_b"),
+        abs(col("mu_a") - col("mu_b")).as("shift"))
+    wide.orderBy(col("shift").desc, col("dim_i")).limit(5)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("shift").desc, col("dim_i"))).cast("int"))
+  }
+
+  private val qEmbedDriftSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id % 2 AS cohort,
+       |    CAST(unnest(range(0, $DIM)) AS INTEGER) AS i,
+       |    unnest(list_transform(range(0, $DIM),
+       |      k -> CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000)
+       |                AS BIGINT))) AS x
+       |  FROM embeddings),
+       |means AS (
+       |  SELECT i, cohort,
+       |    sum(CAST(x AS HUGEINT) + $PCA_OFF) // count(*) - $PCA_OFF
+       |      AS mu
+       |  FROM base GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT i AS dim_i,
+       |    CAST(min(CASE WHEN cohort = 0 THEN mu END) AS BIGINT) AS mu_a,
+       |    CAST(min(CASE WHEN cohort = 1 THEN mu END) AS BIGINT) AS mu_b,
+       |    CAST(abs(min(CASE WHEN cohort = 0 THEN mu END)
+       |             - min(CASE WHEN cohort = 1 THEN mu END)) AS BIGINT)
+       |      AS shift
+       |  FROM means GROUP BY 1)
+       |SELECT dim_i, mu_a, mu_b, shift, CAST(rnk AS INTEGER) AS rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY shift DESC, dim_i) AS rnk
+       |  FROM wide)
+       |WHERE rnk <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca"       -> qPca _,
+    "q_embed_drift" -> qEmbedDrift _,
     "q_pca_var"   -> qPcaVar _,
     "q_embed_health" -> qEmbedHealth _,
     "q_rproj"     -> qRproj _,
@@ -611,6 +681,7 @@ object Embeddings {
 
   val oracles: Map[String, String] = Map(
     "q_pca"       -> qPcaSql,
+    "q_embed_drift" -> qEmbedDriftSql,
     "q_pca_var"   -> qPcaVarSql,
     "q_embed_health" -> qEmbedHealthSql,
     "q_rproj"     -> qRprojSql,

@@ -3013,11 +3013,17 @@ object Operational {
         unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
         (graft.Det.money2(col("o_totalprice")) * 100).cast("long")
           .as("cents"))
+    // Eagerly materialized: each tile pass reads its input TWICE
+    // (histogram + rank join), so a lazily chained users→tile→tile→
+    // tile plan re-evaluates the orders aggregation up to 2³ times.
+    // The frame is customer-sized; each tile output is checkpointed
+    // for the same reason.
     val users = o.groupBy(col("o_custkey"))
       .agg(max(expr("ts_us div 86400000000")).as("r_day"),
         count(lit(1)).as("f_cnt"),
         sum(col("cents")).as("m_cents"))
       .withColumn("m_dollars", expr("m_cents div 100"))
+      .localCheckpoint(true)
     val tot = users.agg(count(lit(1)).as("n"))
     // ntile(5) by `metric` DESC (tie: custkey) without a global window.
     // "Customers strictly better" is a TWO-LEVEL prefix (the q_pack
@@ -3055,6 +3061,7 @@ object Operational {
             |           + n div 5 - 1) div (n div 5))
             |AS INT)""".stripMargin.replace("\n", " ")))
         .drop("n_higher", "rnk", "n", "shard")
+        .localCheckpoint(true)
     }
     val scored = tile5(tile5(tile5(users,
       "r_day", "r_tile"), "f_cnt", "f_tile"), "m_dollars", "m_tile")
