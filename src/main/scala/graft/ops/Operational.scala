@@ -895,6 +895,111 @@ object Operational {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ q_active_users
+  /** DAU / WAU / MAU + stickiness — the product-analytics vital signs:
+    * per day, distinct users active that day, in the trailing 7 days,
+    * and in the trailing 28, with stickiness = DAU·10⁶ div MAU (the
+    * "how habitual is usage" ratio). EXACT trailing distincts via the
+    * contribution expansion: the corpus collapses to DISTINCT
+    * (user, day) once, then each user-day contributes itself to the
+    * next 7/28 days (`explode(sequence(...))` — a ×7/×28 fanout of
+    * the ALREADY-COLLAPSED user-day frame, not of raw events), and
+    * one distinct count per day closes each window. Calendar-bounded
+    * output; days with zero trailing-28 activity cannot appear (every
+    * day present has MAU ≥ its own DAU ≥ 1).
+    *
+    * Scale: the user-day frame is the unit that fans out — at
+    * warehouse scale the exact expansion swaps for the per-day HLL
+    * sketches `q_hll` already maintains (union of 7/28 daily sketches
+    * = the trailing distinct, mergeability spec-pinned); this exact
+    * form is the calibration twin.
+    */
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds three expansions
+    val span = ud.agg(max(col("day")).as("max_day"))
+    def trailing(w: Int, out: String): DataFrame =
+      ud.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(expr(s"sequence(day, least(day + ${w - 1}, max_day))"))
+            .as("day"))
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as(out))
+    val dau = ud.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    dau
+      .join(trailing(7, "wau"), Seq("day"))
+      .join(trailing(28, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
+  private val qActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |span AS (SELECT max(day) AS max_day FROM ud),
+      |w7 AS (
+      |  SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM (SELECT user_id,
+      |          unnest(range(day, least(day + 7,
+      |                                  (SELECT max_day FROM span) + 1)))
+      |            AS day
+      |        FROM ud) g
+      |  GROUP BY 1),
+      |w28 AS (
+      |  SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM (SELECT user_id,
+      |          unnest(range(day, least(day + 28,
+      |                                  (SELECT max_day FROM span) + 1)))
+      |            AS day
+      |        FROM ud) g
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM ud GROUP BY 1)
+      |SELECT d.day, dau, wau, mau,
+      |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+      |FROM d JOIN w7 ON w7.day = d.day JOIN w28 ON w28.day = d.day"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q_l28
+  /** L28 engagement-depth histogram — users bucketed by how many of
+    * the corpus's final 28 days they were active (the Facebook L28
+    * metric): depth 1 is drive-by, depth 28 is daily-habit. The
+    * engagement-QUALITY readout DAU counts flatten away; its shape
+    * (bimodal vs decaying) decides retention strategy.
+    *
+    * Scale: the same collapsed user-day frame, filtered to the
+    * 28-day tail, one user-keyed count + one ≤28-group histogram.
+    */
+  private def qL28(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val span = ud.agg(max(col("day")).as("max_day"))
+    ud.crossJoin(broadcast(span))
+      .filter(col("day") > col("max_day") - 28)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("days_active"))
+      .groupBy(col("days_active")).agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qL28Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |tail28 AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+      |  FROM ud
+      |  WHERE day > (SELECT max(day) FROM ud) - 28
+      |  GROUP BY 1)
+      |SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+      |FROM tail28 GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------- q_gap_histogram
   /** Inter-event gap distribution — the histogram that JUSTIFIES the
     * sessionization threshold instead of assuming it: per-user
@@ -3229,6 +3334,8 @@ object Operational {
     "q_tcloseness" -> qTcloseness _,
     "q_funnel_window" -> qFunnelWindow _,
     "q_gap_histogram" -> qGapHistogram _,
+    "q_active_users" -> qActiveUsers _,
+    "q_l28" -> qL28 _,
     "q_ltv_cohort" -> qLtvCohort _,
     "q_bootstrap" -> qBootstrap _,
     "q_fano" -> qFano _,
@@ -3282,6 +3389,8 @@ object Operational {
     "q_tcloseness" -> qTclosenessSql,
     "q_funnel_window" -> qFunnelWindowSql,
     "q_gap_histogram" -> qGapHistogramSql,
+    "q_active_users" -> qActiveUsersSql,
+    "q_l28" -> qL28Sql,
     "q_ltv_cohort" -> qLtvCohortSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_fano" -> qFanoSql,
