@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.IntegerType
   *
   * The container ships no image/audio codec libraries, so decode is a
   * DISPATCH: real dependency-free header parses for BMP, PNG, JPEG,
-  * GIF, and TIFF images and WAV/FLAC/AIFF audio ([[decodeBmp]]/[[decodePng]]/
-  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWav]]/[[decodeFlac]]/[[decodeAiff]]), a
+  * GIF, TIFF, and WebP images and WAV/FLAC/AIFF audio ([[decodeBmp]]/[[decodePng]]/
+  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWebp]]/[[decodeWav]]/[[decodeFlac]]/[[decodeAiff]]), a
   * deterministic stub (clearly marked below) for every other format. Everything Spark-side is
   * real: schema, batch shape, partitioning, and the map-partitions
   * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
@@ -227,6 +227,43 @@ object Multimodal {
       if (byteRate > 0) Some(dataBytes.toLong * 1000L / byteRate) else None
     } else None
 
+  /** REAL codec path for WebP images — RIFF container: "RIFF" + size
+    * + "WEBP", then one of three first-chunk flavors (all public):
+    * `VP8X` (extended: 3-byte LE canvas width−1/height−1 after 4
+    * flag bytes), `VP8L` (lossless: 0x2F signature then 14-bit
+    * width−1/height−1 bit-packed LE), `VP8 ` (lossy keyframe: 3-byte
+    * frame tag, 0x9D 0x01 0x2A sync, then 14-bit LE dimensions).
+    */
+  def decodeWebp(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 30 ||
+        !payload.startsWith("RIFF".getBytes("US-ASCII")) ||
+        !payload.slice(8, 12).sameElements("WEBP".getBytes("US-ASCII")))
+      return None
+    val tag = new String(payload.slice(12, 16), "US-ASCII")
+    val p = 20 // first chunk payload
+    tag match {
+      case "VP8X" =>
+        val w = 1 + ((payload(p + 4) & 0xff) | ((payload(p + 5) & 0xff) << 8) |
+          ((payload(p + 6) & 0xff) << 16))
+        val h = 1 + ((payload(p + 7) & 0xff) | ((payload(p + 8) & 0xff) << 8) |
+          ((payload(p + 9) & 0xff) << 16))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      case "VP8L" if (payload(p) & 0xff) == 0x2f =>
+        val b1 = payload(p + 1) & 0xff; val b2 = payload(p + 2) & 0xff
+        val b3 = payload(p + 3) & 0xff; val b4 = payload(p + 4) & 0xff
+        val w = 1 + (((b2 & 0x3f) << 8) | b1)
+        val h = 1 + (((b4 & 0x0f) << 10) | (b3 << 2) | (b2 >> 6))
+        Some((w, h))
+      case "VP8 " if (payload(p + 3) & 0xff) == 0x9d &&
+          (payload(p + 4) & 0xff) == 0x01 &&
+          (payload(p + 5) & 0xff) == 0x2a =>
+        val w = le16(payload, p + 6) & 0x3fff
+        val h = le16(payload, p + 8) & 0x3fff
+        if (w > 0 && h > 0) Some((w, h)) else None
+      case _ => None
+    }
+  }
+
   /** REAL codec path for FLAC audio — the `fLaC` magic followed by
     * the mandatory first STREAMINFO metadata block (spec: type 0,
     * 34 bytes). Duration = totalSamples·1000 / sampleRate from the
@@ -282,7 +319,7 @@ object Multimodal {
   }
 
   /** Codec dispatch: real header parses where the payload is a format
-    * this adapter understands (BMP/PNG/JPEG/GIF/TIFF images, WAV/FLAC/
+    * this adapter understands (BMP/PNG/JPEG/GIF/TIFF/WebP images, WAV/FLAC/
     * AIFF audio — all dependency-free), deterministic stub otherwise. This
     * is the full adapter contract a production pipeline fills in per
     * format.
@@ -294,6 +331,7 @@ object Multimodal {
           .orElse(decodeJpeg(payload))
           .orElse(decodeGif(payload))
           .orElse(decodeTiff(payload))
+          .orElse(decodeWebp(payload))
           .map { case (w, h) => (w, h, 0L) }
           .getOrElse(decodeStub(kind, payload))
       case "audio" =>

@@ -315,6 +315,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decodeAiff("FORMxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("multimodal: WebP VP8X/VP8L/VP8 header parses yield true dims") {
+    def rif(tag: String): Array[Byte] = {
+      val a = new Array[Byte](32)
+      "RIFF".getBytes("US-ASCII").copyToArray(a, 0)
+      "WEBP".getBytes("US-ASCII").copyToArray(a, 8)
+      tag.getBytes("US-ASCII").copyToArray(a, 12)
+      a
+    }
+    // VP8X: 3-byte LE canvas width-1 / height-1 after 4 flag bytes
+    val x = rif("VP8X")
+    val p = 20
+    x(p + 4) = ((639 & 0xff)).toByte; x(p + 5) = ((639 >> 8) & 0xff).toByte
+    x(p + 7) = ((479 & 0xff)).toByte; x(p + 8) = ((479 >> 8) & 0xff).toByte
+    assert(Multimodal.decodeWebp(x).contains((640, 480)))
+
+    // VP8L: 0x2F then 14-bit width-1 / height-1 packed LSB-first
+    val l = rif("VP8L")
+    val (wm1, hm1) = (799, 599)
+    l(p) = 0x2f.toByte
+    l(p + 1) = (wm1 & 0xff).toByte
+    l(p + 2) = (((wm1 >> 8) & 0x3f) | ((hm1 & 0x3) << 6)).toByte
+    l(p + 3) = ((hm1 >> 2) & 0xff).toByte
+    l(p + 4) = ((hm1 >> 10) & 0x0f).toByte
+    assert(Multimodal.decodeWebp(l).contains((800, 600)))
+
+    // VP8 lossy keyframe: frame tag, 9D 01 2A sync, 14-bit LE dims
+    val v = rif("VP8 ")
+    v(p + 3) = 0x9d.toByte; v(p + 4) = 0x01.toByte; v(p + 5) = 0x2a.toByte
+    v(p + 6) = (320 & 0xff).toByte; v(p + 7) = ((320 >> 8) & 0x3f).toByte
+    v(p + 8) = (240 & 0xff).toByte; v(p + 9) = ((240 >> 8) & 0x3f).toByte
+    assert(Multimodal.decodeWebp(v).contains((320, 240)))
+
+    assert(Multimodal.decode("image", v) == ((320, 240, 0L)))
+    assert(Multimodal.decodeWebp("RIFFxxxxAVI ".getBytes).isEmpty)
+  }
+
   test("multimodal: resize shrinks payload, frame-sample keeps every Nth frame") {
     val items = Multimodal.mediaFromDocuments(spark, sf())
     val one = items.filter(col("media_id") === 1).collect().head
