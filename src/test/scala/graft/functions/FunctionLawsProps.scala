@@ -124,4 +124,44 @@ object FunctionLawsProps extends Properties("FunctionLaws") {
       agg.merge(agg.merge(ba.clone(), bb.clone()), bc.clone()).toSeq ==
         agg.merge(ba.clone(), agg.merge(bb.clone(), bc.clone())).toSeq
     }
+
+  // The closed-form tile assignment q_rfm / q_decile_lift embed in
+  // SQL: with q = n div T, r = n mod T, rank 1..n maps to
+  //   IF(rnk <= r·(q+1), (rnk + q) div (q + 1),
+  //      r + (rnk − r·(q+1) + q − 1) div q)
+  // which must equal SQL ntile(T) over a unique ordering (tiles 1..r
+  // hold q+1 rows, the rest q). The oracle comparison proves it on
+  // data-sized n; this proves the ARITHMETIC for arbitrary n.
+  private def tileOf(rnk: Long, n: Long, t: Long): Long = {
+    val q = n / t
+    val r = n % t
+    if (rnk <= r * (q + 1)) (rnk + q) / (q + 1)
+    else r + (rnk - r * (q + 1) + q - 1) / q
+  }
+
+  private def refNtile(n: Long, t: Long): Seq[Long] = {
+    val q = n / t
+    val r = n % t
+    (1L to t).flatMap(i =>
+      Seq.fill(((if (i <= r) q + 1 else q)).toInt)(i))
+  }
+
+  private val ntileGen = for {
+    t <- Gen.choose(1L, 20L)
+    n <- Gen.choose(t, 5000L) // at least one row per tile
+  } yield (n, t)
+
+  property("closed-form tile assignment equals ntile semantics") =
+    forAll(ntileGen) { case (n, t) =>
+      val expected = refNtile(n, t)
+      (1L to n).forall(rnk => tileOf(rnk, n, t) == expected(rnk.toInt - 1))
+    }
+
+  property("tile assignment partitions ranks into near-equal tiles") =
+    forAll(ntileGen) { case (n, t) =>
+      val sizes = (1L to n).groupBy(rnk => tileOf(rnk, n, t)).values
+        .map(_.size.toLong)
+      sizes.sum == n && sizes.max - sizes.min <= 1 &&
+        sizes.size == math.min(n, t)
+    }
 }
