@@ -66,4 +66,30 @@ class DebeziumParserSpec extends SparkSpec {
     val e = t.collect().head
     assert(e.transactionId == "t9" && e.status == "" && e.eventCount.contains(2L))
   }
+
+  test("forward compatibility: unknown envelope fields are ignored") {
+    // Debezium connectors grow fields across versions (source block
+    // additions, new metadata). A consumer pinned to the current
+    // schema must keep parsing — from_json drops unmatched keys —
+    // rather than dead-lettering every post-upgrade event.
+    val evolved =
+      """{"payload": {"op": "c", "ts_ms": 7,
+        |  "transaction": {"id": "t1", "total_order": 4,
+        |                  "data_collection_order": 2},
+        |  "source": {"version": "9.9.9", "connector": "mysql",
+        |             "sequence": "[null,\"123\"]"},
+        |  "brand_new_top_level": {"x": 1},
+        |  "before": null, "after": {"id": 5}}}""".stripMargin
+    val evolvedTxn =
+      """{"payload": {"status": "END", "id": "t1", "event_count": 1,
+        |  "data_collections": [{"data_collection": "db.t", "event_count": 1}]}}"""
+        .stripMargin
+    val (c, t, dead) = splitAll(evolved, evolvedTxn)
+    assert(dead.isEmpty, "evolved envelopes must not dead-letter")
+    val e = c.collect().head
+    assert(e.transactionId == "t1" && e.operation == "c" && e.tsMs == 7L)
+    assert(e.after.exists(_.contains("\"id\"")))
+    val te = t.collect().head
+    assert(te.status == "END" && te.eventCount.contains(1L))
+  }
 }
