@@ -895,6 +895,69 @@ object Operational {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ q_session_stats
+  /** Session-size distribution — the corpus-level rollup of
+    * `q_sessionize`'s per-session rows: how many sessions contain 1,
+    * 2, … events, with share in ppm. The engagement-shape readout (a
+    * mass at size 1 is bounce traffic; a heavy tail is depth) that
+    * per-session rows are too granular to show, and the second output
+    * the [[qGapHistogram]] threshold decision consults.
+    *
+    * Scale: the same single user-keyed window pass as q_sessionize
+    * (lag + running gap count — no self-join), one session-keyed agg,
+    * then a ≤max-session-size-group histogram with a broadcast total.
+    */
+  private def qSessionStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sized = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val hist = sized.groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val tot = hist.agg(sum(col("n_sessions")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("n_events"), col("n_sessions"),
+        expr("n_sessions * 1000000 div t").as("share_ppm"))
+  }
+
+  private val qSessionStatsSql: String =
+    """WITH sized AS (
+      |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM (
+      |    SELECT user_id,
+      |      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING
+      |                        AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        CASE WHEN prev_us IS NULL
+      |                  OR epoch_us(ts) - prev_us > 30*60*1000*1000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM (
+      |        SELECT user_id, ts, event_id,
+      |          lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts, event_id)
+      |            AS prev_us
+      |        FROM events)))
+      |  GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM sized GROUP BY 1)
+      |SELECT n_events, n_sessions,
+      |  CAST(n_sessions * 1000000 // (SELECT sum(n_sessions) FROM hist)
+      |       AS BIGINT) AS share_ppm
+      |FROM hist""".stripMargin
+
   // ------------------------------------------------------ q_active_users
   /** DAU / WAU / MAU + stickiness — the product-analytics vital signs:
     * per day, distinct users active that day, in the trailing 7 days,
@@ -3335,6 +3398,7 @@ object Operational {
     "q_funnel_window" -> qFunnelWindow _,
     "q_gap_histogram" -> qGapHistogram _,
     "q_active_users" -> qActiveUsers _,
+    "q_session_stats" -> qSessionStats _,
     "q_l28" -> qL28 _,
     "q_ltv_cohort" -> qLtvCohort _,
     "q_bootstrap" -> qBootstrap _,
@@ -3390,6 +3454,7 @@ object Operational {
     "q_funnel_window" -> qFunnelWindowSql,
     "q_gap_histogram" -> qGapHistogramSql,
     "q_active_users" -> qActiveUsersSql,
+    "q_session_stats" -> qSessionStatsSql,
     "q_l28" -> qL28Sql,
     "q_ltv_cohort" -> qLtvCohortSql,
     "q_bootstrap" -> qBootstrapSql,
