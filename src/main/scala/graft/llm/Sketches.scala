@@ -573,8 +573,87 @@ object Sketches {
        |       // exact_distinct AS BIGINT) AS err_ppm
        |FROM est""".stripMargin
 
+  // --------------------------------------------------------- q_selfjoin_est
+  /** Self-join size (second frequency moment F₂ = Σ c_u²) estimation —
+    * the cardinality-estimation primitive behind every optimizer's
+    * "how big is this join" decision and the classic sketch benchmark:
+    * exact F₂ of the per-user event counts vs the HEAVY-HITTER +
+    * UNIFORM-TAIL estimator every histogram-based optimizer uses
+    * (exact c² for the top-[[SJ_TOPK]] users, `rest_total² div
+    * rest_distinct` for the remainder — the uniformity assumption is
+    * exactly what the estimator gets wrong on skew, and err_ppm
+    * REPORTS how wrong). The operating data for deciding when
+    * statistics need a bigger heavy-hitter budget.
+    *
+    * Deterministic end to end: counts are exact integers, the top-K
+    * cut is `orderBy().limit()` with id tie-break, the tail division
+    * is floor on nonnegatives — both engines reproduce the estimate
+    * bit-for-bit (F₂ terms route through DECIMAL(38,0)/HUGEINT; Σc²
+    * crosses int64 at warehouse volumes).
+    *
+    * Scale: one user-keyed count agg; exact F₂ is one more ≤users
+    * agg; the estimator reads the K-row TakeOrderedAndProject plus
+    * two scalars. Nothing beyond the scan grows.
+    */
+  private val SJ_TOPK = 50
+
+  private def qSelfjoinEst(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds exact, top-K, and totals
+    val exact = counts.agg(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2_exact"),
+      count(lit(1)).as("n_users"), sum(col("c")).as("n_rows"))
+    val top = counts.orderBy(col("c").desc, col("user_id"))
+      .limit(SJ_TOPK)
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2_top"),
+        count(lit(1)).as("k"), sum(col("c")).as("top_rows"))
+    exact.crossJoin(broadcast(top))
+      .select(
+        expr("CAST(f2_exact AS BIGINT)").as("f2_exact"),
+        expr("""CAST(f2_top +
+               |  CAST(n_rows - top_rows AS DECIMAL(38,0))
+               |    * (n_rows - top_rows)
+               |    div greatest(n_users - k, 1) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("f2_est"),
+        col("n_users"), col("n_rows"))
+      .select(col("f2_exact"), col("f2_est"), col("n_users"),
+        col("n_rows"),
+        expr("abs(f2_est - f2_exact) * 1000000 div f2_exact")
+          .as("err_ppm"))
+  }
+
+  private val qSelfjoinEstSql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |exact AS (
+       |  SELECT sum(CAST(c AS HUGEINT) * c) AS f2_exact,
+       |    CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(c) AS BIGINT) AS n_rows
+       |  FROM counts),
+       |top AS (
+       |  SELECT sum(CAST(c AS HUGEINT) * c) AS f2_top,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(c) AS BIGINT) AS top_rows
+       |  FROM (
+       |    SELECT c, user_id FROM counts
+       |    ORDER BY c DESC, user_id LIMIT $SJ_TOPK))
+       |SELECT CAST(f2_exact AS BIGINT) AS f2_exact,
+       |  CAST(f2_top +
+       |    CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
+       |      // greatest(n_users - k, 1) AS BIGINT) AS f2_est,
+       |  n_users, n_rows,
+       |  CAST(abs(CAST(f2_top +
+       |      CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
+       |        // greatest(n_users - k, 1) AS BIGINT) - f2_exact)
+       |    * 1000000 // f2_exact AS BIGINT) AS err_ppm
+       |FROM exact, top""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_selfjoin_est" -> qSelfjoinEst,
     "q_hll" -> qHll,
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
@@ -584,6 +663,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_selfjoin_est" -> qSelfjoinEstSql,
     "q_hll" -> qHllSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
