@@ -313,14 +313,96 @@ object Multimodal {
           Some(frames * 1000L / rate)
         else None
       }
+      // A declared length with the high bit set decodes negative in the
+      // signed Int; advancing by it would loop forever on one executor
+      // thread. Malformed chunk length ⇒ treat the payload as corrupt.
+      if (len < 0) return None
       off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** REAL codec path for MP3 audio — optional ID3v2 tag skip ("ID3" +
+    * 6-byte header + 4-byte synchsafe size), then the first MPEG audio
+    * frame header (11-bit sync 0xFFE). Supports MPEG-1/2/2.5 Layer III
+    * via the public bitrate/sample-rate index tables. Duration is the
+    * standard CBR estimate: audio_bytes · 8 / bitrate. A free-format
+    * (index 0) or bad (index 15) bitrate returns None — the dispatch
+    * must not invent a duration.
+    */
+  def decodeMp3(payload: Array[Byte]): Option[Long] = {
+    var off = 0
+    if (payload.length >= 10 && payload.startsWith("ID3".getBytes("US-ASCII"))) {
+      // ID3v2 size: 4 synchsafe bytes (7 bits each), tag body follows the
+      // 10-byte header. Negative/overflowing sizes ⇒ malformed.
+      val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      off = 10 + sz
+      if (off < 0 || off >= payload.length) return None
+    }
+    if (off + 4 > payload.length) return None
+    val b1 = payload(off) & 0xff; val b2 = payload(off + 1) & 0xff
+    val b3 = payload(off + 2) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val versionBits = (b2 >> 3) & 0x3 // 0=2.5, 2=MPEG-2, 3=MPEG-1
+    val layerBits = (b2 >> 1) & 0x3 // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None
+    val brIdx = (b3 >> 4) & 0xf
+    val srIdx = (b3 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    // Layer III bitrate table (kbps): MPEG-1 row vs MPEG-2/2.5 row.
+    val kbps =
+      if (versionBits == 3)
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+      else
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+    val audioBytes = payload.length - off
+    Some(audioBytes.toLong * 8L / kbps)
+  }
+
+  /** REAL codec path for Ogg audio (Vorbis / Opus) — "OggS" capture
+    * pattern, first page carries the codec id header ("\x01vorbis":
+    * sample rate LE32 at id-header offset 12; "OpusHead": granule
+    * timebase fixed at 48 kHz). Duration comes from the LAST page's
+    * granule position (LE64 at page offset 6) — for Vorbis that is the
+    * PCM sample count, for Opus the 48 kHz sample count. Header-only,
+    * dependency-free, exact.
+    */
+  def decodeOgg(payload: Array[Byte]): Option[Long] = {
+    val magic = "OggS".getBytes("US-ASCII")
+    if (payload.length < 58 || !payload.startsWith(magic)) return None
+    // First page: 27-byte header + segment table, then the id header.
+    val nSegs = payload(26) & 0xff
+    val body = 27 + nSegs
+    if (body + 16 > payload.length) return None
+    val rate: Long =
+      if (payload(body) == 0x01 &&
+          payload.slice(body + 1, body + 7)
+            .sameElements("vorbis".getBytes("US-ASCII"))) {
+        le32(payload, body + 12).toLong & 0xffffffffL
+      } else if (payload.slice(body, body + 8)
+          .sameElements("OpusHead".getBytes("US-ASCII"))) {
+        48000L // Opus granules always count 48 kHz samples
+      } else return None
+    if (rate <= 0) return None
+    // Scan backwards for the last page's capture pattern.
+    var p = payload.length - 27
+    while (p >= 0) {
+      if (payload(p) == 'O' && payload(p + 1) == 'g' && payload(p + 2) == 'g' &&
+          payload(p + 3) == 'S') {
+        var granule = 0L
+        var i = 7
+        while (i >= 0) { granule = (granule << 8) | (payload(p + 6 + i) & 0xffL); i -= 1 }
+        return if (granule > 0) Some(granule * 1000L / rate) else None
+      }
+      p -= 1
     }
     None
   }
 
   /** Codec dispatch: real header parses where the payload is a format
     * this adapter understands (BMP/PNG/JPEG/GIF/TIFF/WebP images, WAV/FLAC/
-    * AIFF audio — all dependency-free), deterministic stub otherwise. This
+    * AIFF/MP3/Ogg audio — all dependency-free), deterministic stub otherwise. This
     * is the full adapter contract a production pipeline fills in per
     * format.
     */
@@ -338,6 +420,8 @@ object Multimodal {
         decodeWav(payload)
           .orElse(decodeFlac(payload))
           .orElse(decodeAiff(payload))
+          .orElse(decodeMp3(payload))
+          .orElse(decodeOgg(payload))
           .map(ms => (0, 0, ms))
           .getOrElse(decodeStub(kind, payload))
       case _ => decodeStub(kind, payload)

@@ -573,6 +573,161 @@ object Sketches {
        |       // exact_distinct AS BIGINT) AS err_ppm
        |FROM est""".stripMargin
 
+  // --------------------------------------------------- q_active_users_hll
+  /** Sketch-path DAU/WAU/MAU — the REGISTERED, oracle-checked batch
+    * form of the warehouse-scale swap `q_active_users`' scaladoc
+    * promises (and [[graft.streaming.StreamingDau]] maintains live):
+    * per-day 64-register HyperLogLog sketches of the active users,
+    * OR-merged (register-wise max) across trailing 7/28-day windows,
+    * next to the exact trailing distincts under the exactness-contract
+    * pattern (estimate, exact, error in ppm per window).
+    *
+    * Why this is THE 100 TB path: the exact twin fans out the
+    * user-day frame ×7/×28 and re-distincts per day — linear but a
+    * 28× constant on the corpus's dominant frame. Here the fanout
+    * unit is the REGISTER frame: ≤ [[HLL_M]] rows per active day
+    * regardless of event volume, so the whole trailing merge moves
+    * O(days · 64 · 28) 8-byte values — calendar-bounded, volume-free.
+    * The corpus is touched once (one distinct + one register agg,
+    * both map-side combining); everything after is sketch algebra.
+    * Register/ρ derivations are shared with [[qHll]]/[[hllRegRho]] and
+    * `StreamingDau`, so batch sketch, oracle, and live store agree by
+    * construction (mergeability law spec-pinned in `StreamingDauSpec`).
+    *
+    * Days reported: days with own activity (join on the DAU day
+    * frame), mirroring `q_active_users` exactly.
+    */
+  private def qActiveUsersHll(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val (jc, rhoc) = hllRegRho
+    val regs = ud
+      .select(col("day"),
+        mixed(poly_hash(col("user_id").cast("string"))).as("h"))
+      .select(col("day"), jc.as("j"), rhoc.as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m_j"))
+      .localCheckpoint(true) // 64·days rows feed three estimates
+    val span = regs.agg(max(col("day")).as("max_day"))
+    // Register-wise max across the trailing window, then the integer
+    // HLL readout per day (same algebra as qHll, grouped by day).
+    def estimate(regsW: DataFrame, out: String): DataFrame =
+      regsW.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT)," +
+            s" CAST($HLL_SCALE - m_j AS INT))")).as("z_present"))
+        .select(col("day"), expr(
+          s"(709 * ${HLL_M * HLL_M} * ${1L << HLL_SCALE}L) div" +
+            s" ((z_present + ($HLL_M - n_present) * ${1L << HLL_SCALE}L)" +
+            s" * 1000)").as(out))
+    def merged(w: Int): DataFrame =
+      regs.crossJoin(broadcast(span))
+        .select(col("j"), col("m_j"),
+          explode(expr(s"sequence(day, least(day + ${w - 1}, max_day))"))
+            .as("day"))
+        .groupBy(col("day"), col("j")).agg(max(col("m_j")).as("m_j"))
+    // Exact trailing distincts — the calibration columns.
+    val udCk = ud.localCheckpoint(true)
+    def exact(w: Int, out: String): DataFrame =
+      udCk.crossJoin(broadcast(span.withColumnRenamed("max_day", "md")))
+        .select(col("user_id"),
+          explode(expr(s"sequence(day, least(day + ${w - 1}, md))"))
+            .as("day"))
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as(out))
+    val dauE = udCk.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    dauE
+      .join(estimate(regs, "est_dau"), Seq("day"))
+      .join(exact(7, "wau"), Seq("day"))
+      .join(estimate(merged(7), "est_wau"), Seq("day"))
+      .join(exact(28, "mau"), Seq("day"))
+      .join(estimate(merged(28), "est_mau"), Seq("day"))
+      .select(col("day"), col("est_dau"), col("dau"),
+        col("est_wau"), col("wau"), col("est_mau"), col("mau"),
+        expr("abs(est_dau - dau) * 1000000 div dau").as("err_dau_ppm"),
+        expr("abs(est_wau - wau) * 1000000 div wau").as("err_wau_ppm"),
+        expr("abs(est_mau - mau) * 1000000 div mau").as("err_mau_ppm"))
+  }
+
+  private val qActiveUsersHllSql: String = {
+    val scale1 = 1L << HLL_SCALE
+    val readout = (src: String, out: String) =>
+      s"""SELECT day,
+         |  CAST((CAST(709 AS BIGINT) * ${HLL_M * HLL_M} * $scale1)
+         |    // ((sum(1 << ($HLL_SCALE - m_j))
+         |         + ($HLL_M - count(*)) * $scale1) * 1000)
+         |    AS BIGINT) AS $out
+         |FROM $src GROUP BY 1""".stripMargin
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events),
+       |h AS (
+       |  SELECT day, ${phSql("CAST(user_id AS VARCHAR)")} AS h FROM ud),
+       |jw AS (
+       |  SELECT day, ((h * h + h) % $P) % $HLL_M AS j,
+       |    (((h + 1) * (h + 1) + h) % $P) // $HLL_M AS w
+       |  FROM h),
+       |regs AS (
+       |  SELECT day, j,
+       |    max(CASE WHEN w = 0 THEN ${HLL_RANK_BITS + 1}
+       |        ELSE $HLL_RANK_BITS - length(bin(w)) + 1 END) AS m_j
+       |  FROM jw GROUP BY 1, 2),
+       |span AS (SELECT max(day) AS max_day FROM regs),
+       |m7 AS (
+       |  SELECT g.day, j, max(m_j) AS m_j
+       |  FROM (SELECT j, m_j,
+       |          unnest(range(day, least(day + 7,
+       |                                  (SELECT max_day FROM span) + 1)))
+       |            AS day
+       |        FROM regs) g
+       |  GROUP BY 1, 2),
+       |m28 AS (
+       |  SELECT g.day, j, max(m_j) AS m_j
+       |  FROM (SELECT j, m_j,
+       |          unnest(range(day, least(day + 28,
+       |                                  (SELECT max_day FROM span) + 1)))
+       |            AS day
+       |        FROM regs) g
+       |  GROUP BY 1, 2),
+       |e_d AS (${readout("regs", "est_dau")}),
+       |e_7 AS (${readout("m7", "est_wau")}),
+       |e_28 AS (${readout("m28", "est_mau")}),
+       |x_7 AS (
+       |  SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM (SELECT user_id,
+       |          unnest(range(day, least(day + 7,
+       |                                  (SELECT max_day FROM span) + 1)))
+       |            AS day
+       |        FROM ud) g
+       |  GROUP BY 1),
+       |x_28 AS (
+       |  SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+       |  FROM (SELECT user_id,
+       |          unnest(range(day, least(day + 28,
+       |                                  (SELECT max_day FROM span) + 1)))
+       |            AS day
+       |        FROM ud) g
+       |  GROUP BY 1),
+       |x_d AS (
+       |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+       |  FROM ud GROUP BY 1)
+       |SELECT x_d.day, est_dau, dau, est_wau, wau, est_mau, mau,
+       |  CAST(abs(est_dau - dau) * 1000000 // dau AS BIGINT)
+       |    AS err_dau_ppm,
+       |  CAST(abs(est_wau - wau) * 1000000 // wau AS BIGINT)
+       |    AS err_wau_ppm,
+       |  CAST(abs(est_mau - mau) * 1000000 // mau AS BIGINT)
+       |    AS err_mau_ppm
+       |FROM x_d
+       |JOIN e_d ON e_d.day = x_d.day
+       |JOIN x_7 ON x_7.day = x_d.day
+       |JOIN e_7 ON e_7.day = x_d.day
+       |JOIN x_28 ON x_28.day = x_d.day
+       |JOIN e_28 ON e_28.day = x_d.day""".stripMargin
+  }
+
   // --------------------------------------------------------- q_selfjoin_est
   /** Self-join size (second frequency moment F₂ = Σ c_u²) estimation —
     * the cardinality-estimation primitive behind every optimizer's
@@ -654,6 +809,7 @@ object Sketches {
   // -------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_selfjoin_est" -> qSelfjoinEst,
+    "q_active_users_hll" -> qActiveUsersHll,
     "q_hll" -> qHll,
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap" -> qKmvOverlap,
@@ -664,6 +820,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "q_selfjoin_est" -> qSelfjoinEstSql,
+    "q_active_users_hll" -> qActiveUsersHllSql,
     "q_hll" -> qHllSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_overlap" -> qKmvOverlapSql,

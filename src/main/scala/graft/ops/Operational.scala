@@ -2048,10 +2048,60 @@ object Operational {
     * event volume (the same pre-collapse discipline as
     * `q_changepoint`/`q_seasonality`). The join key is the
     * day-of-week index (position within the window), and the top-10
-    * is TakeOrderedAndProject. When windows ever did explode, qMotif
-    * is the sub-quadratic path — word-equality blocking first,
-    * exact distance only within blocks.
+    * is TakeOrderedAndProject. When windows DO explode,
+    * [[tsPairsTopK]]'s guard reroutes through qMotif's word-equality
+    * blocking — the same measured-threshold switch
+    * `Similarity.topKNeighbors` applies to brute-force ANN — so the
+    * registered query can never plan the quadratic join on an
+    * unbounded window frame.
     */
+  private[graft] val TS_PAIRS_MAX_WINDOWS = 4096L
+
+  /** Top-k most-similar window pairs by footrule over a ranked frame
+    * (`w` window id, `idx` position 0..6, `r` within-window rank).
+    * Counts windows first (metadata-scale vs either search): at or
+    * under `maxExactWindows` the pair frame is all-pairs on `idx` —
+    * exact, quadratic in windows, fine for a dashboard-sized frame.
+    * Above it, windows are first blocked by their qMotif symbol WORD
+    * (coarse shape equality) and the exact footrule runs only within
+    * blocks — the join key becomes (word, idx), so work is
+    * Σ block² ≪ windows², the MinHash-band shape. The blocked path is
+    * a candidate-generation approximation (cross-shape pairs are
+    * pruned), which is precisely the trade a 100 TB motif search
+    * makes; the default threshold keeps every realistic dashboard
+    * frame on the exact path.
+    */
+  private[graft] def tsPairsTopK(ranked0: DataFrame, k: Int,
+      maxExactWindows: Long = TS_PAIRS_MAX_WINDOWS): DataFrame = {
+    val ranked = ranked0.localCheckpoint(true) // guard count + pair join
+    val nWindows = ranked.select(col("w")).distinct().count()
+    val paired =
+      if (nWindows <= maxExactWindows) {
+        val a = ranked.select(col("w").as("win_a"), col("idx"),
+          col("r").as("ra"))
+        val b = ranked.select(col("w").as("win_b"), col("idx"),
+          col("r").as("rb"))
+        a.join(b, Seq("idx")).filter(col("win_a") < col("win_b"))
+      } else {
+        val words = ranked.groupBy(col("w"))
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(idx, r)))," +
+            " x -> CAST(((x.r - 1) * 2) div 7 AS STRING)), '')")
+            .as("word"))
+        val withWord = ranked.join(words, Seq("w"))
+        val a = withWord.select(col("word"), col("w").as("win_a"),
+          col("idx"), col("r").as("ra"))
+        val b = withWord.select(col("word"), col("w").as("win_b"),
+          col("idx"), col("r").as("rb"))
+        a.join(b, Seq("word", "idx")).filter(col("win_a") < col("win_b"))
+      }
+    paired
+      .groupBy(col("win_a"), col("win_b"))
+      .agg(sum(abs(col("ra") - col("rb"))).as("footrule"))
+      .orderBy(col("footrule"), col("win_a"), col("win_b"))
+      .limit(k)
+  }
+
   private def qTsPairs(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
@@ -2069,16 +2119,7 @@ object Operational {
         concat(col("week").cast("string"), lit("|"), col("event_type"))
           .as("w"),
         datediff(col("day"), col("week")).as("idx"), col("r"))
-    val a = ranked.select(col("w").as("win_a"), col("idx"),
-      col("r").as("ra"))
-    val b = ranked.select(col("w").as("win_b"), col("idx"),
-      col("r").as("rb"))
-    a.join(b, Seq("idx"))
-      .filter(col("win_a") < col("win_b"))
-      .groupBy(col("win_a"), col("win_b"))
-      .agg(sum(abs(col("ra") - col("rb"))).as("footrule"))
-      .orderBy(col("footrule"), col("win_a"), col("win_b"))
-      .limit(10)
+    tsPairsTopK(ranked, 10)
   }
 
   private val qTsPairsSql: String =

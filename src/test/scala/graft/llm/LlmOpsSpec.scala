@@ -313,6 +313,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decode("audio", aiff) == ((0, 0, 2000L)))
     assert(Multimodal.decodeFlac("not flac".getBytes).isEmpty)
     assert(Multimodal.decodeAiff("FORMxxxxWAVE".getBytes).isEmpty)
+
+    // malformed chunk length with the high bit set (decodes negative in
+    // the signed Int) must return None, not spin the chunk walk forever
+    val aiffBad = new Array[Byte](64)
+    "FORM".getBytes("US-ASCII").copyToArray(aiffBad, 0)
+    "AIFF".getBytes("US-ASCII").copyToArray(aiffBad, 8)
+    "JUNK".getBytes("US-ASCII").copyToArray(aiffBad, 12)
+    aiffBad(16) = 0xff.toByte; aiffBad(17) = 0xff.toByte
+    aiffBad(18) = 0xff.toByte; aiffBad(19) = 0xf8.toByte // len = -8
+    assert(Multimodal.decodeAiff(aiffBad).isEmpty)
+  }
+
+  test("multimodal: MP3 frame-header + ID3 skip and Ogg granule durations") {
+    // MPEG-1 Layer III, 128 kbps (bitrate index 9), 44.1 kHz (sr index 0):
+    // header 0xFF 0xFB 0x90 0x00. 16 KiB of audio at 128 kbps = 1024 ms.
+    val audioLen = 16384
+    val mp3 = new Array[Byte](audioLen)
+    mp3(0) = 0xff.toByte; mp3(1) = 0xfb.toByte; mp3(2) = 0x90.toByte
+    assert(Multimodal.decodeMp3(mp3).contains(audioLen.toLong * 8 / 128))
+
+    // same frame behind an ID3v2 tag (synchsafe size = 100)
+    val id3 = new Array[Byte](10 + 100 + audioLen)
+    "ID3".getBytes("US-ASCII").copyToArray(id3, 0)
+    id3(9) = 100
+    mp3.copyToArray(id3, 110)
+    assert(Multimodal.decodeMp3(id3).contains(audioLen.toLong * 8 / 128))
+
+    // free-format bitrate (index 0) must not invent a duration
+    val free = mp3.clone(); free(2) = 0x00
+    assert(Multimodal.decodeMp3(free).isEmpty)
+    assert(Multimodal.decodeMp3("not an mp3 at all".getBytes).isEmpty)
+
+    // Ogg Vorbis: first page id header declares 44100 Hz; last page
+    // granule = 88200 samples => 2000 ms.
+    def oggPage(buf: Array[Byte], off: Int, granule: Long, nSegs: Int): Unit = {
+      "OggS".getBytes("US-ASCII").copyToArray(buf, off)
+      var g = granule
+      for (i <- 0 until 8) { buf(off + 6 + i) = (g & 0xff).toByte; g >>= 8 }
+      buf(off + 26) = nSegs.toByte
+    }
+    val ogg = new Array[Byte](200)
+    oggPage(ogg, 0, 0L, 1)
+    val body = 28 // 27-byte header + 1 segment-table byte
+    ogg(body) = 0x01
+    "vorbis".getBytes("US-ASCII").copyToArray(ogg, body + 1)
+    ogg(body + 12) = (44100 & 0xff).toByte
+    ogg(body + 13) = ((44100 >> 8) & 0xff).toByte
+    oggPage(ogg, 120, 88200L, 0)
+    assert(Multimodal.decodeOgg(ogg).contains(2000L))
+
+    // Opus: granules always count 48 kHz samples
+    val opus = new Array[Byte](200)
+    oggPage(opus, 0, 0L, 1)
+    "OpusHead".getBytes("US-ASCII").copyToArray(opus, body)
+    oggPage(opus, 120, 96000L, 0)
+    assert(Multimodal.decodeOgg(opus).contains(2000L))
+    assert(Multimodal.decodeOgg("OggSxxxx".getBytes).isEmpty)
+
+    // dispatch routes both through the audio arm
+    assert(Multimodal.decode("audio", id3) == ((0, 0, 1024L)))
+    assert(Multimodal.decode("audio", ogg) == ((0, 0, 2000L)))
   }
 
   test("multimodal: WebP VP8X/VP8L/VP8 header parses yield true dims") {

@@ -375,4 +375,52 @@ class OperationalSpec extends SparkSpec {
         s"$dim tiles uneven: $byTile")
     }
   }
+
+  test("tsPairsTopK guard: wide frames reroute through word blocking") {
+    import spark.implicits._
+    // Synthetic ranked frame: many windows in two distinct coarse
+    // shapes. Shape A (ascending ranks by idx) and shape B
+    // (descending). Within a shape, windows are rank-identical
+    // (footrule 0); across shapes the footrule is large.
+    val nA = 6; val nB = 6
+    val rows =
+      (0 until nA).flatMap(i => (0 until 7).map(idx =>
+        (f"A$i%03d", idx, idx + 1))) ++
+      (0 until nB).flatMap(i => (0 until 7).map(idx =>
+        (f"B$i%03d", idx, 7 - idx)))
+    val ranked = rows.toDF("w", "idx", "r")
+
+    // Exact path (threshold above the window count): global top-k may
+    // freely pair across shapes.
+    val exact = Operational.tsPairsTopK(ranked, 1000,
+      maxExactWindows = 100).collect()
+    assert(exact.exists(r =>
+      r.getAs[String]("win_a").startsWith("A") &&
+        r.getAs[String]("win_b").startsWith("B")),
+      "exact path must include cross-shape pairs")
+
+    // Guarded path (threshold below the window count): the reroute
+    // fires, candidate pairs come only from word-equal blocks — no
+    // cross-shape pair can appear no matter how large k is.
+    val blocked = Operational.tsPairsTopK(ranked, 1000,
+      maxExactWindows = 4).collect()
+    assert(blocked.nonEmpty)
+    assert(blocked.forall(r =>
+      r.getAs[String]("win_a").charAt(0) ==
+        r.getAs[String]("win_b").charAt(0)),
+      "guarded path must pair only within word-equal blocks")
+    // Within-block distances are exact: identical windows score 0.
+    assert(blocked.forall(_.getAs[Long]("footrule") == 0L))
+    // All within-block pairs survive the block join: C(6,2) per shape.
+    assert(blocked.length == 2 * (nA * (nA - 1) / 2))
+
+    // On the within-block pairs the two paths agree exactly.
+    val exactWithin = exact.filter(r =>
+      r.getAs[String]("win_a").charAt(0) ==
+        r.getAs[String]("win_b").charAt(0))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val blockedSet =
+      blocked.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(blockedSet == exactWithin)
+  }
 }
