@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Exchange-count golden pins — the round-6 review's "quiet extra
+  * shuffle" gate. [[WindowPartitionGuardSpec]] and
+  * [[CartesianGuardSpec]] catch CATEGORICAL anti-patterns (a
+  * single-partition sort, a cartesian product); this gate catches the
+  * incremental one: a refactor that leaves a query correct but adds
+  * one more `ShuffleExchange` to its plan. Every registered query's
+  * (shuffle, broadcast) exchange counts are pinned in a checked-in
+  * golden file; any INCREASE fails, any decrease or new query fails
+  * with a regeneration instruction — so every change to a query's
+  * exchange budget is an explicit, reviewed diff in git history, the
+  * same discipline as the window/cartesian allowlists.
+  *
+  * Counts are taken with AQE off and the session's fixed shuffle
+  * partitions, so they are deterministic plan properties, not runtime
+  * artifacts. Regenerate after an intentional plan change with:
+  * `GRAFT_UPDATE_GOLDEN=1 sbt "testOnly graft.plans.ExchangeGoldenSpec"`
+  * and review the diff — a +1 in the file IS the review surface.
+  */
+class ExchangeGoldenSpec extends SparkSpec {
+
+  private val goldenPath =
+    Paths.get("src/test/resources/exchange_golden.tsv")
+
+  private def planCounts(): Seq[(String, Int, Int)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan
+      val sh = plan.collect { case e: ShuffleExchangeExec => e }.size
+      val bc = plan.collect { case e: BroadcastExchangeExec => e }.size
+      (name, sh, bc)
+    }
+
+  test("per-query exchange counts match the golden pins") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val counts = planCounts()
+      if (sys.env.contains("GRAFT_UPDATE_GOLDEN")) {
+        val body = counts
+          .map { case (n, s, b) => s"$n\t$s\t$b" }.mkString("", "\n", "\n")
+        Files.createDirectories(goldenPath.getParent)
+        Files.write(goldenPath, body.getBytes(StandardCharsets.UTF_8))
+        info(s"golden regenerated: ${counts.size} queries")
+      } else {
+        assert(Files.exists(goldenPath),
+          "no golden file — run with GRAFT_UPDATE_GOLDEN=1 to create it")
+        val golden = Files.readAllLines(goldenPath).asScala
+          .filter(_.nonEmpty)
+          .map { l =>
+            val Array(n, s, b) = l.split("\t"); n -> ((s.toInt, b.toInt))
+          }.toMap
+        val problems = counts.flatMap { case (name, sh, bc) =>
+          golden.get(name) match {
+            case None =>
+              Some(s"$name: not pinned (new query — regenerate golden)")
+            case Some((gs, gb)) if sh > gs || bc > gb =>
+              Some(s"$name: exchanges grew shuffle $gs->$sh " +
+                s"broadcast $gb->$bc")
+            case Some((gs, gb)) if sh < gs || bc < gb =>
+              Some(s"$name: exchanges shrank shuffle $gs->$sh " +
+                s"broadcast $gb->$bc — improvement, pin it by " +
+                s"regenerating the golden")
+            case _ => None
+          }
+        }
+        val removed = golden.keySet -- counts.map(_._1).toSet
+        assert(problems.isEmpty && removed.isEmpty,
+          (problems ++ removed.map(n => s"$n: pinned but no longer " +
+            s"registered — regenerate golden")).mkString("\n"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+}
