@@ -23,16 +23,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val clearEach = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("each")
+    // Optional comma-separated name filter for fast local iteration
+    // (unset for driver runs → full suite), mirroring Verify's.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A throwing query records -1.0 (never a plausible wall time) and its
     // name lands in the "errs" list on the stdout line — a broken query
     // must not masquerade as a fast one.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Seq[(String, Double)] = {
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    def pass(session: SparkSession = spark): Seq[(String, Double)] = {
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(e => only.forall(_.contains(e._1))).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
-            try { fn(spark, sfDir).count(); true }
+            try { fn(session, sfDir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name failed: $e")
               failed += name
@@ -71,6 +76,20 @@ object Bench {
     // the regression signal a noisy shared host can't fake. cold minus
     // warm ≈ per-query codegen/JIT one-time cost; warm ≈ steady-state.
     val results = pass()
+    // Second cold pass in a FRESH SparkSession: session-scoped memos
+    // (Dedup/Embeddings shared frames) and SQL caches rebuild, so each
+    // query pays its materialization again; only JVM-wide JIT/codegen
+    // state stays warm. Per-query cold in bench_cold.json is the
+    // median (= mean) of the two passes — one host-load spike on a
+    // shared box can no longer double a query's recorded cold time,
+    // which is what made r5→r6 cross-round cold tables lie. Stdout
+    // "value" stays the FIRST pass total (the historical key).
+    val cold2 = pass(spark.newSession())
+    spark.catalog.clearCache()
+    val coldMed = results.map { case (name, v1) =>
+      val v2 = cold2.collectFirst { case (`name`, v) => v }.getOrElse(-1.0)
+      name -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else (v1 + v2) / 2)
+    }
     val warmPasses = Seq(pass(), pass(), pass())
     def median3(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
@@ -102,7 +121,9 @@ object Bench {
     warmPasses.zipWithIndex.foreach { case (p, i) =>
       writeProfile(s"bench_warm_p${i + 1}.json", p)
     }
-    writeProfile("bench_cold.json", results)
+    writeProfile("bench_cold.json", coldMed) // per-query median of 2
+    writeProfile("bench_cold_p1.json", results)
+    writeProfile("bench_cold_p2.json", cold2)
     // The stdout errs list is CAPPED (a mass failure would push the
     // final JSON line past the driver's ~2000-char tail window and lose
     // its head — the exact failure mode the full list was added to
@@ -124,7 +145,7 @@ object Bench {
     // (cold + warm, µs precision) land in target/bench_{cold,warm}.json.
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(50)
     def stdoutLine(topN: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(topN)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"n_errs":${failed.size},"errs":$errsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"queries":${fmt(topN)},"sf":"$sfDir","warm_total":${num(warmTotal, 3)},"cold_med_total":${num(coldMed.map(_._2).filter(_ >= 0).sum, 3)},"n_errs":${failed.size},"errs":$errsJson}"""
     val line = stdoutLine(top)
     if (line.length > 1900)
       // Belt-and-braces: never exceed the driver's tail window even if

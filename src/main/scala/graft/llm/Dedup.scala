@@ -873,6 +873,29 @@ object Dedup {
       verifiedPairsFromSets(hs, JACCARD_T))
   }
 
+  /** [[canonicalMap]] restricted to a SUBSET of the corpus (`ids` —
+    * one `doc_id` column), riding the session memos: shingle sets and
+    * MinHash signatures are PER-DOCUMENT derivations, so the subset's
+    * frames are semi-joins of [[sharedShingleSets]]/[[sharedSigs]] —
+    * no re-scan, no re-shingle. Only the band grouping and the verify
+    * join (both subset-sized) run fresh. This is how `q_curate`'s
+    * fuzzy stage shares one corpus pass with the whole dedup family:
+    * at 100 TB the shingle/sig frames are maintained tables, and a
+    * curation job filtering to exact-dedup survivors reads them,
+    * never re-derives them.
+    */
+  private[llm] def canonicalMapSharedSubset(s: SparkSession, d: String,
+      ids: DataFrame): DataFrame = {
+    val hs = sharedShingleSets(s, d).join(ids, Seq("doc_id"), "left_semi")
+    val sigs = sharedSigs(s, d).join(ids, Seq("doc_id"), "left_semi")
+    canonicalFromPairs(
+      hs.select(col("doc_id")),
+      jaccardVerified(
+        bandCandidates(sigs, "doc_id")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+        hs, "doc_a", "doc_b", JACCARD_T))
+  }
+
   /** SQL CTE chain `hs/ver` over the doc table `src`, continuing from
     * [[candSqlCtes]] — ver = verified near-dup pairs.
     */

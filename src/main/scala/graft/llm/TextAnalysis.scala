@@ -297,17 +297,17 @@ object TextAnalysis {
     */
   private def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // Exact dedup as ONE min_by aggregation: the smallest-id document
-    // per fingerprint, whole row carried in the aggregation buffer.
-    // Equivalent to groupBy(fp).agg(min(doc_id)) + semi-join back, but
-    // with a single shuffle — the semi-join variant ships a
-    // corpus-sized build side through a second exchange at 100 TB.
-    val survivors = docs
+    // Exact dedup: smallest doc_id per fingerprint. Only the ID
+    // survives this stage — the fuzzy stage's shingle sets and
+    // signatures come from the session memos (per-document frames,
+    // subsettable by semi-join), so no stage downstream ever needs
+    // the survivor text and the corpus is scanned once across the
+    // whole dedup family (canonicalMapSharedSubset's scaladoc).
+    val survivorIds = docs
       .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
-        col("doc_id")).as("s"))
-      .select(col("s.*"))
-    val fuzzyCanonical = Dedup.canonicalMap(survivors)
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val fuzzyCanonical = Dedup.canonicalMapSharedSubset(s, d, survivorIds)
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
     val t = tokens(col("text"))
