@@ -3335,17 +3335,15 @@ object Operational {
   private val KM_GAP_DAYS = 14L
   private val KM_T = 12L
 
-  private def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
-    // ONE corpus pass: the horizon (global max day) derives from the
-    // per-user frame (max over users' last days ≡ max over events),
-    // so the corpus is scanned once and the tiny user frame feeds
-    // both consumers.
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
-      .localCheckpoint(true)
+  /** Kaplan–Meier interval table (t, n_at_risk, d_events, c_censored)
+    * from a per-user span frame (user_id, fd, ld) — factored out so
+    * the LIVE span store ([[graft.streaming.StreamingHorizon]]) feeds
+    * the identical derivation: stream the spans, read this table at
+    * any horizon. Everything here runs on the user frame and the
+    * ≤weeks interval histogram — broadcast joins, no windows.
+    */
+  private[graft] def kmIntervals(s: SparkSession, perUser: DataFrame)
+      : DataFrame = {
     val horizon = perUser.agg(max(col("ld")).as("max_day"))
     val durs = perUser
       .crossJoin(broadcast(horizon))
@@ -3362,13 +3360,26 @@ object Operational {
       .join(broadcast(hist.alias("h")), col("h.dur_w") < col("g.t"), "left")
       .groupBy(col("g.t").as("t"))
       .agg(coalesce(sum(col("h.d") + col("h.c")), lit(0L)).as("gone"))
-    val intervals = removedBefore
+    removedBefore
       .join(broadcast(hist), col("dur_w") === col("t"), "left")
       .crossJoin(broadcast(tot))
       .select(col("t"), (col("n") - col("gone")).as("n_at_risk"),
         coalesce(col("d"), lit(0L)).as("d_events"),
         coalesce(col("c"), lit(0L)).as("c_censored"))
+  }
+
+  private def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    // ONE corpus pass: the horizon (global max day) derives from the
+    // per-user frame (max over users' last days ≡ max over events),
+    // so the corpus is scanned once and the tiny user frame feeds
+    // both consumers.
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
       .localCheckpoint(true)
+    val intervals = kmIntervals(s, perUser).localCheckpoint(true)
     intervals.createOrReplaceTempView("km_intervals")
     s.sql(
       """WITH RECURSIVE km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
