@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * driver-provided scale factor by stacking `factor` join-consistent
   * copies of every fact table (dimension tables `region`/`nation` stay
   * fixed, like TPC-H's constant dimensions). Copy k shifts every
-  * surrogate key by k·max(key), so each copy joins ONLY its own rows —
+  * surrogate key by k·(max(key)+1) — the +1 matters because the corpus
+  * keys are 0-based, so a bare k·max would map copy k's key=max and
+  * copy k+1's key=0 to the same value — so each copy joins ONLY its
+  * own rows —
   * join selectivities, group cardinalities per key, and skew shape are
   * preserved while global cardinality scales linearly:
   *
@@ -47,14 +50,16 @@ object ScaleUp {
 
     val copies = spark.range(0, factor).select(col("id").as("k"))
     def stacked(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0)
+    // Per-copy key stride: max+1, because keys are 0-based — a stride of
+    // bare max would collide copy k's key=max with copy k+1's key=0.
+    def strideOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
 
     // Fixed dimensions ride along unchanged.
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
 
-    val cust = read("customer"); val cMax = maxOf(cust, "c_custkey")
+    val cust = read("customer"); val cMax = strideOf(cust, "c_custkey")
     write(stacked(cust).select(
       (col("c_custkey") + col("k") * cMax).as("c_custkey"),
       when(col("k") === 0, col("c_name"))
@@ -62,7 +67,7 @@ object ScaleUp {
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer", 4)
 
-    val supp = read("supplier"); val sMax = maxOf(supp, "s_suppkey")
+    val supp = read("supplier"); val sMax = strideOf(supp, "s_suppkey")
     write(stacked(supp).select(
       (col("s_suppkey") + col("k") * sMax).as("s_suppkey"),
       when(col("k") === 0, col("s_name"))
@@ -70,7 +75,7 @@ object ScaleUp {
       col("s_nationkey"), col("s_acctbal")),
       "supplier", 1)
 
-    val part = read("part"); val pMax = maxOf(part, "p_partkey")
+    val part = read("part"); val pMax = strideOf(part, "p_partkey")
     write(stacked(part).select(
       (col("p_partkey") + col("k") * pMax).as("p_partkey"),
       when(col("k") === 0, col("p_name"))
@@ -78,7 +83,7 @@ object ScaleUp {
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part", 4)
 
-    val ord = read("orders"); val oMax = maxOf(ord, "o_orderkey")
+    val ord = read("orders"); val oMax = strideOf(ord, "o_orderkey")
     write(stacked(ord).select(
       (col("o_orderkey") + col("k") * oMax).as("o_orderkey"),
       (col("o_custkey") + col("k") * cMax).as("o_custkey"),
@@ -96,7 +101,7 @@ object ScaleUp {
       "lineitem", 16)
 
     val ev = read("events")
-    val eMax = maxOf(ev, "event_id"); val uMax = maxOf(ev, "user_id")
+    val eMax = strideOf(ev, "event_id"); val uMax = strideOf(ev, "user_id")
     write(stacked(ev).select(
       (col("event_id") + col("k") * eMax).as("event_id"),
       col("ts"),
@@ -104,7 +109,7 @@ object ScaleUp {
       col("event_type"), col("value"), col("props")),
       "events", 8)
 
-    val docs = read("documents"); val dMax = maxOf(docs, "doc_id")
+    val docs = read("documents"); val dMax = strideOf(docs, "doc_id")
     write(stacked(docs)
       .withColumn("text2",
         when(col("k") === 0, col("text"))
@@ -115,13 +120,15 @@ object ScaleUp {
         length(col("text2")).cast("long").as("n_chars")),
       "documents", 8)
 
-    val emb = read("embeddings"); val vMax = maxOf(emb, "vec_id")
+    val emb = read("embeddings"); val vMax = strideOf(emb, "vec_id")
+    // Rotate by k mod dim: for factor > dim a raw k would make the
+    // first slice length negative and fail at runtime.
+    val rot = pmod(col("k"), size(col("embedding")))
     write(stacked(emb).select(
       (col("vec_id") + col("k") * vMax).as("vec_id"),
-      when(col("k") === 0, col("embedding")).otherwise(concat(
-        slice(col("embedding"), col("k") + 1,
-          size(col("embedding")) - col("k")),
-        slice(col("embedding"), lit(1), col("k")))).as("embedding"),
+      when(rot === 0, col("embedding")).otherwise(concat(
+        slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+        slice(col("embedding"), lit(1), rot))).as("embedding"),
       col("label")),
       "embeddings", 2)
 

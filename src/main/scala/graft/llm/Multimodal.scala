@@ -307,6 +307,10 @@ object Multimodal {
         val exp = be16(payload, c + 8) & 0x7fff
         val mantHi = be32(payload, c + 10).toLong & 0xffffffffL
         val shift = exp - 16383 - 31
+        // Scala's Long shift masks the count to 6 bits, so a corrupt
+        // exponent with |shift| > 63 would WRAP into a garbage nonzero
+        // rate instead of flushing to zero — reject it outright.
+        if (shift < -63 || shift > 63) return None
         val rate =
           if (shift >= 0) mantHi << shift else mantHi >> -shift
         return if (rate > 0 && frames > 0)
@@ -385,15 +389,22 @@ object Multimodal {
         48000L // Opus granules always count 48 kHz samples
       } else return None
     if (rate <= 0) return None
-    // Scan backwards for the last page's capture pattern.
+    // Scan backwards for the last page's capture pattern. The byte
+    // sequence "OggS" can also occur inside page BODY data, so a
+    // candidate must pass a header sanity check (stream-structure
+    // version byte is 0, header-type flags fit 3 bits) before its
+    // granule is trusted; a candidate with granule <= 0 (a false sync,
+    // or a genuine -1 "no packet completes" continuation page) keeps
+    // the scan going instead of aborting the whole decode.
     var p = payload.length - 27
     while (p >= 0) {
       if (payload(p) == 'O' && payload(p + 1) == 'g' && payload(p + 2) == 'g' &&
-          payload(p + 3) == 'S') {
+          payload(p + 3) == 'S' &&
+          payload(p + 4) == 0 && (payload(p + 5) & 0xf8) == 0) {
         var granule = 0L
         var i = 7
         while (i >= 0) { granule = (granule << 8) | (payload(p + 6 + i) & 0xffL); i -= 1 }
-        return if (granule > 0) Some(granule * 1000L / rate) else None
+        if (granule > 0) return Some(granule * 1000L / rate)
       }
       p -= 1
     }

@@ -597,6 +597,37 @@ object Sketches {
     * Days reported: days with own activity (join on the DAU day
     * frame), mirroring `q_active_users` exactly.
     */
+  /** Per-day integer HLL readout over a (day, j, m_j) register frame —
+    * the same algebra as [[qHll]], grouped by day. Shared by the batch
+    * [[qActiveUsersHll]] and the live-store consumer
+    * [[graft.streaming.StreamingDau.trailingEstimates]], so the two
+    * paths agree by construction.
+    */
+  private[graft] def hllDayEstimate(regsW: DataFrame, out: String): DataFrame =
+    regsW.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT)," +
+          s" CAST($HLL_SCALE - m_j AS INT))")).as("z_present"))
+      .select(col("day"), expr(
+        s"(709 * ${HLL_M * HLL_M} * ${1L << HLL_SCALE}L) div" +
+          s" ((z_present + ($HLL_M - n_present) * ${1L << HLL_SCALE}L)" +
+          s" * 1000)").as(out))
+
+  /** Register-wise max of a (day, j, m_j) frame across each trailing
+    * `w`-day window ending at `day` (capped at the frame's max day) —
+    * the HLL OR-merge that turns the per-day store into WAU/MAU
+    * registers. The fanout unit is the 64-row-per-day register frame,
+    * never the corpus.
+    */
+  private[graft] def hllTrailingMerge(regs: DataFrame, w: Int): DataFrame = {
+    val span = regs.agg(max(col("day")).as("max_day"))
+    regs.crossJoin(broadcast(span))
+      .select(col("j"), col("m_j"),
+        explode(expr(s"sequence(day, least(day + ${w - 1}, max_day))"))
+          .as("day"))
+      .groupBy(col("day"), col("j")).agg(max(col("m_j")).as("m_j"))
+  }
+
   private def qActiveUsersHll(s: SparkSession, d: String): DataFrame = {
     val ud = Tables.events(s, d)
       .select(col("user_id"),
@@ -610,23 +641,9 @@ object Sketches {
       .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m_j"))
       .localCheckpoint(true) // 64·days rows feed three estimates
     val span = regs.agg(max(col("day")).as("max_day"))
-    // Register-wise max across the trailing window, then the integer
-    // HLL readout per day (same algebra as qHll, grouped by day).
     def estimate(regsW: DataFrame, out: String): DataFrame =
-      regsW.groupBy(col("day"))
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT)," +
-            s" CAST($HLL_SCALE - m_j AS INT))")).as("z_present"))
-        .select(col("day"), expr(
-          s"(709 * ${HLL_M * HLL_M} * ${1L << HLL_SCALE}L) div" +
-            s" ((z_present + ($HLL_M - n_present) * ${1L << HLL_SCALE}L)" +
-            s" * 1000)").as(out))
-    def merged(w: Int): DataFrame =
-      regs.crossJoin(broadcast(span))
-        .select(col("j"), col("m_j"),
-          explode(expr(s"sequence(day, least(day + ${w - 1}, max_day))"))
-            .as("day"))
-        .groupBy(col("day"), col("j")).agg(max(col("m_j")).as("m_j"))
+      hllDayEstimate(regsW, out)
+    def merged(w: Int): DataFrame = hllTrailingMerge(regs, w)
     // Exact trailing distincts — the calibration columns.
     val udCk = ud.localCheckpoint(true)
     def exact(w: Int, out: String): DataFrame =
@@ -757,6 +774,16 @@ object Sketches {
     val counts = Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // feeds exact, top-K, and totals
+    selfjoinEstFromCounts(counts)
+  }
+
+  /** The estimator arithmetic over a pre-aggregated `(user_id, c)`
+    * frame — split out so the overflow regime (Σc² > 2⁶³, unreachable
+    * by materializing rows in a test) is unit-testable with synthetic
+    * counts.
+    */
+  private[llm] def selfjoinEstFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     val exact = counts.agg(
       sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2_exact"),
       count(lit(1)).as("n_users"), sum(col("c")).as("n_rows"))
@@ -764,19 +791,31 @@ object Sketches {
       .limit(SJ_TOPK)
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2_top"),
         count(lit(1)).as("k"), sum(col("c")).as("top_rows"))
+    // f2_* stay DECIMAL(38,0) all the way OUT — a final BIGINT cast
+    // would go NULL (Spark, non-ANSI) / error (DuckDB) exactly at the
+    // warehouse volumes this query exists for. The tail quotient must
+    // NOT use `div`: IntegralDivide always returns BIGINT, so a
+    // quotient past 2⁶³ (tail² ≈ 10¹⁹ already does it) silently wraps
+    // mod 2⁶⁴. `(x - pmod(x, m)) / m` is the same floor division kept
+    // in decimal — the subtraction makes the divide exact, so the
+    // decimal(38,6) division result is integral and the outer cast is
+    // lossless. Holds inside 38 digits up to F₂ ≈ 10³² (n_rows ≈ 10¹⁶
+    // events); err_ppm's ·10⁶ product likewise.
     exact.crossJoin(broadcast(top))
       .select(
-        expr("CAST(f2_exact AS BIGINT)").as("f2_exact"),
-        expr("""CAST(f2_top +
+        expr("CAST(f2_exact AS DECIMAL(38,0))").as("f2_exact"),
+        expr("""CAST(f2_top + (
                |  CAST(n_rows - top_rows AS DECIMAL(38,0))
                |    * (n_rows - top_rows)
-               |    div greatest(n_users - k, 1) AS BIGINT)"""
+               |  - pmod(CAST(n_rows - top_rows AS DECIMAL(38,0))
+               |      * (n_rows - top_rows), greatest(n_users - k, 1))
+               |) / greatest(n_users - k, 1) AS DECIMAL(38,0))"""
           .stripMargin.replace("\n", " ")).as("f2_est"),
         col("n_users"), col("n_rows"))
       .select(col("f2_exact"), col("f2_est"), col("n_users"),
         col("n_rows"),
-        expr("abs(f2_est - f2_exact) * 1000000 div f2_exact")
-          .as("err_ppm"))
+        expr("CAST(abs(f2_est - f2_exact) * 1000000 div f2_exact" +
+          " AS BIGINT)").as("err_ppm"))
   }
 
   private val qSelfjoinEstSql: String =
@@ -795,14 +834,14 @@ object Sketches {
        |  FROM (
        |    SELECT c, user_id FROM counts
        |    ORDER BY c DESC, user_id LIMIT $SJ_TOPK))
-       |SELECT CAST(f2_exact AS BIGINT) AS f2_exact,
+       |SELECT CAST(f2_exact AS DECIMAL(38,0)) AS f2_exact,
        |  CAST(f2_top +
        |    CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
-       |      // greatest(n_users - k, 1) AS BIGINT) AS f2_est,
+       |      // greatest(n_users - k, 1) AS DECIMAL(38,0)) AS f2_est,
        |  n_users, n_rows,
        |  CAST(abs(CAST(f2_top +
        |      CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
-       |        // greatest(n_users - k, 1) AS BIGINT) - f2_exact)
+       |        // greatest(n_users - k, 1) AS HUGEINT) - f2_exact)
        |    * 1000000 // f2_exact AS BIGINT) AS err_ppm
        |FROM exact, top""".stripMargin
 

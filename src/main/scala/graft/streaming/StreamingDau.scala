@@ -43,4 +43,22 @@ object StreamingDau {
     h.select(col("day"), jc.as("j"), rhoc.as("rho"))
       .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m_j"))
   }
+
+  /** Trailing `w`-day active-user estimates off the LIVE register
+    * store: register-wise max across each trailing window, then the
+    * per-day integer HLL readout — both delegated to the exact
+    * functions the oracle-checked batch `q_active_users_hll` runs
+    * ([[graft.llm.Sketches.hllTrailingMerge]] /
+    * [[graft.llm.Sketches.hllDayEstimate]]), so the live readout and
+    * the batch recompute agree by construction (pinned in
+    * `StreamingDauSpec`). `regTable` is the materialized (day, j, m_j)
+    * sink of [[registers]] — 64 rows per active day, so this merge
+    * reads O(days·64·w) longs regardless of event volume; run it as a
+    * cheap batch over the store after any micro-batch, the standard
+    * lambda-free serving pattern for sketch stores.
+    */
+  def trailingEstimates(regTable: DataFrame, w: Int,
+      out: String): DataFrame =
+    graft.llm.Sketches.hllDayEstimate(
+      graft.llm.Sketches.hllTrailingMerge(regTable, w), out)
 }

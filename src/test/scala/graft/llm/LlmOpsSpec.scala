@@ -323,6 +323,30 @@ class LlmOpsSpec extends SparkSpec {
     aiffBad(16) = 0xff.toByte; aiffBad(17) = 0xff.toByte
     aiffBad(18) = 0xff.toByte; aiffBad(19) = 0xf8.toByte // len = -8
     assert(Multimodal.decodeAiff(aiffBad).isEmpty)
+
+    // corrupt 80-bit exponent: |shift| > 63 would WRAP through Scala's
+    // 6-bit shift-count mask into a garbage nonzero rate — the decoder
+    // must return None, never an invented duration. Sweep both sides
+    // of the wrap boundary plus the extremes.
+    for (badExp <- Seq(16383 + 31 + 64, 16383 + 31 + 70, 0x7fff,
+        16383 + 31 - 64, 16383 + 31 - 70, 1)) {
+      val aiffWrap = aiff.clone()
+      aiffWrap(c + 8) = ((badExp >> 8) & 0xff).toByte
+      aiffWrap(c + 9) = (badExp & 0xff).toByte
+      assert(Multimodal.decodeAiff(aiffWrap).isEmpty,
+        s"exp=$badExp must not decode")
+    }
+    // the boundary itself is still legal: shift = +63 / -63 flush the
+    // mantissa but do not wrap — rate 0 ⇒ None via the rate>0 guard,
+    // exercised without tripping the new range check
+    for (edgeExp <- Seq(16383 + 31 + 63, 16383 + 31 - 63)) {
+      val aiffEdge = aiff.clone()
+      aiffEdge(c + 8) = ((edgeExp >> 8) & 0xff).toByte
+      aiffEdge(c + 9) = (edgeExp & 0xff).toByte
+      // mantHi << 63 and mantHi >> 63 both yield a non-positive rate
+      // for the test mantissa; either way: no invented duration
+      assert(Multimodal.decodeAiff(aiffEdge).isEmpty)
+    }
   }
 
   test("multimodal: MP3 frame-header + ID3 skip and Ogg granule durations") {
@@ -370,6 +394,25 @@ class LlmOpsSpec extends SparkSpec {
     oggPage(opus, 120, 96000L, 0)
     assert(Multimodal.decodeOgg(opus).contains(2000L))
     assert(Multimodal.decodeOgg("OggSxxxx".getBytes).isEmpty)
+
+    // false sync: the bytes "OggS" inside page BODY data after the true
+    // last page must not be trusted — its "version byte" (here 0x7f)
+    // fails the header sanity check and the backward scan continues to
+    // the real page at 120
+    val falseSync = ogg.clone()
+    "OggS".getBytes("US-ASCII").copyToArray(falseSync, 160)
+    falseSync(164) = 0x7f // not a valid stream-structure version
+    java.util.Arrays.fill(falseSync, 166, 174, 0x5a.toByte) // junk granule
+    assert(Multimodal.decodeOgg(falseSync).contains(2000L))
+
+    // a structurally valid trailing page with granule -1 ("no packet
+    // completes on this page") must not abort the decode — the scan
+    // falls back to the previous page's granule
+    val contPage = new Array[Byte](240)
+    ogg.copyToArray(contPage, 0)
+    oggPage(contPage, 200, -1L, 0)
+    contPage(205) = 0x01 // continuation flag — still a sane header
+    assert(Multimodal.decodeOgg(contPage).contains(2000L))
 
     // dispatch routes both through the audio arm
     assert(Multimodal.decode("audio", id3) == ((0, 0, 1024L)))

@@ -131,4 +131,29 @@ class SketchesSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => math.max(x, y) })
     assert(merged.toSeq == whole.toSeq)
   }
+
+  test("selfjoin est: F2 past int64 stays exact in DECIMAL(38,0)") {
+    // Σc² > 2⁶³ is unreachable by materializing rows, so feed the
+    // estimator synthetic per-user counts directly. 50 heavy users at
+    // c = 4e9 plus a perfectly uniform 10-user tail at c = 1e9:
+    //   f2_exact = 50·(4e9)² + 10·(1e9)² = 8.1e20  (≈ 88× int64 max)
+    // and the uniform tail makes the heavy-hitter estimate EXACT, so
+    // both f2 columns must carry the same 21-digit decimal and
+    // err_ppm = 0. A BIGINT route would have gone NULL here.
+    val heavy = 4000000000L; val tail = 1000000000L
+    val counts = ((1L to 50L).map(u => (u, heavy)) ++
+      (51L to 60L).map(u => (u, tail))).toDF("user_id", "c")
+    val r = Sketches.selfjoinEstFromCounts(counts).collect().head
+    val expected = BigInt(50) * BigInt(heavy) * BigInt(heavy) +
+      BigInt(10) * BigInt(tail) * BigInt(tail)
+    assert(expected > BigInt(Long.MaxValue)) // the regime under test
+    val f2Exact = r.getAs[java.math.BigDecimal]("f2_exact")
+    val f2Est = r.getAs[java.math.BigDecimal]("f2_est")
+    assert(f2Exact != null && f2Est != null, "decimal route went NULL")
+    assert(BigInt(f2Exact.toBigInteger) == expected)
+    assert(BigInt(f2Est.toBigInteger) == expected)
+    assert(r.getAs[Long]("err_ppm") == 0L)
+    assert(r.getAs[Long]("n_users") == 60L)
+    assert(r.getAs[Long]("n_rows") == 50L * heavy + 10L * tail)
+  }
 }

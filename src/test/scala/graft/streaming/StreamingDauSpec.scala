@@ -57,6 +57,33 @@ class StreamingDauSpec extends SparkSpec {
       val perDay = batch.keySet.groupBy(_._1).view.mapValues(_.size)
       assert(perDay.values.forall(_ <= 64))
       assert(perDay.size > 5) // multiple active days exercised
+
+      // Trailing ×7/×28 merge off the LIVE store == the oracle-checked
+      // batch query's estimate columns, day for day. The streamed
+      // register table (latest max per (day, j)) is what a serving job
+      // reads; q_active_users_hll is the batch recompute of the same
+      // corpus — the two must agree exactly, including on the replayed
+      // (at-least-once) delivery above.
+      val store = streamed.toSeq
+        .map { case ((day, j), m) => (day, j, m) }
+        .toDF("day", "j", "m_j")
+      def est(w: Int, out: String): Map[Long, Long] =
+        StreamingDau.trailingEstimates(store, w, out)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val live7 = est(7, "est_wau"); val live28 = est(28, "est_mau")
+      val liveDau = est(1, "est_dau")
+      val batchQ = graft.llm.Sketches
+        .queries("q_active_users_hll")(spark, sf())
+        .select(col("day"), col("est_dau"), col("est_wau"),
+          col("est_mau"))
+        .collect()
+      assert(batchQ.nonEmpty)
+      batchQ.foreach { r =>
+        val day = r.getLong(0)
+        assert(liveDau(day) == r.getLong(1), s"est_dau day $day")
+        assert(live7(day) == r.getLong(2), s"est_wau day $day")
+        assert(live28(day) == r.getLong(3), s"est_mau day $day")
+      }
     } finally q.stop()
   }
 }

@@ -21,11 +21,12 @@ def main():
     w1 = json.load(open(sys.argv[4]))
     thr = float(sys.argv[5]) if len(sys.argv) > 5 else 15.0
     rows = []
+    failed = []
     for q in sorted(c01):
         if q not in c1:
             continue
         if min(c01[q], w01[q], c1[q], w1[q]) < 0:
-            rows.append((float("inf"), q, c01[q], c1[q], 0, w01[q], w1[q], 0))
+            failed.append(q)
             continue
         cr = c1[q] / max(c01[q], 0.1)
         wr = w1[q] / max(w01[q], 0.1)
@@ -36,13 +37,20 @@ def main():
     for _, q, a, b, cr, c, d, wr in rows:
         print(f"| {q} | {a:.2f} | {b:.2f} | {cr:.1f} | "
               f"{c:.2f} | {d:.2f} | {wr:.1f} |")
+    for q in failed:
+        print(f"| {q} | FAILED | FAILED | - | FAILED | FAILED | - |")
     bad = [(q, wr) for wr, q, *_ in rows if wr > thr]
     tc01 = sum(v for v in c01.values() if v >= 0)
     tc1 = sum(v for v in c1.values() if v >= 0)
     tw01 = sum(v for v in w01.values() if v >= 0)
     tw1 = sum(v for v in w1.values() if v >= 0)
-    print(f"\ntotals: cold {tc01:.1f}s -> {tc1:.1f}s ({tc1/tc01:.1f}x), "
-          f"warm {tw01:.1f}s -> {tw1:.1f}s ({tw1/tw01:.1f}x)")
+    def ratio(num, den):
+        return f"{num/den:.1f}x" if den > 0 else "n/a"
+    print(f"\ntotals: cold {tc01:.1f}s -> {tc1:.1f}s ({ratio(tc1, tc01)}), "
+          f"warm {tw01:.1f}s -> {tw1:.1f}s ({ratio(tw1, tw01)})")
+    if failed:
+        print(f"\nFAILED queries (negative time in some profile): "
+              f"{', '.join(failed)}")
     if bad:
         print(f"\nSUPER-LINEAR (> {thr}x warm on 10x data):")
         for q, wr in bad:
