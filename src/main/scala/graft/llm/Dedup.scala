@@ -48,7 +48,7 @@ object Dedup {
       lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % P)
 
-  private[llm] def tokHashSql(t: String): String =
+  private[graft] def tokHashSql(t: String): String =
     s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
        |      list_transform(string_split_regex($t, ''),
        |                     c -> CAST(ascii(c) AS BIGINT))),

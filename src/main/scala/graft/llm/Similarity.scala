@@ -258,13 +258,18 @@ object Similarity {
        |      i -> CAST((i + 1) * ${j + 1} * 2654435761 % 1000003
        |           AS DOUBLE) / 1000003.0 - 0.5))""".stripMargin
 
-  /** The 8-bit bucket as a SQL expression over `embedding` — shared by
-    * the q_ann_lsh histogram and the q_cosine_pairs blocking.
+  /** The bucket over planes [from, until) as a SQL expression over
+    * `embedding`; shared by the q_ann_lsh histogram, the
+    * q_cosine_pairs blocking, and q_ann_beam's two coarse graph
+    * partitionings.
     */
-  private def bucketSql: String =
-    (0 until PLANES)
-      .map(j => s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END")
+  private def bucketSqlRange(from: Int, until: Int): String =
+    (from until until)
+      .map(j =>
+        s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << (j - from)} ELSE 0 END")
       .mkString(" + ")
+
+  private def bucketSql: String = bucketSqlRange(0, PLANES)
 
   private lazy val qAnnLshSql: String =
     s"""SELECT CAST($bucketSql AS BIGINT) AS bucket,
@@ -1262,7 +1267,221 @@ object Similarity {
        |WHERE rnk <= $HAM_K""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_ann_beam
+  /** Graph-ANN (NSW/HNSW-style) search with a recall audit — the
+    * beam-search member of the retrieval stack next to LSH
+    * ([[qAnnLsh]]), IVF ([[qIvfAnn]]) and PQ: a neighbor GRAPH is
+    * built once (each vector's top-[[NSW_M]] cosine neighbors,
+    * symmetrized), and a query walks it — start at an entry point,
+    * repeatedly score the frontier and keep the best [[NSW_BEAM]]
+    * — instead of scanning a partition. Fixed [[NSW_ROUNDS]]
+    * synchronous expansion rounds (the bounded, deterministic batch
+    * analog of HNSW's greedy descent; same unrolled-iteration
+    * discipline as [[graft.ops.Graph]]'s HITS), with every ordering
+    * tie-broken on vec_id so both engines make identical beams.
+    *
+    * Scale: graph construction is PARTITIONED — candidate pairs come
+    * only from shared [[NSW_PLANES]]-bit LSH buckets (plane count
+    * grows with the corpus to bound bucket quadratic, the
+    * [[cosinePairs]] argument), and the per-vector top-M is a
+    * bucket-local window, so the build is the banded-dedup shape,
+    * never all-pairs. TWO independent bucketings feed the edge pool:
+    * a single bucketing would make the graph a disjoint union of
+    * per-bucket cliques (a walk could never leave its start bucket);
+    * edges from a second, independent plane set connect vectors
+    * across the first bucketing's boundaries, which is what makes
+    * the graph navigable (the standard LSH-seeded k-NN-graph
+    * construction). The search side touches ≤ beam·2M candidate
+    * rows per probe per round regardless of corpus size — the whole
+    * point of graph ANN at 100 TB: O(rounds·beam·degree) score
+    * evaluations per query vs IVF's O(N/K) partition scan. Probes are
+    * broadcast; the graph is a maintained table in production.
+    *
+    * Output: per probe, the beam size reached, hits ∩ exact top-5 and
+    * recall@5 in ppm ([[qAnnRecall]]'s audit contract) — so LSH, IVF
+    * and graph retrieval quality are directly comparable.
+    */
+  private val NSW_PLANES = 4
+  private val NSW_M = 4
+  private val NSW_BEAM = 8
+  private val NSW_ROUNDS = 2
+
+  private def qAnnBeam(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    graft.functions.LshBucket.register(s)
+    val planes = typedlit((0 until NSW_PLANES).flatMap(planeLit))
+    val planes2 =
+      typedlit((NSW_PLANES until 2 * NSW_PLANES).flatMap(planeLit))
+    val emb = embWithNorm(s, d)
+      .withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes))
+      .withColumn("bucket2",
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes2))
+      .localCheckpoint(true) // feeds graph build, probes, and scoring
+    // Neighbor graph: candidate pairs from either bucketing (dedup'd
+    // so a pair sharing both buckets scores once), per-vector top-M,
+    // symmetrized.
+    def bucketPairs(b: String): DataFrame = emb.alias("a")
+      .join(emb.alias("b"),
+        col(s"a.$b") === col(s"b.$b") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val cand = bucketPairs("bucket").unionAll(bucketPairs("bucket2"))
+      .distinct()
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    val gtop = cand
+      .join(emb.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("snrm")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dnrm")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(bySrc))
+      .filter(col("rk") <= NSW_M)
+      .select(col("src"), col("dst"))
+    val graph = gtop
+      .unionAll(gtop.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // rescanned once per expansion round
+    val probePred = col("vec_id") < 10
+    val probes = emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"), col("bucket"))
+    // Entry point: the smallest vec_id in the probe's bucket — shares
+    // the probe's hyperplane signs, so the walk starts near the query.
+    val entry = emb.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    var beam = broadcast(probes).join(entry, Seq("bucket"))
+      .select(col("query_id"), col("vec_id"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("query_id"), col("q"),
+        col("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    for (_ <- 1 to NSW_ROUNDS) {
+      val expanded = beam.unionAll(
+        beam.join(graph, col("vec_id") === col("src"))
+          .select(col("query_id"), col("dst").as("vec_id"))).distinct()
+      beam = scored(expanded)
+        .withColumn("rk", row_number().over(byQuery))
+        .filter(col("rk") <= NSW_BEAM)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val finalBeam = scored(beam)
+      .filter(col("vec_id") =!= col("query_id"))
+      .localCheckpoint(true) // feeds n_beam and the top-5 audit
+    val nBeam = finalBeam.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_beam"))
+    val truth = bruteTopK(emb, probeSet(emb, probePred), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = finalBeam
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    emb.filter(probePred).select(col("vec_id").as("query_id"))
+      .join(broadcast(nBeam), Seq("query_id"), "left_outer")
+      .join(broadcast(hits), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_beam"), lit(0L)).as("n_beam"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+  }
+
+  private lazy val qAnnBeamSql: String = {
+    // Unrolled expansion rounds — each one: frontier ∪ graph
+    // neighbors, score against the probe, keep the best NSW_BEAM.
+    def round(prev: String, i: Int): String =
+      s"""x$i AS (
+         |  SELECT query_id, vec_id FROM $prev
+         |  UNION
+         |  SELECT p.query_id, g.dst AS vec_id
+         |  FROM $prev p JOIN g ON g.src = p.vec_id),
+         |s$i AS (
+         |  SELECT x.query_id, x.vec_id,
+         |    ${cosSql("p.q", "e.embedding")} AS cos
+         |  FROM x$i x
+         |  JOIN probes p ON p.query_id = x.query_id
+         |  JOIN b e ON e.vec_id = x.vec_id),
+         |beam$i AS (
+         |  SELECT query_id, vec_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rk FROM s$i)
+         |  WHERE rk <= $NSW_BEAM)""".stripMargin
+    val rounds = (1 to NSW_ROUNDS)
+      .map(i => round(if (i == 1) "beam0" else s"beam${i - 1}", i))
+      .mkString(",\n")
+    s"""WITH brute AS ($qAnnBruteSql),
+       |b AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${bucketSqlRange(0, NSW_PLANES)} AS BIGINT) AS bucket,
+       |    CAST(${bucketSqlRange(NSW_PLANES, 2 * NSW_PLANES)} AS BIGINT)
+       |      AS bucket2
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS src, b2.vec_id AS dst
+       |  FROM b a JOIN b b2
+       |    ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS src, b2.vec_id AS dst
+       |  FROM b a JOIN b b2
+       |    ON a.bucket2 = b2.bucket2 AND a.vec_id <> b2.vec_id),
+       |pairs AS (
+       |  SELECT c.src, c.dst,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN b ea ON ea.vec_id = c.src
+       |  JOIN b eb ON eb.vec_id = c.dst),
+       |gtop AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst ASC) AS rk FROM pairs)
+       |  WHERE rk <= $NSW_M),
+       |g AS (
+       |  SELECT src, dst FROM gtop
+       |  UNION SELECT dst AS src, src AS dst FROM gtop),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q, bucket
+       |  FROM b WHERE vec_id < 10),
+       |ent AS (SELECT bucket, min(vec_id) AS vec_id FROM b GROUP BY 1),
+       |beam0 AS (
+       |  SELECT p.query_id, e.vec_id
+       |  FROM probes p JOIN ent e ON e.bucket = p.bucket),
+       |$rounds,
+       |fin AS (
+       |  SELECT query_id, vec_id, cos FROM beam$NSW_ROUNDS
+       |  WHERE vec_id <> query_id),
+       |nb AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_beam
+       |  FROM fin GROUP BY 1),
+       |top5 AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM fin)
+       |  WHERE rk <= 5),
+       |h AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM top5 t
+       |  JOIN brute br ON br.query_id = t.query_id
+       |              AND br.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT p.query_id,
+       |  coalesce(nb.n_beam, 0) AS n_beam,
+       |  coalesce(h.hits, 0) AS hits,
+       |  coalesce(h.hits, 0) * 1000000 // 5 AS recall_ppm
+       |FROM probes p
+       |LEFT JOIN nb ON nb.query_id = p.query_id
+       |LEFT JOIN h ON h.query_id = p.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_beam"     -> qAnnBeam _,
     "q_hamming_ann"  -> qHammingAnn _,
     "q_mrl_recall"   -> qMrlRecall _,
     "q_multiprobe"   -> qMultiprobe _,
@@ -1283,6 +1502,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_beam"     -> qAnnBeamSql,
     "q_hamming_ann"  -> qHammingAnnSql,
     "q_mrl_recall"   -> qMrlRecallSql,
     "q_multiprobe"   -> qMultiprobeSql,

@@ -96,13 +96,51 @@ object ModernSql {
     s.sql(s"WITH RECURSIVE $reachRecurseSql")
   }
 
+  // ---------------------------------------------------------- q_sql_surface
+  /** The engine's SQL deployment surface end to end: an exact-dup
+    * fingerprint rollup (the `q_dedup_exact` family's first stage)
+    * written as PLAIN SQL whose `poly_hash` call resolves through
+    * [[graft.GraftExtensions]]'s `injectFunction` — no per-session
+    * `register` call anywhere on this path. This is the proof that
+    * `--conf spark.sql.extensions=graft.GraftExtensions` gives a
+    * SQL-only user the same engine the programmatic API exposes: the
+    * injected builder constructs the identical codegen'd
+    * [[graft.functions.PolyHash]] expression the DataFrame queries
+    * use, so plan and results match by construction. The oracle
+    * recomputes the polynomial hash in DuckDB (`Dedup.tokHashSql`).
+    *
+    * Scale: one map-side hash then a single exchange on the 64-bit
+    * fingerprint — after the projection no text bytes move.
+    */
+  private def qSqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS canonical_id,
+        |  min(n_chars) AS min_chars
+        |FROM (SELECT doc_id, n_chars, poly_hash(lower(text)) AS h
+        |      FROM documents)
+        |GROUP BY h""".stripMargin)
+  }
+
+  private val qSqlSurfaceSql: String =
+    s"""SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS canonical_id,
+       |  min(n_chars) AS min_chars
+       |FROM (SELECT doc_id, n_chars,
+       |        ${graft.llm.Dedup.tokHashSql("lower(text)")} AS h
+       |      FROM documents)
+       |GROUP BY h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_variant" -> qVariant _,
-    "q_reach"   -> qReach _
+    "q_variant"     -> qVariant _,
+    "q_reach"       -> qReach _,
+    "q_sql_surface" -> qSqlSurface _
   )
 
   val oracles: Map[String, String] = Map(
-    "q_variant" -> qVariantSql,
-    "q_reach"   -> reachOracleSql
+    "q_variant"     -> qVariantSql,
+    "q_reach"       -> reachOracleSql,
+    "q_sql_surface" -> qSqlSurfaceSql
   )
 }

@@ -65,6 +65,21 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(err.getMessage.contains("Invalid number of arguments"),
         s"unexpected error: ${err.getMessage}")
       assert(err.getMessage.contains("vec_dot"))
+
+      // a REGISTERED oracle query runs end-to-end on this extension
+      // surface (q_sql_surface is plain SQL whose poly_hash resolves
+      // only through the injection — no register() call on its path),
+      // and its fingerprints agree with the programmatic expression
+      val surf = SparkEntry.queries("q_sql_surface")(ext, sf())
+        .collect()
+      assert(surf.nonEmpty)
+      assert(surf.map(_.getAs[Long]("n_docs")).sum ==
+        Tables.documents(ext, sf()).count())
+      val oneDoc = Tables.documents(ext, sf())
+        .select("doc_id", "text").collect().head
+      val oneHash = graft.functions.PolyHash.hash(
+        oneDoc.getString(1).toLowerCase)
+      assert(surf.exists(r => r.getAs[Long]("h") == oneHash))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -665,6 +665,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(oov >= 100, s"expected >=100 OOV filler docs, got $oov")
   }
 
+  test("ann beam: bounded beam, audit arithmetic, nonzero recall") {
+    val rows = graft.SparkEntry.queries("q_ann_beam")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.length == 10) // one audit row per probe, none dropped
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_beam"); val h = r.getAs[Long]("hits")
+      assert(nb >= 0 && nb <= 8, s"beam must stay within NSW_BEAM: $nb")
+      assert(h >= 0 && h <= math.min(5L, nb))
+      assert(r.getAs[Long]("recall_ppm") == h * 1000000L / 5)
+    }
+    // the two-bucketing graph must actually navigate: across the 10
+    // probes the walk has to surface at least one exact top-5 neighbor
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0)
+  }
+
   test("diverse sample: per-cell quota respected, cells cover corpus") {
     val rows = graft.SparkEntry.queries("q_diverse")(spark, sf()).collect()
     val perCell = rows.groupBy(_.getAs[Long]("centroid_id"))

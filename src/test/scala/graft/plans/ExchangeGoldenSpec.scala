@@ -29,30 +29,39 @@ class ExchangeGoldenSpec extends SparkSpec {
 
   private val goldenPath =
     Paths.get("src/test/resources/exchange_golden.tsv")
+  // Second-scale pins: AQE is off, but plan shape still depends on
+  // STATISTICS — `autoBroadcastJoinThreshold` reads file sizes, so a
+  // join side that is broadcast at sf0.001 can cross the threshold at
+  // 10x data and become a shuffle. Pinning a second scale makes that
+  // crossover an explicit, reviewed diff between the two golden files
+  // instead of a silent surprise on the first big corpus.
+  private val goldenPathSf001 =
+    Paths.get("src/test/resources/exchange_golden_sf0.01.tsv")
 
-  private def planCounts(): Seq[(String, Int, Int)] = {
+  private def planCounts(dir: String): Seq[(String, Int, Int)] = {
     // Session memos (dedup shingle/sig frames, the Gram matrix, the
     // graph edge view) replace whole plan subtrees with checkpointed
     // scans, so a query's exchange count depends on which memos are
     // already built. Reset them and plan in sorted name order — the
     // counts are then a deterministic function of the code, not of
     // which OTHER suite ran first.
-    graft.llm.Dedup.invalidate(sf())
-    graft.llm.Embeddings.invalidate(sf())
-    graft.ops.Graph.invalidate(sf())
+    graft.llm.Dedup.invalidate(dir)
+    graft.llm.Embeddings.invalidate(dir)
+    graft.ops.Graph.invalidate(dir)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val plan = fn(spark, sf()).queryExecution.executedPlan
+      val plan = fn(spark, dir).queryExecution.executedPlan
       val sh = plan.collect { case e: ShuffleExchangeExec => e }.size
       val bc = plan.collect { case e: BroadcastExchangeExec => e }.size
       (name, sh, bc)
     }
   }
 
-  test("per-query exchange counts match the golden pins") {
+  private def checkOrUpdate(dir: String,
+      goldenPath: java.nio.file.Path): Unit = {
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val counts = planCounts()
+      val counts = planCounts(dir)
       if (sys.env.contains("GRAFT_UPDATE_GOLDEN")) {
         val body = counts
           .map { case (n, s, b) => s"$n\t$s\t$b" }.mkString("", "\n", "\n")
@@ -87,5 +96,13 @@ class ExchangeGoldenSpec extends SparkSpec {
             s"registered — regenerate golden")).mkString("\n"))
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("per-query exchange counts match the golden pins") {
+    checkOrUpdate(sf(), goldenPath)
+  }
+
+  test("per-query exchange counts match the sf0.01 golden pins") {
+    checkOrUpdate(sf("sf0.01"), goldenPathSf001)
   }
 }
