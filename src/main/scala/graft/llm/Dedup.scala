@@ -260,8 +260,9 @@ object Dedup {
         .select(lit(r).as("rows_per_band"),
           lit(K / r).as("n_bands"),
           col("n_candidates"), col("n_pass"),
-          expr("n_pass * 1000000 div nullif(n_candidates, 0)")
-            .as("precision_ppm"))
+          // candidate-pair counts can pass 10¹² at corpus scale
+          expr("CAST(n_pass AS DECIMAL(38,0)) * 1000000" +
+            " div nullif(n_candidates, 0)").as("precision_ppm"))
     }.reduce(_.unionAll(_))
   }
 
@@ -289,8 +290,9 @@ object Dedup {
        |  CAST($K // s.r AS INTEGER) AS n_bands,
        |  CAST(count(j.jaccard) AS BIGINT) AS n_candidates,
        |  CAST(sum(CAST(j.jaccard >= 0.5 AS BIGINT)) AS BIGINT) AS n_pass,
-       |  CAST(sum(CAST(j.jaccard >= 0.5 AS BIGINT)) AS BIGINT) * 1000000
-       |    // nullif(CAST(count(j.jaccard) AS BIGINT), 0) AS precision_ppm
+       |  CAST(CAST(sum(CAST(j.jaccard >= 0.5 AS BIGINT)) AS HUGEINT)
+       |    * 1000000 // nullif(CAST(count(j.jaccard) AS BIGINT), 0)
+       |    AS BIGINT) AS precision_ppm
        |FROM shapes s LEFT JOIN j ON j.r = s.r
        |GROUP BY s.r""".stripMargin
 
@@ -319,7 +321,9 @@ object Dedup {
         sum(when(col("jaccard") >= col("threshold_pct") / lit(100.0), 1L)
           .otherwise(0L)).as("n_pass"))
       .withColumn("pass_ppm",
-        expr("n_pass * 1000000 div n_candidates"))
+        // same candidate-volume bound as q_band_shape → decimal
+        expr("CAST(n_pass AS DECIMAL(38,0)) * 1000000" +
+          " div n_candidates"))
   }
 
   private val qDedupSweepSql: String =
@@ -338,9 +342,9 @@ object Dedup {
        |  CAST(count(*) AS BIGINT) AS n_candidates,
        |  CAST(sum(CASE WHEN j.jaccard >= t.threshold_pct / 100.0
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  CAST(sum(CASE WHEN j.jaccard >= t.threshold_pct / 100.0
-       |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-       |    // CAST(count(*) AS BIGINT) AS pass_ppm
+       |  CAST(CAST(sum(CASE WHEN j.jaccard >= t.threshold_pct / 100.0
+       |           THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS pass_ppm
        |FROM j CROSS JOIN t
        |GROUP BY 1""".stripMargin
 

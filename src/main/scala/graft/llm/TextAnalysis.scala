@@ -143,7 +143,10 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      // per-source token counts are corpus-scale (10¹³⁺ at 100 TB) —
+      // the ·10⁶ numerator routes through DECIMAL(38,0)/HUGEINT
+      .withColumn("oov_ppm",
+        expr("CAST(n_oov AS DECIMAL(38,0)) * 1000000 div n_tokens"))
   }
 
   private val qOovRateSql: String =
@@ -159,8 +162,9 @@ object TextAnalysis {
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_oov,
-       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    * 1000000 // CAST(count(*) AS BIGINT) AS oov_ppm
+       |  CAST(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+       |            AS HUGEINT)
+       |    * 1000000 // CAST(count(*) AS BIGINT) AS BIGINT) AS oov_ppm
        |FROM tk LEFT JOIN vocab v ON v.term = tk.term
        |GROUP BY 1""".stripMargin
 
@@ -592,7 +596,9 @@ object TextAnalysis {
         Window.partitionBy()))
       .select(col("rank"), col("token"), col("tf"),
         expr("rank * tf").as("rank_x_freq"),
-        expr("rank * tf * 1000000 div tf1").as("zipf_ppm"))
+        // rank·tf·10⁶ crosses int64 once tf passes ~2·10¹¹ → decimal
+        expr("CAST(rank AS DECIMAL(38,0)) * tf * 1000000 div tf1")
+          .as("zipf_ppm"))
   }
 
   private val qZipfSql: String =
@@ -609,7 +615,7 @@ object TextAnalysis {
       |  FROM v)
       |SELECT rank, token, tf,
       |  CAST(rank * tf AS BIGINT) AS rank_x_freq,
-      |  CAST(rank * tf * 1000000 //
+      |  CAST(CAST(rank AS HUGEINT) * tf * 1000000 //
       |    (SELECT max(CASE WHEN rank = 1 THEN tf END) FROM r) AS BIGINT)
       |    AS zipf_ppm
       |FROM r""".stripMargin
@@ -641,7 +647,9 @@ object TextAnalysis {
     COVERAGE_KS.map(cov).reduce(_ unionAll _)
       .crossJoin(broadcast(tf.agg(sum(col("tf")).as("total_tokens"))))
       .select(col("k"), col("top_tokens"), col("total_tokens"),
-        expr("top_tokens * 1000000 div total_tokens").as("coverage_ppm"))
+        // top_tokens approaches the corpus token count → decimal
+        expr("CAST(top_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div total_tokens").as("coverage_ppm"))
   }
 
   private val qVocabCoverageSql: String = {
@@ -662,7 +670,8 @@ object TextAnalysis {
        |ks AS (
        |  $branches)
        |SELECT CAST(k AS INTEGER) AS k, top_tokens, total_tokens,
-       |  top_tokens * 1000000 // total_tokens AS coverage_ppm
+       |  CAST(CAST(top_tokens AS HUGEINT) * 1000000 // total_tokens
+       |       AS BIGINT) AS coverage_ppm
        |FROM ks, tot""".stripMargin
   }
 
@@ -1190,7 +1199,9 @@ object TextAnalysis {
       .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
       .limit(LM_K)
       .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
-        expr("c_bigram * 1000000 div c_w1").as("p_cond_ppm"))
+        // bigram counts are corpus-scale → decimal numerator
+        expr("CAST(c_bigram AS DECIMAL(38,0)) * 1000000 div c_w1")
+          .as("p_cond_ppm"))
   }
 
   private val qBigramLmSql: String =
@@ -1207,7 +1218,8 @@ object TextAnalysis {
        |  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1
        |  FROM pairs GROUP BY 1)
        |SELECT p.w1, p.w2, p.c_bigram, h.c_w1,
-       |  p.c_bigram * 1000000 // h.c_w1 AS p_cond_ppm
+       |  CAST(CAST(p.c_bigram AS HUGEINT) * 1000000 // h.c_w1 AS BIGINT)
+       |    AS p_cond_ppm
        |FROM pairs p JOIN hist h ON p.w1 = h.w1
        |ORDER BY p.c_bigram DESC, p.w1, p.w2
        |LIMIT $LM_K""".stripMargin
@@ -1804,7 +1816,9 @@ object TextAnalysis {
     docBigrams.join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("c_w1 * 1000000 div c_bigram")).as("total_surprisal"))
+        // c_w1 is a corpus-scale head-word count → decimal numerator
+        sum(expr("CAST(c_w1 AS DECIMAL(38,0)) * 1000000 div c_bigram"))
+          .as("total_surprisal"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("total_surprisal div n_bigrams").as("avg_surprisal_ppm"))
       .orderBy(col("avg_surprisal_ppm").desc, col("doc_id"))
@@ -1830,8 +1844,8 @@ object TextAnalysis {
        |        FROM pairs GROUP BY 1) h ON p.w1 = h.w1),
        |scored AS (
        |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(lm.c_w1 * 1000000 // lm.c_bigram) AS BIGINT)
-       |      AS total_surprisal
+       |    CAST(SUM(CAST(lm.c_w1 AS HUGEINT) * 1000000 // lm.c_bigram)
+       |         AS BIGINT) AS total_surprisal
        |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
        |  GROUP BY 1)
        |SELECT doc_id, n_bigrams,
@@ -1854,9 +1868,9 @@ object TextAnalysis {
     *
     * Scale: one corpus pass to (source, word, count) — map-side
     * combinable — then a vocabulary-sized re-agg per source. The Σc²
-    * and N² products stay in BIGINT; envelope |N|·10³ < 2³¹ ⇒
-    * Σc²·10⁶ < 2⁶³ holds through sf0.1 with 10⁴× margin (at
-    * warehouse scale route the two products through DECIMAL(38,0)).
+    * and N² products route through DECIMAL(38,0)/HUGEINT end to end:
+    * at 100 TB a source holds ~10¹³ tokens, so both cross int64
+    * (Σc² alone can reach 10²⁶); the ppm quotients always fit a long.
     */
   private def qSourceHhi(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1866,11 +1880,14 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        sum(col("c") * col("c")).as("ssq"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ssq"),
         max(col("c")).as("top_c"))
       .select(col("source"), col("n_tokens"), col("n_vocab"),
-        expr("ssq * 1000000 div (n_tokens * n_tokens)").as("hhi_ppm"),
-        expr("top_c * 1000000 div n_tokens").as("top_share_ppm"))
+        expr("ssq * 1000000" +
+          " div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+          .as("hhi_ppm"),
+        expr("CAST(top_c AS DECIMAL(38,0)) * 1000000 div n_tokens")
+          .as("top_share_ppm"))
 
   private val qSourceHhiSql: String =
     """WITH wc AS (
@@ -1882,11 +1899,13 @@ object TextAnalysis {
       |agg AS (
       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
       |    CAST(count(*) AS BIGINT) AS n_vocab,
-      |    CAST(SUM(c * c) AS BIGINT) AS ssq, MAX(c) AS top_c
+      |    SUM(CAST(c AS HUGEINT) * c) AS ssq, MAX(c) AS top_c
       |  FROM cnt GROUP BY 1)
       |SELECT source, n_tokens, n_vocab,
-      |  ssq * 1000000 // (n_tokens * n_tokens) AS hhi_ppm,
-      |  top_c * 1000000 // n_tokens AS top_share_ppm
+      |  CAST(ssq * 1000000 // (CAST(n_tokens AS HUGEINT) * n_tokens)
+      |       AS BIGINT) AS hhi_ppm,
+      |  CAST(CAST(top_c AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+      |    AS top_share_ppm
       |FROM agg""".stripMargin
 
   // ----------------------------------------------------------- q_keyphrases
@@ -1936,7 +1955,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
     val inst = pw.join(stats, Seq("w"))
       .groupBy(col("doc_id"), col("sid"), col("phrase"))
-      .agg(sum(expr("deg * 1000000 div freq")).as("score_ppm"))
+      // deg sums phrase lengths corpus-wide per word → decimal
+      .agg(sum(expr("CAST(deg AS DECIMAL(38,0)) * 1000000 div freq"))
+        .as("score_ppm"))
     val fam = inst.groupBy(col("phrase"))
       .agg(count(lit(1)).as("n_occur"), min(col("score_ppm")).as("score_ppm"))
     fam.orderBy(col("score_ppm").desc, col("n_occur").desc, col("phrase"))
@@ -1973,7 +1994,8 @@ object TextAnalysis {
        |  FROM pw GROUP BY 1),
        |inst AS (
        |  SELECT doc_id, sid, phrase,
-       |    CAST(sum(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+       |    CAST(sum(CAST(deg AS HUGEINT) * 1000000 // freq) AS BIGINT)
+       |      AS score_ppm
        |  FROM pw JOIN stats USING (w) GROUP BY 1, 2, 3),
        |fam AS (
        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,

@@ -167,7 +167,11 @@ object Tokenization {
     * on one language doubles its effective training cost and halves
     * its effective context window). Whitespace words vs the BPE-ish
     * regex segmentation of [[TextAnalysis]]'s token accounting, plus
-    * chars-per-subword; ratios ·10⁶ integer-exact.
+    * chars-per-subword; ratios ·10⁶ integer-exact. The per-language
+    * token/char totals are corpus-scale (~10¹³⁻¹⁴ at 100 TB), so the
+    * ·10⁶ numerators route through DECIMAL(38,0)/HUGEINT — a BIGINT
+    * product wraps silently past 9.2·10¹². Quotients are ppm-bounded,
+    * so the final BIGINT cast is always safe.
     */
   private def qFertility(s: SparkSession, d: String): DataFrame =
     fertility(Tables.documents(s, d))
@@ -182,14 +186,18 @@ object Tokenization {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))).as("subword_tokens"),
         sum(col("n_chars")).as("total_chars"))
       .withColumn("fertility_ppm",
-        expr("subword_tokens * 1000000 div ws_tokens"))
+        expr("CAST(subword_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div ws_tokens"))
       .withColumn("chars_per_subword_ppm",
-        expr("total_chars * 1000000 div subword_tokens"))
+        expr("CAST(total_chars AS DECIMAL(38,0)) * 1000000" +
+          " div subword_tokens"))
 
   private val qFertilitySql: String =
     """SELECT *,
-      |  subword_tokens * 1000000 // ws_tokens AS fertility_ppm,
-      |  total_chars * 1000000 // subword_tokens AS chars_per_subword_ppm
+      |  CAST(CAST(subword_tokens AS HUGEINT) * 1000000 // ws_tokens
+      |       AS BIGINT) AS fertility_ppm,
+      |  CAST(CAST(total_chars AS HUGEINT) * 1000000 // subword_tokens
+      |       AS BIGINT) AS chars_per_subword_ppm
       |FROM (
       |  SELECT lang, count(*) AS n_docs,
       |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
@@ -339,6 +347,8 @@ object Tokenization {
     * boundary filter → span zip); only (hash, size) pairs shuffle,
     * grouped by (h, sz) so a poly-hash collision between
     * different-length chunks cannot make the output order-dependent.
+    * `total_bytes` is the full corpus size (10¹⁴ at 100 TB), so the
+    * dedup-ratio numerator routes through DECIMAL(38,0)/HUGEINT.
     */
   private val CDC_W = 16
   private val CDC_M = 64
@@ -369,7 +379,8 @@ object Tokenization {
         sum(col("n") * col("sz")).as("total_bytes"),
         sum(col("sz").cast("long")).as("distinct_bytes"))
       .withColumn("dedup_ppm",
-        expr("(total_bytes - distinct_bytes) * 1000000 div total_bytes"))
+        expr("CAST(total_bytes - distinct_bytes AS DECIMAL(38,0))" +
+          " * 1000000 div total_bytes"))
   }
 
   private val qContentChunksSql: String =
@@ -401,8 +412,9 @@ object Tokenization {
        |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
        |  CAST(sum(n * sz) AS BIGINT) AS total_bytes,
        |  CAST(sum(sz) AS BIGINT) AS distinct_bytes,
-       |  (CAST(sum(n * sz) AS BIGINT) - CAST(sum(sz) AS BIGINT)) * 1000000
-       |    // CAST(sum(n * sz) AS BIGINT) AS dedup_ppm
+       |  CAST(CAST(CAST(sum(n * sz) AS BIGINT) - CAST(sum(sz) AS BIGINT)
+       |            AS HUGEINT) * 1000000
+       |    // CAST(sum(n * sz) AS BIGINT) AS BIGINT) AS dedup_ppm
        |FROM byh""".stripMargin
 
   // ------------------------------------------------------------ q_bpe_apply
@@ -467,7 +479,9 @@ object Tokenization {
       .unionAll(symbols(ho3, 3))
       .crossJoin(broadcast(r0.select(col("n_symbols").as("base"))))
       .select(col("round"), col("n_symbols"),
-        expr("n_symbols * 1000000 div base").as("ratio_ppm"))
+        // holdout symbol counts are corpus-scale → DECIMAL(38,0)
+        expr("CAST(n_symbols AS DECIMAL(38,0)) * 1000000 div base")
+          .as("ratio_ppm"))
   }
 
   private val qBpeApplySql: String =
@@ -506,8 +520,9 @@ object Tokenization {
        |  UNION ALL SELECT 2, CAST(sum(c * length(w)) AS BIGINT) FROM ho2
        |  UNION ALL SELECT 3, CAST(sum(c * length(w)) AS BIGINT) FROM ho3)
        |SELECT CAST(round AS INTEGER) AS round, n_symbols,
-       |  n_symbols * 1000000
-       |    // (SELECT n_symbols FROM r WHERE round = 0) AS ratio_ppm
+       |  CAST(CAST(n_symbols AS HUGEINT) * 1000000
+       |    // (SELECT n_symbols FROM r WHERE round = 0) AS BIGINT)
+       |    AS ratio_ppm
        |FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -969,8 +969,10 @@ object Graph {
       .join(tri, Seq("v"), "left")
       .select(col("v").as("supplier"), col("d").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        expr("2 * coalesce(n_triangles, CAST(0 AS BIGINT)) * 1000000" +
-          " div (d * (d - 1))").as("cc_ppm"))
+        // per-vertex triangle counts reach d²/2 → decimal numerator
+        expr("CAST(2 AS DECIMAL(38,0))" +
+          " * coalesce(n_triangles, CAST(0 AS BIGINT)) * 1000000" +
+          " div (CAST(d AS DECIMAL(38,0)) * (d - 1))").as("cc_ppm"))
   }
 
   private val qLocalCcSql: String =
@@ -1001,8 +1003,8 @@ object Graph {
        |  GROUP BY 1)
        |SELECT deg.v AS supplier, deg.d AS degree,
        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
-       |  CAST(2 * coalesce(tc.n_triangles, 0) * 1000000
-       |    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+       |  CAST(CAST(2 AS HUGEINT) * coalesce(tc.n_triangles, 0) * 1000000
+       |    // (CAST(deg.d AS HUGEINT) * (deg.d - 1)) AS BIGINT) AS cc_ppm
        |FROM deg LEFT JOIN tc ON tc.v = deg.v
        |WHERE deg.d >= 2""".stripMargin
 

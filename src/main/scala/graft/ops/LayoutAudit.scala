@@ -71,7 +71,10 @@ object LayoutAudit {
       .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
       .select(lit(c).as("col_name"), lit(layout).as("layout"),
         lit(F).as("n_files"), col("n_distinct"),
-        expr(s"cover * 1000000 div (n_distinct * $F)").as("avg_cover_ppm"))
+        // cover ≤ n_distinct·F with n_distinct row-scale → decimal
+        expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
+          s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
+          .as("avg_cover_ppm"))
   }
 
   private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
@@ -100,7 +103,8 @@ object LayoutAudit {
       s"""SELECT '$c' AS col_name, '$layout' AS layout,
          |  CAST($F AS BIGINT) AS n_files,
          |  CAST(count(*) AS BIGINT) AS n_distinct,
-         |  CAST(sum(nf) * 1000000 // (count(*) * $F) AS BIGINT)
+         |  CAST(CAST(sum(nf) AS HUGEINT) * 1000000
+         |    // (CAST(count(*) AS HUGEINT) * $F) AS BIGINT)
          |    AS avg_cover_ppm
          |FROM (
          |  SELECT dv.v, CAST(count(*) AS BIGINT) AS nf
@@ -181,7 +185,9 @@ object LayoutAudit {
         .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
         .select(lit(layout).as("layout"), lit(dim).as("probe_dim"),
           col("n_distinct"),
-          expr(s"cover * 1000000 div (n_distinct * $F)")
+          // same row-scale cover bound as q_cluster_depth → decimal
+          expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
+            s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
             .as("avg_cover_ppm"))
     }
     Seq(
@@ -198,7 +204,8 @@ object LayoutAudit {
     def one(layout: String, fileCol: String, dim: String): String =
       s"""SELECT '$layout' AS layout, '$dim' AS probe_dim,
          |  CAST(count(*) AS BIGINT) AS n_distinct,
-         |  CAST(sum(nf) * 1000000 // (count(*) * $F) AS BIGINT)
+         |  CAST(CAST(sum(nf) AS HUGEINT) * 1000000
+         |    // (CAST(count(*) AS HUGEINT) * $F) AS BIGINT)
          |    AS avg_cover_ppm
          |FROM (
          |  SELECT dv.v, CAST(count(*) AS BIGINT) AS nf

@@ -650,7 +650,11 @@ object Operational {
         sum(abs(col("x") - col("x7"))).as("abs_err_scaled"),
         sum(col("x")).as("actual_scaled"))
       .select(col("event_type"), col("n_backtest"),
-        expr("abs_err_scaled * 1000000 div actual_scaled").as("mape_ppm"))
+        // the ×10⁴-scaled revenue totals are corpus-scale — the ·10⁶
+        // numerator routes through DECIMAL(38,0) (BIGINT wraps past
+        // Σ|err| ≈ 9.2·10¹²); the ppm quotient always fits a long
+        expr("CAST(abs_err_scaled AS DECIMAL(38,0)) * 1000000" +
+          " div actual_scaled").as("mape_ppm"))
   }
 
   private val qForecastNaiveSql: String =
@@ -664,7 +668,8 @@ object Operational {
       |  JOIN daily b ON b.event_type = a.event_type
       |               AND b.day = a.day - 7)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
-      |  CAST(sum(abs(x - x7)) * 1000000 // sum(x) AS BIGINT) AS mape_ppm
+      |  CAST(CAST(sum(abs(x - x7)) AS HUGEINT) * 1000000 // sum(x)
+      |       AS BIGINT) AS mape_ppm
       |FROM bt GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------- q_heavy_users
@@ -696,7 +701,9 @@ object Operational {
         .select(lit(k).cast(IntegerType).as("top_k"),
           col("k_eff").cast(IntegerType).as("k_eff"),
           col("n_users"), col("top_n"), col("total"),
-          expr("top_n * 1000000 div total").as("share_ppm"))
+          // top_n can reach 10¹¹⁺ events on skewed corpora → decimal
+          expr("CAST(top_n AS DECIMAL(38,0)) * 1000000 div total")
+            .as("share_ppm"))
     }.reduce(_.unionAll(_))
   }
 
@@ -707,7 +714,7 @@ object Operational {
          |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_users,
          |  CAST(sum(n) AS BIGINT) AS top_n,
          |  (SELECT CAST(sum(n) AS BIGINT) FROM per) AS total,
-         |  CAST(sum(n) * 1000000 //
+         |  CAST(CAST(sum(n) AS HUGEINT) * 1000000 //
          |    (SELECT sum(n) FROM per) AS BIGINT) AS share_ppm
          |FROM (SELECT n FROM per ORDER BY n DESC, user_id LIMIT $k)"""
         .stripMargin
@@ -927,7 +934,9 @@ object Operational {
     val tot = hist.agg(sum(col("n_sessions")).as("t"))
     hist.crossJoin(broadcast(tot))
       .select(col("n_events"), col("n_sessions"),
-        expr("n_sessions * 1000000 div t").as("share_ppm"))
+        // the bounce bucket holds most of 10¹¹⁺ sessions → decimal
+        expr("CAST(n_sessions AS DECIMAL(38,0)) * 1000000 div t")
+          .as("share_ppm"))
   }
 
   private val qSessionStatsSql: String =
@@ -954,7 +963,8 @@ object Operational {
       |  SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
       |  FROM sized GROUP BY 1)
       |SELECT n_events, n_sessions,
-      |  CAST(n_sessions * 1000000 // (SELECT sum(n_sessions) FROM hist)
+      |  CAST(CAST(n_sessions AS HUGEINT) * 1000000
+      |       // (SELECT sum(n_sessions) FROM hist)
       |       AS BIGINT) AS share_ppm
       |FROM hist""".stripMargin
 
@@ -1099,7 +1109,9 @@ object Operational {
         Window.orderBy(col("bucket"))))
       .crossJoin(broadcast(tot))
       .select(col("bucket"), col("n"),
-        expr("cum * 1000000 div t").as("cum_share_ppm"))
+        // cum reaches the full gap count (≈ event count) → decimal
+        expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div t")
+          .as("cum_share_ppm"))
   }
 
   private val qGapHistogramSql: String =
@@ -1116,7 +1128,7 @@ object Operational {
       |    AS bucket, CAST(count(*) AS BIGINT) AS n
       |  FROM gaps GROUP BY 1)
       |SELECT bucket, n,
-      |  CAST(CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) * 1000000
+      |  CAST(CAST(sum(n) OVER (ORDER BY bucket) AS HUGEINT) * 1000000
       |       // (SELECT sum(n) FROM hist) AS BIGINT) AS cum_share_ppm
       |FROM hist""".stripMargin
 
@@ -1255,7 +1267,9 @@ object Operational {
       .withColumn("rk", row_number().over(
         byType.orderBy(col("n").desc, col("dow"))))
       .select(col("event_type"), col("dow"), col("n"),
-        expr("n * 1000000 div total").as("share_ppm"),
+        // per-(type,dow) counts are corpus-scale → decimal
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 div total")
+          .as("share_ppm"),
         (col("rk") === 1).as("is_peak"))
   }
 
@@ -1266,7 +1280,8 @@ object Operational {
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, dow, n,
-      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT)
+      |    AS share_ppm,
       |  rk = 1 AS is_peak
       |FROM (
       |  SELECT *,
@@ -1286,11 +1301,18 @@ object Operational {
     * ~45 % of users at every SF, so both table margins are
     * non-degenerate). χ² for the 2×2 table in
     * the [[qChi2]]-style integer form `n·(ad−bc)²·10⁶ /
-    * (margin products)`, routed through DECIMAL(38,0)/HUGEINT —
-    * exact to ~10⁷ users per cell (beyond that, divide all cells by
-    * a common factor first; the decision threshold is scale-free).
-    * `significant` compares against χ²₍0.05,1₎ = 3.841459 ×10⁶ as an
-    * integer — no float boundary to disagree on.
+    * (margin products)`, routed through DECIMAL(38,0)/HUGEINT with a
+    * SPLIT division: the naive single product n·(ad−bc)²·10⁶ crosses
+    * 38 digits at n ≈ 2.7 M subjects — a silent chi2=0 on any
+    * real-sized experiment — so the quotient is computed as
+    * `q·n + (r·n) div den` with `q = (ad−bc)²·10⁶ div den`,
+    * `r` its remainder (exact: q·n is integral, so the floor
+    * distributes), which is exact to n ≈ 4.5·10⁷ subjects in both
+    * engines (the r·n term is the 38-digit governor; beyond that,
+    * divide all cells by a common factor first — the decision
+    * threshold is scale-free). `significant` compares against
+    * χ²₍0.05,1₎ = 3.841459 ×10⁶ as an integer — no float boundary to
+    * disagree on.
     *
     * Scale: one user-keyed aggregation (conversion flag) + one
     * 4-cell global aggregation; partials collapse map-side, the
@@ -1302,27 +1324,44 @@ object Operational {
       .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
         1L).otherwise(0L)).as("converted"))
       .withColumn("variant", (col("user_id") % 2).cast("int"))
-    conv.agg(
+    abTestFromCells(conv.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 0, col("converted")).otherwise(0L))
         .as("conv_a"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === 1, col("converted")).otherwise(0L))
-        .as("conv_b"))
+        .as("conv_b")))
+  }
+
+  /** The χ² arithmetic over a 1-row (n_a, conv_a, n_b, conv_b) cell
+    * frame — split out so the old-overflow regime (n past ~2.7 M
+    * subjects, unreachable by materializing users in a test) is
+    * unit-testable with synthetic cells.
+    */
+  private[ops] def abTestFromCells(cells: DataFrame): DataFrame = {
+    cells
+      .withColumn("dd", expr(
+        """CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)
+          |  - CAST(n_a - conv_a AS DECIMAL(38,0)) * conv_b"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("den", expr(
+        """nullif(CAST(n_a AS DECIMAL(38,0)) * n_b
+          |  * (conv_a + conv_b)
+          |  * ((n_a - conv_a) + (n_b - conv_b)), 0)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("aa", expr("dd * dd * 1000000"))
       .select(col("n_a"), col("conv_a"),
         expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
         col("n_b"), col("conv_b"),
         expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+        // Split division (scaladoc): floor(n·aa/den) = q·n + (r·n) div
+        // den with q integral — never materializes the 5-factor product.
         expr(
           """CAST(coalesce(
-            |  (CAST(n_a + n_b AS DECIMAL(38,0))
-            |   * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-            |   * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-            |   * 1000000)
-            |  div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b
-            |    * (conv_a + conv_b)
-            |    * ((n_a - conv_a) + (n_b - conv_b)), 0),
-            |  0) AS BIGINT)""".stripMargin).as("chi2_ppm"))
+            |  (aa div den) * (n_a + n_b)
+            |  + (pmod(aa, den) * (n_a + n_b)) div den,
+            |  0) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("chi2_ppm"))
       .withColumn("significant", col("chi2_ppm") > 3841459L)
   }
 
@@ -1342,30 +1381,29 @@ object Operational {
       |      AS n_b,
       |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
       |      AS BIGINT) AS conv_b
-      |  FROM conv)
+      |  FROM conv),
+      |terms AS (
+      |  SELECT *,
+      |    (CAST(conv_a AS HUGEINT) * (n_b - conv_b)
+      |     - CAST(n_a - conv_a AS HUGEINT) * conv_b) AS dd,
+      |    nullif(CAST(n_a AS HUGEINT) * n_b
+      |      * (conv_a + conv_b)
+      |      * ((n_a - conv_a) + (n_b - conv_b)), 0) AS den
+      |  FROM cells),
+      |chi AS (
+      |  SELECT *,
+      |    CAST(coalesce(
+      |      (dd * dd * 1000000 // den) * (n_a + n_b)
+      |      + ((dd * dd * 1000000 % den) * (n_a + n_b)) // den,
+      |      0) AS BIGINT) AS chi2_ppm
+      |  FROM terms)
       |SELECT n_a, conv_a,
       |  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
       |  n_b, conv_b,
       |  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
-      |  CAST(coalesce(
-      |    (CAST(n_a + n_b AS HUGEINT)
-      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-      |     * 1000000)
-      |    // nullif(CAST(n_a AS HUGEINT) * n_b
-      |      * (conv_a + conv_b)
-      |      * ((n_a - conv_a) + (n_b - conv_b)), 0),
-      |    0) AS BIGINT) AS chi2_ppm,
-      |  CAST(coalesce(
-      |    (CAST(n_a + n_b AS HUGEINT)
-      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-      |     * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
-      |     * 1000000)
-      |    // nullif(CAST(n_a AS HUGEINT) * n_b
-      |      * (conv_a + conv_b)
-      |      * ((n_a - conv_a) + (n_b - conv_b)), 0),
-      |    0) AS BIGINT) > 3841459 AS significant
-      |FROM cells""".stripMargin
+      |  chi2_ppm,
+      |  chi2_ppm > 3841459 AS significant
+      |FROM chi""".stripMargin
 
   // ------------------------------------------------------------- q_paths
   /** Session path mining — the multi-step extension of
@@ -1745,7 +1783,9 @@ object Operational {
     val total = pairs.agg(sum(col("c")).as("total"))
     pairs.crossJoin(broadcast(total))
       .select(col("prev_type"), col("event_type"), col("c"),
-        expr("c * 1000000 div total").as("share_ppm"))
+        // transition counts approach the event count → decimal
+        expr("CAST(c AS DECIMAL(38,0)) * 1000000 div total")
+          .as("share_ppm"))
   }
 
   private val qTransitionsSql: String =
@@ -1763,7 +1803,8 @@ object Operational {
        |  GROUP BY 1, 2),
        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM pairs)
        |SELECT prev_type, event_type, c,
-       |  c * 1000000 // t.total AS share_ppm
+       |  CAST(CAST(c AS HUGEINT) * 1000000 // t.total AS BIGINT)
+       |    AS share_ppm
        |FROM pairs, t""".stripMargin
 
   // ------------------------------------------------------ q_rolling_median
@@ -1918,7 +1959,9 @@ object Operational {
         .agg(count(lit(1)).as("v")))
     riLi.union(riOrd).union(pk).union(temporal).union(qty).union(price)
       .withColumn("viol_ppm",
-        expr("n_violations * 1000000 div n_checked"))
+        // n_violations is row-scale (10¹³ lineitems at 100 TB)
+        expr("CAST(n_violations AS DECIMAL(38,0)) * 1000000" +
+          " div n_checked"))
   }
 
   private val qConstraintsSql: String =
@@ -1957,7 +2000,8 @@ object Operational {
       |    (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0),
       |    (SELECT n_li FROM n))
       |SELECT "check", n_violations, n_checked,
-      |  (n_violations * 1000000) // n_checked AS viol_ppm
+      |  CAST(CAST(n_violations AS HUGEINT) * 1000000 // n_checked
+      |       AS BIGINT) AS viol_ppm
       |FROM checks""".stripMargin
 
   // -------------------------------------------------------------- q_motif

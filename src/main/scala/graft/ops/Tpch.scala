@@ -288,7 +288,10 @@ object Tpch {
         (col("td") * 10000).cast("long").as("ts"))
       .select((col("ps") / lit(10000.0)).as("promo_revenue"),
         (col("ts") / lit(10000.0)).as("total_revenue"),
-        expr("ps * 1000000 div ts").as("promo_ppm"))
+        // ×10⁴-scaled monthly revenue is ~10¹⁷ at TPC-H sf10⁵ —
+        // the ·10⁶ ppm numerator must go through DECIMAL(38,0)
+        expr("CAST(ps AS DECIMAL(38,0)) * 1000000 div ts")
+          .as("promo_ppm"))
   }
 
   private val qTpch14Sql: String =
@@ -304,7 +307,7 @@ object Tpch {
       |    CAST(SUM(prod) * 10000 AS BIGINT) AS ts
       |  FROM j)
       |SELECT ps / 10000.0 AS promo_revenue, ts / 10000.0 AS total_revenue,
-      |  ps * 1000000 // ts AS promo_ppm
+      |  CAST(CAST(ps AS HUGEINT) * 1000000 // ts AS BIGINT) AS promo_ppm
       |FROM s""".stripMargin
 
   // -------------------------------------------------------------- q_tpch15
@@ -746,7 +749,9 @@ object Tpch {
       .select(col("o_year"),
         (col("ns") / lit(10000.0)).as("nation_revenue"),
         (col("ts") / lit(10000.0)).as("total_revenue"),
-        expr("ns * 1000000 div ts").as("mkt_ppm"))
+        // same DECIMAL(38,0) routing as q_tpch14's promo_ppm
+        expr("CAST(ns AS DECIMAL(38,0)) * 1000000 div ts")
+          .as("mkt_ppm"))
   }
 
   private val qTpch8Sql: String =
@@ -773,7 +778,8 @@ object Tpch {
       |    CAST(SUM(vol) * 10000 AS BIGINT) AS ts
       |  FROM j GROUP BY 1)
       |SELECT o_year, ns / 10000.0 AS nation_revenue,
-      |  ts / 10000.0 AS total_revenue, ns * 1000000 // ts AS mkt_ppm
+      |  ts / 10000.0 AS total_revenue,
+      |  CAST(CAST(ns AS HUGEINT) * 1000000 // ts AS BIGINT) AS mkt_ppm
       |FROM g""".stripMargin
 
   // --------------------------------------------------------------- q_tpch9

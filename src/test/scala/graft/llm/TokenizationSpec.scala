@@ -49,6 +49,26 @@ class TokenizationSpec extends SparkSpec {
     assert(row.getAs[Long]("chars_per_subword_ppm") == 2000000L)
   }
 
+  test("fertility: ratios stay exact past the int64 product bound") {
+    // Three docs carrying 4·10¹² chars each: total_chars = 1.2·10¹³,
+    // so the naive BIGINT product total_chars·10⁶ ≈ 1.2·10¹⁹ wraps
+    // past 2⁶³ ≈ 9.2·10¹⁸ — the regime the DECIMAL(38,0) routing
+    // exists for. Each text is "ab1 cd": 2 ws words, 3 regex subwords.
+    val big = 4L * 1000 * 1000 * 1000 * 1000
+    val docs = Seq(
+      (1L, "ab1 cd", "en", "s1", big),
+      (2L, "ab1 cd", "en", "s1", big),
+      (3L, "ab1 cd", "en", "s1", big)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Tokenization.fertility(docs).collect().head
+    val total = BigInt(big) * 3
+    assert((total * 1000000).toString.length > 19) // past int64
+    assert(row.getAs[Long]("total_chars") == total.toLong)
+    assert(row.getAs[Long]("chars_per_subword_ppm") ==
+      (total * 1000000 / 9).toLong)
+    assert(row.getAs[Long]("fertility_ppm") == 1500000L)
+  }
+
   test("code detect: symbol-dense doc flagged, prose passes") {
     val code = "x = f(a); { y[0] = b; }"   // 10 structural symbols
     val prose = "plain words and one digit 7 only"

@@ -423,4 +423,26 @@ class OperationalSpec extends SparkSpec {
       blocked.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(blockedSet == exactWithin)
   }
+
+  test("ab test: chi2 past the naive 38-digit bound stays exact") {
+    import spark.implicits._
+    // 10 M subjects per arm with a 4.5% -> 7.0% conversion lift — the
+    // regime where the OLD single-product n*(ad-bc)^2*1e6 crossed 38
+    // digits and coalesced to a silent chi2=0 / "not significant".
+    // The split division must report the exact integer chi2 (computed
+    // independently in BigInt below), which is decisively significant.
+    val (na, ca, nb, cb) = (10000000L, 450000L, 10000000L, 700000L)
+    val cells = Seq((na, ca, nb, cb))
+      .toDF("n_a", "conv_a", "n_b", "conv_b")
+    val r = Operational.abTestFromCells(cells).collect().head
+    val d = BigInt(ca) * (nb - cb) - BigInt(na - ca) * cb
+    val den = BigInt(na) * nb * (ca + cb) * ((na - ca) + (nb - cb))
+    val expected = BigInt(na + nb) * d * d * 1000000 / den
+    assert(expected > 0 && expected > 3841459L) // meaningfully significant
+    // the old formulation's product really is out of decimal range
+    assert((BigInt(na + nb) * d * d * 1000000).toString.length > 38)
+    assert(r.getAs[Long]("chi2_ppm") == expected.toLong)
+    assert(r.getAs[Boolean]("significant"))
+    assert(r.getAs[Long]("rate_a_ppm") == ca * 1000000L / na)
+  }
 }
