@@ -1281,11 +1281,17 @@ object Similarity {
     * tie-broken on vec_id so both engines make identical beams.
     *
     * Scale: graph construction is PARTITIONED — candidate pairs come
-    * only from shared [[NSW_PLANES]]-bit LSH buckets (plane count
-    * grows with the corpus to bound bucket quadratic, the
-    * [[cosinePairs]] argument), and the per-vector top-M is a
-    * bucket-local window, so the build is the banded-dedup shape,
-    * never all-pairs. TWO independent bucketings feed the edge pool:
+    * only from shared p-bit LSH buckets where p GROWS WITH THE CORPUS:
+    * p = 1 + |{k ∈ 1..[[NSW_MAX_PLANES]]−1 : n ≥
+    * [[NSW_BUCKET_TARGET]]·2^k}| (integer threshold comparisons from a
+    * broadcast 1-row count — a float log2 could disagree between
+    * engines exactly at power-of-two boundaries), so expected bucket
+    * occupancy stays near the target and the bucket-quadratic build
+    * does ~n·TARGET candidate pairs — linear in the corpus, the
+    * [[cosinePairs]] argument. The full MAXP-plane bucket is computed
+    * once per row and masked to the low p planes (bit j carries weight
+    * 1«j). The per-vector top-M is a bucket-local window, so the
+    * build is the banded-dedup shape, never all-pairs. TWO independent bucketings feed the edge pool:
     * a single bucketing would make the graph a disjoint union of
     * per-bucket cliques (a walk could never leave its start bucket);
     * edges from a second, independent plane set connect vectors
@@ -1301,7 +1307,8 @@ object Similarity {
     * recall@5 in ppm ([[qAnnRecall]]'s audit contract) — so LSH, IVF
     * and graph retrieval quality are directly comparable.
     */
-  private val NSW_PLANES = 4
+  private val NSW_MAX_PLANES = 12
+  private val NSW_BUCKET_TARGET = 250L
   private val NSW_M = 4
   private val NSW_BEAM = 8
   private val NSW_ROUNDS = 2
@@ -1309,14 +1316,25 @@ object Similarity {
   private def qAnnBeam(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecDot.register(s)
     graft.functions.LshBucket.register(s)
-    val planes = typedlit((0 until NSW_PLANES).flatMap(planeLit))
-    val planes2 =
-      typedlit((NSW_PLANES until 2 * NSW_PLANES).flatMap(planeLit))
+    val nVec = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vec"))
+    val pCol = (1 until NSW_MAX_PLANES).map { k =>
+      when(col("n_vec") >= lit(NSW_BUCKET_TARGET << k), lit(1))
+        .otherwise(lit(0))
+    }.reduce(_ + _) + lit(1)
+    val planes = typedlit((0 until NSW_MAX_PLANES).flatMap(planeLit))
+    val planes2 = typedlit(
+      (NSW_MAX_PLANES until 2 * NSW_MAX_PLANES).flatMap(planeLit))
     val emb = embWithNorm(s, d)
+      .crossJoin(broadcast(nVec))
+      .withColumn("p", pCol)
+      .withColumn("nb", expr("shiftleft(1L, cast(p as int))"))
       .withColumn("bucket",
-        graft.functions.LshBucket.lsh_bucket(col("v"), planes))
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes)
+          % col("nb"))
       .withColumn("bucket2",
-        graft.functions.LshBucket.lsh_bucket(col("v"), planes2))
+        graft.functions.LshBucket.lsh_bucket(col("v"), planes2)
+          % col("nb"))
+      .drop("n_vec", "p", "nb")
       .localCheckpoint(true) // feeds graph build, probes, and scoring
     // Neighbor graph: candidate pairs from either bucketing (dedup'd
     // so a pair sharing both buckets scores once), per-vector top-M,
@@ -1417,13 +1435,21 @@ object Similarity {
     val rounds = (1 to NSW_ROUNDS)
       .map(i => round(if (i == 1) "beam0" else s"beam${i - 1}", i))
       .mkString(",\n")
+    val pSql = (1 until NSW_MAX_PLANES)
+      .map(k => s"(CASE WHEN n_vec >= ${NSW_BUCKET_TARGET << k}" +
+        " THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH brute AS ($qAnnBruteSql),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings),
+       |pp AS (SELECT 1 + $pSql AS p FROM n),
        |b AS (
        |  SELECT vec_id, embedding,
-       |    CAST(${bucketSqlRange(0, NSW_PLANES)} AS BIGINT) AS bucket,
-       |    CAST(${bucketSqlRange(NSW_PLANES, 2 * NSW_PLANES)} AS BIGINT)
-       |      AS bucket2
-       |  FROM embeddings),
+       |    CAST(${bucketSqlRange(0, NSW_MAX_PLANES)} AS BIGINT)
+       |      % (CAST(1 AS BIGINT) << p) AS bucket,
+       |    CAST(${bucketSqlRange(NSW_MAX_PLANES, 2 * NSW_MAX_PLANES)}
+       |         AS BIGINT)
+       |      % (CAST(1 AS BIGINT) << p) AS bucket2
+       |  FROM embeddings, pp),
        |cand AS (
        |  SELECT a.vec_id AS src, b2.vec_id AS dst
        |  FROM b a JOIN b b2

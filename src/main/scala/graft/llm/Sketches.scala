@@ -90,7 +90,10 @@ object Sketches {
         when(col("k_used") < KMV_K, col("k_used"))
           .otherwise(expr(s"(${KMV_K - 1} * ${P}L) div kth_min")))
       .withColumn("err_ppm",
-        expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+        // empty corpus: est = exact = 0 → error 0, not divide-by-zero
+        expr("IF(exact_distinct = 0, 0L," +
+          " abs(est_distinct - exact_distinct) * 1000000" +
+          " div exact_distinct)"))
       .select(col("k_used"), col("kth_min"), col("est_distinct"),
         col("exact_distinct"), col("err_ppm"))
   }
@@ -108,7 +111,9 @@ object Sketches {
        |    END AS est_distinct
        |  FROM agg, ex)
        |SELECT k_used, kth_min, est_distinct, exact_distinct,
-       |  (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
+       |  CASE WHEN exact_distinct = 0 THEN 0
+       |       ELSE (abs(est_distinct - exact_distinct) * 1000000)
+       |            // exact_distinct END
        |    AS err_ppm
        |FROM est""".stripMargin
 

@@ -1959,9 +1959,11 @@ object Operational {
         .agg(count(lit(1)).as("v")))
     riLi.union(riOrd).union(pk).union(temporal).union(qty).union(price)
       .withColumn("viol_ppm",
-        // n_violations is row-scale (10¹³ lineitems at 100 TB)
-        expr("CAST(n_violations AS DECIMAL(38,0)) * 1000000" +
-          " div n_checked"))
+        // n_violations is row-scale (10¹³ lineitems at 100 TB);
+        // n_checked = 0 (empty drop) → rate 0, not divide-by-zero
+        expr("IF(n_checked = 0, 0L," +
+          " CAST(n_violations AS DECIMAL(38,0)) * 1000000" +
+          " div n_checked)"))
   }
 
   private val qConstraintsSql: String =
@@ -2000,8 +2002,9 @@ object Operational {
       |    (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0),
       |    (SELECT n_li FROM n))
       |SELECT "check", n_violations, n_checked,
-      |  CAST(CAST(n_violations AS HUGEINT) * 1000000 // n_checked
-      |       AS BIGINT) AS viol_ppm
+      |  CASE WHEN n_checked = 0 THEN 0
+      |       ELSE CAST(CAST(n_violations AS HUGEINT) * 1000000
+      |            // n_checked AS BIGINT) END AS viol_ppm
       |FROM checks""".stripMargin
 
   // -------------------------------------------------------------- q_motif
@@ -3429,7 +3432,7 @@ object Operational {
       """WITH RECURSIVE km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
         |  SELECT t, n_at_risk, d_events, c_censored,
         |    (1000000 * (n_at_risk - d_events)) div n_at_risk
-        |  FROM km_intervals WHERE t = 0
+        |  FROM km_intervals WHERE t = 0 AND n_at_risk > 0
         |  UNION ALL
         |  SELECT i.t, i.n_at_risk, i.d_events, i.c_censored,
         |    (k.s_ppm * (i.n_at_risk - i.d_events)) div i.n_at_risk
@@ -3472,7 +3475,7 @@ object Operational {
        |km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
        |  SELECT t, n_at_risk, d_events, c_censored,
        |    (1000000 * (n_at_risk - d_events)) // n_at_risk
-       |  FROM iv WHERE t = 0
+       |  FROM iv WHERE t = 0 AND n_at_risk > 0
        |  UNION ALL
        |  SELECT i.t, i.n_at_risk, i.d_events, i.c_censored,
        |    (k.s_ppm * (i.n_at_risk - i.d_events)) // i.n_at_risk
