@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.IntegerType
   *
   * The container ships no image/audio codec libraries, so decode is a
   * DISPATCH: real dependency-free header parses for BMP, PNG, JPEG,
-  * GIF, TIFF, and WebP images and WAV/FLAC/AIFF audio ([[decodeBmp]]/[[decodePng]]/
-  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWebp]]/[[decodeWav]]/[[decodeFlac]]/[[decodeAiff]]), a
+  * GIF, TIFF, and WebP images, WAV/FLAC/AIFF/MP3/Ogg audio, and
+  * MP4/ISO-BMFF video ([[decodeBmp]]/[[decodePng]]/
+  * [[decodeJpeg]]/[[decodeGif]]/[[decodeTiff]]/[[decodeWebp]]/[[decodeWav]]/[[decodeFlac]]/[[decodeAiff]]/
+  * [[decodeMp3]]/[[decodeOgg]]/[[decodeMp4]]), a
   * deterministic stub (clearly marked below) for every other format. Everything Spark-side is
   * real: schema, batch shape, partitioning, and the map-partitions
   * execution pattern a Pandas-UDF (`mapInPandas`) pipeline uses —
@@ -411,9 +413,99 @@ object Multimodal {
     None
   }
 
+  private def be64(p: Array[Byte], off: Int): Long =
+    ((be32(p, off).toLong & 0xffffffffL) << 32) |
+      (be32(p, off + 4).toLong & 0xffffffffL)
+
+  /** REAL codec path for MP4 / ISO-BMFF video — the box walk:
+    * `[size:BE32][type:4B]`, where size==1 pulls a BE64 largesize and
+    * size==0 extends the box to the end of the enclosure. The payload
+    * must LEAD with `ftyp` (the ISO-BMFF requirement); duration comes
+    * from `moov`→`mvhd` (v0: u32 timescale + u32 duration at offsets
+    * 12/16 past the fullbox header; v1: u64 times push them to 20/24),
+    * dimensions from the first `moov`→`trak`→`tkhd` carrying nonzero
+    * 16.16-fixed width/height (sound tracks encode 0×0, so the first
+    * nonzero pair IS the video track). Any malformed size — negative,
+    * smaller than its own header, or past the enclosure — rejects the
+    * payload rather than risking a wrap or a stuck walk (the
+    * [[decodeAiff]] negative-length lesson, same law fuzzed by
+    * `MultimodalCodecProps`).
+    */
+  def decodeMp4(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    // Child boxes of [from, to): (type, payloadStart, payloadEnd).
+    // Bails to Nil on any malformed size — a truncated walk must not
+    // return a half-parsed box list a caller would trust.
+    def boxes(from: Int, to: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= to) {
+        val sz32 = be32(payload, off).toLong & 0xffffffffL
+        val id = new String(payload, off + 4, 4, "US-ASCII")
+        val hdr = if (sz32 == 1) 16L else 8L
+        val size =
+          if (sz32 == 0) (to - off).toLong
+          else if (sz32 == 1) {
+            if (off + 16 > to) return Nil
+            be64(payload, off + 8)
+          } else sz32
+        // size is compared against the bounded (to - off), never added
+        // to off first — a 2⁶³-scale largesize would wrap the sum.
+        if (size < hdr || size > (to - off).toLong) return Nil
+        out += ((id, off + hdr.toInt, off + size.toInt))
+        off += size.toInt
+      }
+      out.result()
+    }
+    val top = boxes(0, payload.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.collectFirst { case ("moov", a, b) => (a, b) }
+    moov.flatMap { case (ma, mb) =>
+      val kids = boxes(ma, mb)
+      val dur = kids.collectFirst { case ("mvhd", a, b) => (a, b) }
+        .flatMap { case (a, b) =>
+          if (a >= b || b - a < 20) None
+          else {
+            val v = payload(a) & 0xff
+            val (tsOff, durOff, durLen) =
+              if (v == 1) (20, 24, 8) else (12, 16, 4)
+            if (b - a < durOff + durLen) None
+            else {
+              val ts = be32(payload, a + tsOff).toLong & 0xffffffffL
+              val d =
+                if (durLen == 8) be64(payload, a + durOff)
+                else be32(payload, a + durOff).toLong & 0xffffffffL
+              if (ts > 0 && d > 0 && d <= Long.MaxValue / 1000)
+                Some(d * 1000L / ts)
+              else None
+            }
+          }
+        }
+      val dims = kids.collect { case ("trak", a, b) => boxes(a, b) }
+        .flatMap(_.collectFirst { case ("tkhd", a, b) => (a, b) })
+        .flatMap { case (a, b) =>
+          if (a >= b) None
+          else {
+            val v = payload(a) & 0xff
+            val wOff = if (v == 1) 88 else 76
+            if (b - a < wOff + 8) None
+            else {
+              val w = be32(payload, a + wOff) >>> 16
+              val h = be32(payload, a + wOff + 4) >>> 16
+              if (w > 0 && h > 0) Some((w, h)) else None
+            }
+          }
+        }.headOption
+      dur.map { ms =>
+        val (w, h) = dims.getOrElse((0, 0))
+        (w, h, ms)
+      }
+    }
+  }
+
   /** Codec dispatch: real header parses where the payload is a format
     * this adapter understands (BMP/PNG/JPEG/GIF/TIFF/WebP images, WAV/FLAC/
-    * AIFF/MP3/Ogg audio — all dependency-free), deterministic stub otherwise. This
+    * AIFF/MP3/Ogg audio, MP4/ISO-BMFF video — all dependency-free),
+    * deterministic stub otherwise. This
     * is the full adapter contract a production pipeline fills in per
     * format.
     */
@@ -435,6 +527,8 @@ object Multimodal {
           .orElse(decodeOgg(payload))
           .map(ms => (0, 0, ms))
           .getOrElse(decodeStub(kind, payload))
+      case "video" =>
+        decodeMp4(payload).getOrElse(decodeStub(kind, payload))
       case _ => decodeStub(kind, payload)
     }
 

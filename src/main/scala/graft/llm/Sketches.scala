@@ -806,21 +806,29 @@ object Sketches {
     // decimal(38,6) division result is integral and the outer cast is
     // lossless. Holds inside 38 digits up to F₂ ≈ 10³² (n_rows ≈ 10¹⁶
     // events); err_ppm's ·10⁶ product likewise.
+    // The two F₂ columns leave as canonical STRINGs: precision-38
+    // decimals round-trip differently through different parquet
+    // readers (Decimal object vs float64), so a hash over the raw
+    // column diverges even when the values are bit-identical.
+    // Integer decimal→string is deterministic in both engines; the
+    // DECIMAL(38,0) math above is unchanged.
     exact.crossJoin(broadcast(top))
       .select(
-        expr("CAST(f2_exact AS DECIMAL(38,0))").as("f2_exact"),
+        expr("CAST(f2_exact AS DECIMAL(38,0))").as("f2_exact_dec"),
         expr("""CAST(f2_top + (
                |  CAST(n_rows - top_rows AS DECIMAL(38,0))
                |    * (n_rows - top_rows)
                |  - pmod(CAST(n_rows - top_rows AS DECIMAL(38,0))
                |      * (n_rows - top_rows), greatest(n_users - k, 1))
                |) / greatest(n_users - k, 1) AS DECIMAL(38,0))"""
-          .stripMargin.replace("\n", " ")).as("f2_est"),
+          .stripMargin.replace("\n", " ")).as("f2_est_dec"),
         col("n_users"), col("n_rows"))
-      .select(col("f2_exact"), col("f2_est"), col("n_users"),
-        col("n_rows"),
-        expr("CAST(abs(f2_est - f2_exact) * 1000000 div f2_exact" +
-          " AS BIGINT)").as("err_ppm"))
+      .select(
+        expr("CAST(f2_exact_dec AS STRING)").as("f2_exact"),
+        expr("CAST(f2_est_dec AS STRING)").as("f2_est"),
+        col("n_users"), col("n_rows"),
+        expr("CAST(abs(f2_est_dec - f2_exact_dec) * 1000000" +
+          " div f2_exact_dec AS BIGINT)").as("err_ppm"))
   }
 
   private val qSelfjoinEstSql: String =
@@ -839,10 +847,12 @@ object Sketches {
        |  FROM (
        |    SELECT c, user_id FROM counts
        |    ORDER BY c DESC, user_id LIMIT $SJ_TOPK))
-       |SELECT CAST(f2_exact AS DECIMAL(38,0)) AS f2_exact,
-       |  CAST(f2_top +
+       |SELECT CAST(CAST(f2_exact AS DECIMAL(38,0)) AS VARCHAR)
+       |    AS f2_exact,
+       |  CAST(CAST(f2_top +
        |    CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
-       |      // greatest(n_users - k, 1) AS DECIMAL(38,0)) AS f2_est,
+       |      // greatest(n_users - k, 1) AS DECIMAL(38,0)) AS VARCHAR)
+       |    AS f2_est,
        |  n_users, n_rows,
        |  CAST(abs(CAST(f2_top +
        |      CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)

@@ -132,15 +132,64 @@ object ModernSql {
        |      FROM documents)
        |GROUP BY h""".stripMargin
 
+  // ---------------------------------------------------------- q_sql_neardup
+  /** Near-dup verify written as PLAIN SQL — the deployment proof for
+    * [[graft.plans.LevenshteinThresholdRule]], the optimizer half of
+    * the `spark.sql.extensions=graft.GraftExtensions` surface
+    * ([[qSqlSurface]] proves the injected-FUNCTION half). The query
+    * text carries the natural two-argument predicate
+    * `levenshtein(a, b) <= k`; the injected rule rewrites it to the
+    * banded three-argument form (O(k·len) per pair instead of
+    * O(len²)) — [[graft.plans.LevenshteinRuleSpec]] pins that the
+    * rewrite actually appears in THIS query's optimized plan, so a
+    * regression in rule injection fails a test, not a profile.
+    *
+    * Blocking: pairwise work runs on DISTINCT names (row counts enter
+    * through one aggregation) within shared 4-char-prefix blocks —
+    * the cheap deterministic blocking scheme; candidate pairs are
+    * bounded by block sizes, never all-pairs. The confirmed `dist`
+    * projection recomputes full Levenshtein only on surviving pairs.
+    */
+  private val SQL_LEV_T = 4
+
+  private def qSqlNeardup(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(qSqlNeardupText)
+  }
+
+  /** Shared VERBATIM with the oracle — both engines parse the same
+    * two-arg predicate; only Spark's optimizer sees the banded
+    * rewrite, so the hash compare also pins rewrite ≡ original.
+    */
+  private val qSqlNeardupText: String =
+    s"""WITH names AS (
+       |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+       |  FROM part GROUP BY p_name)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |FROM names a JOIN names b
+       |  ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4)
+       | AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $SQL_LEV_T""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_variant"     -> qVariant _,
     "q_reach"       -> qReach _,
-    "q_sql_surface" -> qSqlSurface _
+    "q_sql_surface" -> qSqlSurface _,
+    "q_sql_neardup" -> qSqlNeardup _
   )
 
   val oracles: Map[String, String] = Map(
     "q_variant"     -> qVariantSql,
     "q_reach"       -> reachOracleSql,
-    "q_sql_surface" -> qSqlSurfaceSql
+    "q_sql_surface" -> qSqlSurfaceSql,
+    "q_sql_neardup" -> qSqlNeardupText
   )
+
+  /** Exposed for [[graft.plans.LevenshteinRuleSpec]]'s plan-shape
+    * assertion (the public surface is the registry entry).
+    */
+  private[graft] def sqlNeardupDf(s: SparkSession, d: String): DataFrame =
+    qSqlNeardup(s, d)
 }

@@ -419,6 +419,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decode("audio", ogg) == ((0, 0, 2000L)))
   }
 
+  test("multimodal: MP4 box walk yields mvhd duration and tkhd dims") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // mvhd v0: timescale 1000, duration 5000 -> 5000 ms
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000))
+    // sound track: tkhd v0 with 0x0 dims (84-byte payload, zeros)
+    val sndTkhd = box("tkhd", new Array[Byte](84))
+    // video track: tkhd v0, width 640.0 height 360.0 in 16.16 fixed
+    val vidPayload = new Array[Byte](84)
+    be32(640L << 16).copyToArray(vidPayload, 76)
+    be32(360L << 16).copyToArray(vidPayload, 80)
+    val vidTkhd = box("tkhd", vidPayload)
+    val moov = box("moov",
+      mvhd ++ box("trak", sndTkhd) ++ box("trak", vidTkhd))
+    val mp4 = ftyp ++ moov
+    assert(Multimodal.decodeMp4(mp4).contains((640, 360, 5000L)))
+    assert(Multimodal.decode("video", mp4) == ((640, 360, 5000L)))
+
+    // mvhd v1: 64-bit times — timescale at +20, u64 duration at +24
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ be32(48000) ++
+        be32(0) ++ be32(96000))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", vidTkhd))
+    assert(Multimodal.decodeMp4(v1).contains((640, 360, 2000L)))
+
+    // tkhd v1: 64-bit times push width to +88
+    val vid1 = new Array[Byte](96)
+    vid1(0) = 1
+    be32(1280L << 16).copyToArray(vid1, 88)
+    be32(720L << 16).copyToArray(vid1, 92)
+    val t1 = ftyp ++ box("moov", mvhd ++ box("trak", box("tkhd", vid1)))
+    assert(Multimodal.decodeMp4(t1).contains((1280, 720, 5000L)))
+
+    // audio-only MP4: duration parses, dims stay 0x0
+    val audioOnly = ftyp ++ box("moov", mvhd ++ box("trak", sndTkhd))
+    assert(Multimodal.decodeMp4(audioOnly).contains((0, 0, 5000L)))
+
+    // largesize (size==1 + BE64) on the moov box
+    val inner = mvhd ++ box("trak", vidTkhd)
+    val large = ftyp ++ (be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be32(0) ++ be32(16L + inner.length) ++ inner)
+    assert(Multimodal.decodeMp4(large).contains((640, 360, 5000L)))
+
+    // guards: no leading ftyp; zero timescale; a child box whose
+    // declared size overruns its enclosure (the stuck-walk class)
+    assert(Multimodal.decodeMp4(moov ++ ftyp).isEmpty)
+    val mvhdZero = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(5000))
+    assert(Multimodal.decodeMp4(
+      ftyp ++ box("moov", mvhdZero)).isEmpty)
+    val overrun = ftyp ++ box("moov",
+      be32(0xffffffL) ++ "mvhd".getBytes("US-ASCII"))
+    assert(Multimodal.decodeMp4(overrun).isEmpty)
+    assert(Multimodal.decodeMp4("not an mp4".getBytes).isEmpty)
+  }
+
   test("multimodal: WebP VP8X/VP8L/VP8 header parses yield true dims") {
     def rif(tag: String): Array[Byte] = {
       val a = new Array[Byte](32)

@@ -48,7 +48,11 @@ object MultimodalCodecProps extends Properties("MultimodalCodecs") {
       "AIFC".getBytes("ISO-8859-1"),
     "ID3".getBytes("ISO-8859-1"),
     Array[Byte](0xff.toByte, 0xfb.toByte),
-    "OggS".getBytes("ISO-8859-1"))
+    "OggS".getBytes("ISO-8859-1"),
+    // A complete 16-byte ftyp box: the MP4 walk commits to ISO-BMFF
+    // and the random tail becomes the NEXT box's size/type fields.
+    Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0))
 
   private val magicPrefixed: Gen[Array[Byte]] =
     for {
@@ -70,7 +74,8 @@ object MultimodalCodecProps extends Properties("MultimodalCodecs") {
     "flac" -> Multimodal.decodeFlac _,
     "aiff" -> Multimodal.decodeAiff _,
     "mp3" -> Multimodal.decodeMp3 _,
-    "ogg" -> Multimodal.decodeOgg _)
+    "ogg" -> Multimodal.decodeOgg _,
+    "mp4" -> Multimodal.decodeMp4 _)
 
   for ((name, dec) <- decoders)
     property(s"$name decoder total on arbitrary bytes") =

@@ -147,11 +147,14 @@ class SketchesSpec extends SparkSpec {
     val expected = BigInt(50) * BigInt(heavy) * BigInt(heavy) +
       BigInt(10) * BigInt(tail) * BigInt(tail)
     assert(expected > BigInt(Long.MaxValue)) // the regime under test
-    val f2Exact = r.getAs[java.math.BigDecimal]("f2_exact")
-    val f2Est = r.getAs[java.math.BigDecimal]("f2_est")
+    // The query emits canonical strings (precision-38 decimals don't
+    // hash stably across parquet readers); parse them back to verify
+    // the internal DECIMAL route carried the full 21 digits.
+    val f2Exact = r.getAs[String]("f2_exact")
+    val f2Est = r.getAs[String]("f2_est")
     assert(f2Exact != null && f2Est != null, "decimal route went NULL")
-    assert(BigInt(f2Exact.toBigInteger) == expected)
-    assert(BigInt(f2Est.toBigInteger) == expected)
+    assert(BigInt(f2Exact) == expected)
+    assert(BigInt(f2Est) == expected)
     assert(r.getAs[Long]("err_ppm") == 0L)
     assert(r.getAs[Long]("n_users") == 60L)
     assert(r.getAs[Long]("n_rows") == 50L * heavy + 10L * tail)

@@ -47,6 +47,7 @@ class ExchangeGoldenSpec extends SparkSpec {
     // which OTHER suite ran first.
     graft.llm.Dedup.invalidate(dir)
     graft.llm.Embeddings.invalidate(dir)
+    graft.llm.Similarity.invalidate(dir)
     graft.ops.Graph.invalidate(dir)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan
