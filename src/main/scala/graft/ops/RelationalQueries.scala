@@ -725,33 +725,60 @@ object RelationalQueries {
     * default: mergeable, bounded memory, one pass; HLL merges are
     * register-wise max — order-independent, so the estimates (and the
     * booleans) are stable under any partitioning.
+    *
+    * Plan shape: the exact distincts and the sketch/percentile
+    * aggregates run as TWO aggregations joined on the 3-row flag
+    * frame, never one. Mixing multi-column `count_distinct` with an
+    * object aggregate in a single `agg` makes Catalyst EXPAND the
+    * input (one replica per distinct column), so the PARTIAL
+    * aggregation's keys become (flag, partkey, suppkey, gid) —
+    * millions of groups at sf1 — and `ObjectHashAggregate` falls back
+    * to sort-based aggregation, allocating a fresh Percentile
+    * hash-map buffer per expanded group over the replicated corpus
+    * (measured: the single-agg form ran 25+ min at sf1 before being
+    * killed; the split form runs the suite's normal seconds — the
+    * round-9 sf1 oracle sweep's headline find). Split, the distinct
+    * pass is plain codegen'd hash aggregation and the object pass
+    * keeps its 3-group hash map, both linear one-shuffle plans.
     */
   private def qApprox(s: SparkSession, d: String): DataFrame = {
-    val exactParts = count_distinct(col("l_partkey"))
-    val exactSupps = count_distinct(col("l_suppkey"))
-    val exactP50   = expr("percentile(l_extendedprice, 0.5)")
-    Tables
-      .lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val exacts = li.groupBy(col("l_returnflag"))
       .agg(
-        exactParts.as("exact_parts"),
-        exactSupps.as("exact_supps"),
-        (abs(approx_count_distinct(col("l_partkey"), 0.01) - exactParts)
-          * lit(20) <= exactParts).as("parts_within_tol"),
-        (abs(approx_count_distinct(col("l_suppkey"), 0.01) - exactSupps)
-          * lit(20) <= exactSupps).as("supps_within_tol"),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_suppkey")).as("exact_supps"),
+        count(lit(1)).as("n_rows"))
+    val sketches = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("apx_supps"),
         // Apache DataSketches HLL: mergeable binary sketch + estimate —
         // the cross-cluster form (sketches union across partitions/days)
-        (abs(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
-          - exactParts) * lit(20) <= exactParts).as("hll_within_tol"),
-        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          - exactP50) <= exactP50 * lit(0.05)).as("p50_within_tol"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("ds_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("apx_p50"),
         // count-min: mergeable frequency sketch over the suppkey stream;
         // bytes are engine-specific, so only its existence is asserted
         expr("count_min_sketch(l_suppkey, 0.01d, 0.95d, 1) IS NOT NULL")
-          .as("cms_built"),
-        count(lit(1)).as("n_rows")
-      )
+          .as("cms_built"))
+    exacts.join(broadcast(sketches), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("apx_parts") - col("exact_parts")) * lit(20)
+          <= col("exact_parts")).as("parts_within_tol"),
+        (abs(col("apx_supps") - col("exact_supps")) * lit(20)
+          <= col("exact_supps")).as("supps_within_tol"),
+        (abs(col("ds_parts") - col("exact_parts")) * lit(20)
+          <= col("exact_parts")).as("hll_within_tol"),
+        (abs(col("apx_p50") - col("exact_p50"))
+          <= col("exact_p50") * lit(0.05)).as("p50_within_tol"),
+        col("cms_built"),
+        col("n_rows"))
   }
 
   private val qApproxSql: String =

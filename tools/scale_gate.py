@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Regression gate for per-query scaling ratios (round-8 verdict #8).
+
+Usage: scale_gate.py <candidate_dir> <reference_dir> [rel_tol] [abs_cap]
+
+Both dirs hold the four profile maps graft.Bench writes, copied as
+  sf01_cold.json sf01_warm.json sf1_cold.json sf1_warm.json
+(the bench/scale_r* layout). For every query the WARM sf0.1->sf1
+ratio is the scaling law under test; the gate fails (exit 1) when a
+query's candidate ratio exceeds BOTH
+  - reference_ratio * rel_tol  (default 1.5: plans drift, hosts are
+    shared; a genuine complexity-class change blows well past 50%), and
+  - a floor of abs_floor (default 3.0: a 0.4x->0.8x wobble on a
+    sub-second query is noise, not a law change),
+or when any query exceeds the hard cap (default 15x on 10x data --
+the round-7 super-linear gate) regardless of reference. Queries new
+since the reference are held only to the hard cap. Sub-100ms sf0.1
+warm times are floored to 100ms exactly as tools/scale_ratios.py does.
+
+This makes "a future plan change reintroduced a super-linear query"
+a failing gate run instead of a surprise on the next manual decade
+run: after each scale bench, copy the four profiles to bench/scale_rN
+and run  tools/scale_gate.py bench/scale_rN bench/scale_r<prev>.
+"""
+import json
+import os
+import sys
+
+ABS_FLOOR = 3.0
+
+
+def load(d):
+    out = {}
+    for name in ("sf01_cold", "sf01_warm", "sf1_cold", "sf1_warm"):
+        with open(os.path.join(d, name + ".json")) as f:
+            out[name] = json.load(f)
+    return out
+
+
+def warm_ratios(p):
+    r = {}
+    for q, v01 in p["sf01_warm"].items():
+        v1 = p["sf1_warm"].get(q)
+        if v1 is None or v01 < 0 or v1 < 0:
+            continue
+        r[q] = v1 / max(v01, 0.1)
+    return r
+
+
+def main():
+    cand_dir, ref_dir = sys.argv[1], sys.argv[2]
+    rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    cap = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
+    cand = warm_ratios(load(cand_dir))
+    ref = warm_ratios(load(ref_dir))
+    failures = []
+    for q, cr in sorted(cand.items()):
+        if cr > cap:
+            failures.append(
+                f"{q}: warm ratio {cr:.1f}x exceeds the hard cap {cap}x")
+        elif q in ref:
+            bound = max(ref[q] * rel_tol, ABS_FLOOR)
+            if cr > bound:
+                failures.append(
+                    f"{q}: warm ratio {cr:.1f}x vs reference "
+                    f"{ref[q]:.1f}x (bound {bound:.1f}x)")
+    n = len(cand)
+    if failures:
+        print(f"SCALE GATE FAIL ({len(failures)}/{n} queries):")
+        for f in failures:
+            print("  " + f)
+        sys.exit(1)
+    print(f"scale gate OK: {n} queries within tolerance "
+          f"(rel {rel_tol}x of reference, floor {ABS_FLOOR}x, "
+          f"cap {cap}x)")
+
+
+if __name__ == "__main__":
+    main()
