@@ -44,24 +44,27 @@ object Det {
   def dsumExact(product: Column): Column =
     sum(product).cast(DoubleType)
 
-  /** Engine-stable decimal→double conversion: the scaled value is
-    * integral, so the BIGINT cast is exact in both engines, and
-    * bigint→double + ÷10⁴ are two correctly-rounded IEEE steps both
-    * engines share. A direct CAST(decimal AS DOUBLE) is ONE correct
-    * rounding in Spark (BigDecimal.doubleValue) but TWO in DuckDB
-    * (int→double, then scale divide) — a 1-ulp divergence that
-    * surfaced in q_stats' corr components at sf0.001. Envelope:
-    * |value|·10⁴ must fit int64 (holds with margin through sf0.1; at
-    * warehouse scale keep DECIMAL end to end instead). SQL twin:
-    * [[stableDoubleSql]].
+  /** Engine-stable decimal→double conversion, via the STRING route:
+    * decimal→string prints the exact digits in both engines (positive
+    * scale never triggers scientific notation), and string→double is
+    * ONE correctly-rounded parse in both (Java `Double.parseDouble`,
+    * DuckDB strtod/fast_float) — so both engines land on the bit-
+    * identical nearest double of the exact decimal value, at ANY
+    * magnitude. A direct CAST(decimal AS DOUBLE) is one rounding in
+    * Spark (BigDecimal.doubleValue) but TWO in DuckDB (int→double,
+    * then scale divide) — a 1-ulp divergence that surfaced in
+    * q_stats' corr components at sf0.001. The previous ×10⁴-BIGINT
+    * route shared one rounding sequence too, but its envelope
+    * (|value|·10⁴ ≤ int64) broke on q_stats' second-moment sums at
+    * sf1 (~7·10¹⁹) — the string route has no envelope, which is what
+    * a 100 TB aggregate needs. SQL twin: [[stableDoubleSql]].
     */
   def stableDouble(dec: Column): Column =
-    (dec * org.apache.spark.sql.functions.lit(10000)).cast("long") /
-      org.apache.spark.sql.functions.lit(10000.0)
+    dec.cast(org.apache.spark.sql.types.StringType).cast(DoubleType)
 
   /** DuckDB text of [[stableDouble]] over a decimal SQL expression. */
   def stableDoubleSql(expr: String): String =
-    s"CAST(($expr) * 10000 AS BIGINT) / 10000.0"
+    s"CAST(CAST(($expr) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB-side SQL for [[dsum]]. */
   def dsumSql(expr: String): String =

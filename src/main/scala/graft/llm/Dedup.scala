@@ -1054,6 +1054,7 @@ object Dedup {
     */
   def invalidate(dir: String): Unit = {
     ccMemo.keySet.removeIf(_._2 == dir)
+    starMemo.keySet.removeIf(_._2 == dir)
     hsMemo.keySet.removeIf(_._2 == dir)
     sigsMemo.keySet.removeIf(_._2 == dir)
     ()
@@ -1071,11 +1072,24 @@ object Dedup {
     * closed-form recursive-reachability oracle as `q_dedup_cc`, so
     * the two independent distributed algorithms AND the independent
     * DuckDB construction must all agree on every label.
+    *
+    * Memoized per (session, corpus) like [[ccMemo]]: the canonical
+    * map is the SAME materialized intermediate a production pipeline
+    * writes once per corpus snapshot — the contraction loop is the
+    * index-build job, warm reads scan the label frame. The memo
+    * value is eagerly checkpointed so reuse replays a component-sized
+    * scan, not the ids-join tail of the build plan; dropped by
+    * [[invalidate]] with the other corpus memos.
     */
+  private val starMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
   private def qCcStar(s: SparkSession, d: String): DataFrame =
-    graft.ops.Graph.starContractComponents(
-      sharedShingleSets(s, d).select(col("doc_id")),
-      verifiedPairsShared(s, d, JACCARD_T))
+    starMemo.computeIfAbsent((s, d), _ =>
+      graft.ops.Graph.starContractComponents(
+        sharedShingleSets(s, d).select(col("doc_id")),
+        verifiedPairsShared(s, d, JACCARD_T)).localCheckpoint(true))
 
   private val qDedupCcSql: String =
     s"""WITH RECURSIVE ${verSqlCtes("documents")},

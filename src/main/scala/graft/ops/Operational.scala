@@ -381,11 +381,11 @@ object Operational {
   private val qAnomalySql: String =
     """WITH s AS (
       |  SELECT event_type, count(*) AS n,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sx,
-      |    CAST(SUM(CAST(value AS DECIMAL(12,2))
-      |             * CAST(value AS DECIMAL(12,2))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sxx
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+      |      AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))
+      |             * CAST(value AS DECIMAL(12,2)))
+      |      AS VARCHAR) AS DOUBLE) AS sxx
       |  FROM events GROUP BY 1),
       |st AS (
       |  SELECT event_type, sx / n AS mean,

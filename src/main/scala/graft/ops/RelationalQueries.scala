@@ -1096,19 +1096,19 @@ object RelationalQueries {
   private val qStatsSql: String =
     """WITH s AS (
       |  SELECT l_returnflag, count(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sx,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-      |             * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sy,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      |             * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
-      |      / 10000.0 AS syy,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-      |             * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS BIGINT)
-      |      / 10000.0 AS sxy
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+      |      AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2)))
+      |      AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |      AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(l_extendedprice AS DECIMAL(12,2)))
+      |      AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |             * CAST(l_extendedprice AS DECIMAL(12,2)))
+      |      AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  sx / n AS mean_qty,

@@ -271,8 +271,11 @@ object Tpch {
     * promo-typed parts (`p_type = 'PROMO'` — the schema's types are
     * single words). The percentage is reported as integer ppm over
     * exactly-scaled decimal sums, so the ratio is bit-identical (no
-    * double division); both revenue columns go through the
-    * [[Det.stableDouble]] bigint path.
+    * double division); both revenue columns keep the inline ×10⁴
+    * BIGINT scaling (NOT [[Det.stableDouble]], which is now the
+    * envelope-free string route) because the ppm ratio needs the
+    * scaled integers themselves; envelope audited: one month of
+    * revenue ×10⁴ is ~10¹⁷ at TPC-H sf10⁵, inside int64.
     */
   private def qTpch14(s: SparkSession, d: String): DataFrame = {
     val prod = Det.money2(col("l_extendedprice")) *
@@ -787,7 +790,7 @@ object Tpch {
     * line cost is surrogated by `p_retailprice · l_quantity` (both
     * 2-dp decimals), so profit = discounted revenue − retail cost per
     * '%bolt%' part, grouped by supplier nation × order year. Scale-4
-    * decimal sums return through the ×10⁴ stable path.
+    * decimal sums return through the [[Det.stableDouble]] string route.
     *
     * Scale: part (LIKE-filtered) and nation broadcast; the profit
     * expression folds into the single fact aggregation — the
@@ -806,18 +809,17 @@ object Tpch {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast(IntegerType).as("o_year"))
-      .agg(((sum(amount) * 10000).cast("long") / lit(10000.0))
-        .as("sum_profit"))
+      .agg(Det.stableDouble(sum(amount)).as("sum_profit"))
   }
 
   private val qTpch9Sql: String =
     """SELECT n_name AS nation,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |             * CAST(1 - l_discount AS DECIMAL(4,2))
       |           - CAST(p_retailprice AS DECIMAL(12,2))
-      |             * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)
-      |    / 10000.0 AS sum_profit
+      |             * CAST(l_quantity AS DECIMAL(12,2)))
+      |    AS VARCHAR) AS DOUBLE) AS sum_profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey
