@@ -1,16 +1,22 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: selfcheck.py <sfDir> <verifyOutDir>
+Usage: selfcheck.py <sfDir> <verifyOutDir> [only...]
 
 Reads each SparkEntry query result (parquet written by graft.Verify),
 runs the corresponding oracle SQL in DuckDB against the same tables,
 sorts columns by name and rows by value, and compares.
+
+Extra positional args restrict the run to those query names (prefix
+`-` to EXCLUDE instead, e.g. `- q_substring_dup`); output is
+line-flushed with per-query wall time so long scale runs (sf1 DuckDB
+can take minutes per heavy oracle) are observable mid-flight.
 """
 import duckdb
 import json
 import math
 import sys
+import time
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -41,6 +47,10 @@ def canon(df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    exclude = names and names[0] == "-"
+    if exclude:
+        names = names[1:]
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -52,29 +62,34 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if names and (name in names) == exclude:
+            continue
+        t0 = time.monotonic()
         try:
             spark_df = con.sql(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
             duck_df = con.sql(sql).df()
             srows, scols = canon(spark_df)
             drows, dcols = canon(duck_df)
+            dt = f"{time.monotonic() - t0:7.1f}s"
             if scols != dcols:
-                print(f"FAIL {name}: columns {scols} vs {dcols}")
+                print(f"FAIL {name}: columns {scols} vs {dcols}",
+                      flush=True)
                 n_bad += 1
             elif srows != drows:
                 diff = [
                     (a, b) for a, b in zip(srows, drows) if a != b
                 ][:3]
                 print(f"FAIL {name}: {len(srows)} vs {len(drows)} rows; "
-                      f"first diffs: {diff}")
+                      f"first diffs: {diff}", flush=True)
                 n_bad += 1
             else:
-                print(f"OK   {name} ({len(srows)} rows)")
+                print(f"OK   {name} ({len(srows)} rows, {dt})", flush=True)
                 n_ok += 1
         except Exception as e:
-            print(f"ERR  {name}: {e}")
+            print(f"ERR  {name}: {e}", flush=True)
             n_bad += 1
-    print(f"== {n_ok} ok, {n_bad} bad ==")
+    print(f"== {n_ok} ok, {n_bad} bad ==", flush=True)
     sys.exit(1 if n_bad else 0)
 
 
