@@ -1314,25 +1314,26 @@ object TextAnalysis {
     * has an earlier copy), and mean chars. One composed pass over
     * the stats the individual queries expose separately.
     *
-    * Scale: the dup flag is the exact-dedup aggregation keyed by
-    * fingerprint (the q_dedup_exact shuffle) joined back
-    * co-partitioned; the rollup itself follows the two-level
-    * grouping-sets discipline (pre-aggregate to the finest (lang,
-    * source) grain, Expand over group-count rows — never over the
-    * corpus; see SCALE.md round-4 notes).
+    * Scale: the dup flag is a min-over-fingerprint-partition window —
+    * ONE shuffle of the (already projected, text-free) frame and ONE
+    * fingerprint pass, where an aggregate-and-join-back would hash the
+    * regex-normalized text twice and shuffle twice (fingerprint is the
+    * most expensive scalar in the query); fingerprint groups are
+    * dup-cluster-sized, never corpus-sized. The rollup itself follows
+    * the two-level grouping-sets discipline (pre-aggregate to the
+    * finest (lang, source) grain, Expand over group-count rows — never
+    * over the corpus; see SCALE.md round-4 notes).
     */
   private def qDatasetCard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val firstCopy = docs
-      .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("first_id"))
     val flagged = docs
-      .withColumn("fp", fingerprint(col("text")))
-      .join(firstCopy, Seq("fp"))
-      .select(col("lang"), col("source"),
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"),
+        col("lang"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
-        length(col("text")).cast("long").as("n_chars"),
-        (col("doc_id") =!= col("first_id")).cast("long").as("is_dup"))
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id"))
+          .over(Window.partitionBy(col("fp")))).cast("long"))
     val fine = flagged.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("pn"), sum(col("n_tok")).as("pt"),
         sum(col("n_chars")).as("pc"), sum(col("is_dup")).as("pd"))

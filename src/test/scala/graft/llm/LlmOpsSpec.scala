@@ -536,6 +536,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.init.forall(_.n_bytes == 32)) // all full but maybe last
   }
 
+  test("memoized verified pair table == from-scratch verify") {
+    // The fuzzy family reads a per-(session, corpus) memo derived from
+    // the r=1 candidate superset by a pair-key join; this pins the
+    // nesting property that derivation rests on (cand(ROWS_PER_BAND)
+    // ⊆ cand(1), identical jaccard) against the non-memoized path.
+    val dir = sf()
+    Dedup.invalidate(dir)
+    val viaMemo = graft.SparkEntry.queries("q_minhash_est")(spark, dir)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = Dedup
+      .verifiedPairs(graft.Tables.documents(spark, dir), threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaMemo.nonEmpty && viaMemo == direct)
+  }
+
   test("fuzzy dedup: near-identical cluster collapses to one canonical") {
     // 1, 2, 3 are copies with one-token edits (shingle Jaccard ≈ 0.9);
     // 4 is unrelated. Identical-ish docs share bands deterministically.
