@@ -171,11 +171,18 @@ object Dedup {
     * MinHash oracle.
     */
   private def mhSqlCtes(src: String): String =
+    // th/mh MATERIALIZED: DuckDB 1.0 inlines CTEs per reference, and
+    // the dedup oracles reference th (mh + hs) and mh (bands + both
+    // q_minhash_est sides) more than once — each inline re-folds every
+    // shingle hash (the list_reduce chain is the most expensive scalar
+    // in the whole oracle suite; at sf1 the re-inlining dominated the
+    // first full-suite run). Same move as the Spark side's hs/sigs
+    // session memos.
     s"""tok AS (
        |  ${shingleSql(src)}),
-       |th AS (
+       |th AS MATERIALIZED (
        |  SELECT doc_id, ${tokHashSql("t")} AS h FROM tok),
-       |mh AS (
+       |mh AS MATERIALIZED (
        |  SELECT doc_id, i,
        |    min((h * (i * 2 + 1) + i * 12345) % 1000000007) AS sig
        |  FROM th, range($K) r(i)
@@ -186,7 +193,7 @@ object Dedup {
     */
   private def bandsSqlCtes(src: String): String =
     s"""${mhSqlCtes(src)},
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, i // $ROWS_PER_BAND AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
        |  FROM mh GROUP BY doc_id, i // $ROWS_PER_BAND)""".stripMargin
@@ -196,7 +203,7 @@ object Dedup {
     */
   private def candSqlCtes(src: String): String =
     s"""${bandsSqlCtes(src)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -265,7 +272,7 @@ object Dedup {
   private val qBandShapeSql: String =
     s"""WITH ${mhSqlCtes("documents")},
        |shapes AS (SELECT unnest([${SHAPE_RPBS.mkString(", ")}]) AS r),
-       |sbands AS (
+       |sbands AS MATERIALIZED (
        |  SELECT doc_id, s.r AS r, i // s.r AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
        |  FROM mh, shapes s GROUP BY doc_id, s.r, i // s.r),
@@ -274,7 +281,7 @@ object Dedup {
        |  FROM sbands a
        |  JOIN sbands b ON a.r = b.r AND a.band = b.band
        |              AND a.key = b.key AND a.doc_id < b.doc_id),
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
        |j AS (
@@ -324,7 +331,7 @@ object Dedup {
 
   private val qDedupSweepSql: String =
     s"""WITH ${candSqlCtes("documents")},
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
        |j AS (
@@ -380,7 +387,7 @@ object Dedup {
 
   private val qMinhashEstSql: String =
     s"""WITH ${candSqlCtes("documents")},
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
        |sm AS (
@@ -968,10 +975,10 @@ object Dedup {
     */
   private def verSqlCtes(src: String): String =
     s"""${candSqlCtes(src)},
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
-       |ver AS (
+       |ver AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c
        |  JOIN hs a ON a.doc_id = c.doc_a
@@ -989,7 +996,7 @@ object Dedup {
        |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ver),
        |minn AS (
        |  SELECT doc_a, min(doc_b) AS mn FROM edges GROUP BY doc_a),
-       |c1 AS (
+       |c1 AS MATERIALIZED (
        |  SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id)) AS c1
        |  FROM $src d LEFT JOIN minn m ON m.doc_a = d.doc_id),
        |canon AS (
@@ -1198,7 +1205,7 @@ object Dedup {
        |  JOIN bands b ON a.band = b.band AND a.key = b.key
        |              AND a.doc_id <> b.doc_id
        |  WHERE a.doc_id % 5 = 4),
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
        |matched AS (
@@ -1307,7 +1314,7 @@ object Dedup {
 
   private val qContainmentSql: String =
     s"""WITH ${candSqlCtes("documents")},
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list(h)) AS hset
        |  FROM th GROUP BY doc_id),
        |x AS (

@@ -116,6 +116,17 @@ object Graph {
   /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]
     * (the co-occurrence weight `w` rides along for the weighted
     * consumers; unweighted ones just don't select it).
+    *
+    * `edges` is MATERIALIZED: DuckDB 1.0 inlines CTEs per reference,
+    * and the graph consumers reference `edges` many times (deg, both
+    * orientation sides, wedge + closing joins, every unrolled
+    * PageRank round) — each inline re-ran the corpus-scale
+    * distinct→self-join→window chain, which at sf1 pushed one oracle
+    * past 80 GB of spill (measured: q_local_cc filled the disk, the
+    * graph stretch of the first full-suite sf1 oracle run burned
+    * CPU-hours). Materializing pins the chain to ONE run and ≤
+    * [[EDGE_TOP]] stored rows — the exact oracle twin of the Spark
+    * side's eager localCheckpoint above.
     */
   private[ops] val topEdgesSql: String =
     s"""co AS (
@@ -126,7 +137,7 @@ object Graph {
        |  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
        |                     AND a.l_suppkey < b.l_suppkey
        |  GROUP BY 1, 2),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT sa, sb, w FROM (
        |    SELECT sa, sb, w, row_number() OVER (ORDER BY w DESC, sa, sb) AS rk
        |    FROM pw)
@@ -827,7 +838,7 @@ object Graph {
   private val qHitsSql: String = {
     // Unrolled half-steps: raw sum then L1 renormalization, exactly
     // the Spark sequence. HUGEINT carries the s·10¹² product.
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS s FROM e),
