@@ -40,9 +40,14 @@ object Det {
   /** Exact 2-dp decimal of a small factor like (1 - discount). */
   def factor2(c: Column): Column = c.cast(DecimalType(4, 2))
 
-  /** Exact-decimal sum of money * factor products, as double. */
+  /** Exact-decimal sum of money * factor products, as double — via
+    * [[stableDouble]]: the direct decimal→double cast diverged by 1
+    * ulp between engines once the sum crossed 17 significant digits
+    * (q1_agg's 3-factor sum_charge at sf1, ~2.8·10¹⁰ at scale 6;
+    * caught by the sf1 oracle run).
+    */
   def dsumExact(product: Column): Column =
-    sum(product).cast(DoubleType)
+    stableDouble(sum(product))
 
   /** Engine-stable decimal→double conversion, via the STRING route:
     * decimal→string prints the exact digits in both engines (positive

@@ -1849,19 +1849,46 @@ object Operational {
     * decimal), the two boundary products and the final three-term sum
     * are single IEEE ops in a fixed order, so the result is
     * bit-identical cross-engine AND partition-independent.
-    * Percentiles: `percentile` ≡ DuckDB `quantile_cont` (identical
-    * interpolation on identical doubles — the q_mad discipline).
     *
-    * Scale: two passes over events (exact per-group percentile, then
-    * one agg with the broadcast thresholds) — same shape as [[qMad]];
-    * at warehouse scale the percentile pass switches to mergeable
-    * `percentile_approx` t-digests, one pass, same query shape.
+    * Percentiles are interpolated EXPLICITLY from the two order
+    * statistics at floor/ceil of q·(n−1), with the arithmetic
+    * `a + g·(b−a)` written identically in both engines — NOT via the
+    * engines' quantile builtins: for q where neither g nor 1−g is a
+    * power of two (0.05/0.95 here), Spark's `percentile` and DuckDB's
+    * `quantile_cont` use differently-associated coefficient forms
+    * that diverge by 1 ulp even between equal neighbors, which at sf1
+    * moved a plateau boundary and shifted the clip counts (caught by
+    * the sf1 oracle run; q ∈ {0.25, 0.5, 0.75} — q_mad,
+    * q_percentiles — are exact in any form, so the builtins stay
+    * there). `a + g·(b−a)` is also exact whenever a = b.
+    *
+    * Scale: two passes over events (one event_type-partitioned sort
+    * for the rank frame, then one agg with the broadcast thresholds)
+    * — same shape as [[qMad]]; at warehouse scale the percentile pass
+    * switches to mergeable `percentile_approx` t-digests, one pass,
+    * same query shape.
     */
   private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-    val pct = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.05)").as("p05"),
-        expr("percentile(value, 0.95)").as("p95"))
+    val byType = Window.partitionBy(col("event_type"))
+    val wr = ev
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"))) - 1)
+      .withColumn("n", count(lit(1)).over(byType))
+    def pos(q: Double): Column = lit(q) * (col("n") - 1)
+    def at(idx: Column): Column =
+      max(when(col("rn") === idx.cast("long"), col("value")))
+    def interp(q: Double, a: String, b: String): Column =
+      col(a) + (lit(q) * (col("n_") - 1) -
+        floor(lit(q) * (col("n_") - 1))) * (col(b) - col(a))
+    val pct = wr.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_"),
+        at(floor(pos(0.05))).as("a05"), at(ceil(pos(0.05))).as("b05"),
+        at(floor(pos(0.95))).as("a95"), at(ceil(pos(0.95))).as("b95"))
+      .select(col("event_type"),
+        interp(0.05, "a05", "b05").as("p05"),
+        interp(0.95, "a95", "b95").as("p95"))
     ev.join(broadcast(pct), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
@@ -1878,11 +1905,32 @@ object Operational {
   }
 
   private val qWinsorizeSql: String =
-    s"""WITH pct AS (
+    s"""WITH wr AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |th AS (
+       |  SELECT event_type, max(n) AS n_,
+       |    max(CASE WHEN rn = floor(CAST(0.05 AS DOUBLE) * (n - 1))
+       |             THEN value END) AS a05,
+       |    max(CASE WHEN rn = ceil(CAST(0.05 AS DOUBLE) * (n - 1))
+       |             THEN value END) AS b05,
+       |    max(CASE WHEN rn = floor(CAST(0.95 AS DOUBLE) * (n - 1))
+       |             THEN value END) AS a95,
+       |    max(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * (n - 1))
+       |             THEN value END) AS b95
+       |  FROM wr GROUP BY 1),
+       |pct AS (
        |  SELECT event_type,
-       |    quantile_cont(value, 0.05) AS p05,
-       |    quantile_cont(value, 0.95) AS p95
-       |  FROM events GROUP BY 1),
+       |    a05 + (CAST(0.05 AS DOUBLE) * (n_ - 1)
+       |           - floor(CAST(0.05 AS DOUBLE) * (n_ - 1))) * (b05 - a05)
+       |      AS p05,
+       |    a95 + (CAST(0.95 AS DOUBLE) * (n_ - 1)
+       |           - floor(CAST(0.95 AS DOUBLE) * (n_ - 1))) * (b95 - a95)
+       |      AS p95
+       |  FROM th),
        |a AS (
        |  SELECT e.event_type, max(p.p05) AS p05, max(p.p95) AS p95,
        |    count(*) AS n,

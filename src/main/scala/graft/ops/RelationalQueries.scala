@@ -56,12 +56,14 @@ object RelationalQueries {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${Det.dsumSql("l_quantity")} AS sum_qty,
        |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-       |           * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       |  ${Det.stableDoubleSql(
+             """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               |           * CAST(1 - l_discount AS DECIMAL(4,2)))""".stripMargin)}
        |    AS sum_disc_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-       |           * CAST(1 - l_discount AS DECIMAL(4,2))
-       |           * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE)
+       |  ${Det.stableDoubleSql(
+             """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               |           * CAST(1 - l_discount AS DECIMAL(4,2))
+               |           * CAST(1 + l_tax AS DECIMAL(4,2)))""".stripMargin)}
        |    AS sum_charge,
        |  ${Det.davgSql("l_quantity")} AS avg_qty,
        |  ${Det.davgSql("l_extendedprice")} AS avg_price,
@@ -810,9 +812,13 @@ object RelationalQueries {
     * oracle-comparable contract mirrors q_approx: exact counts both
     * engines compute, plus booleans asserting the sketch's guarantees
     * — NO false negatives ever (a Bloom invariant: if this is false
-    * the engine is broken), false-positive rate under 5% (sized 2^18
-    * bits for ≤10⁴ keys → true fpp ≪ 0.1%, so the boolean is
-    * deterministic at any tested scale).
+    * the engine is broken), false-positive rate under 5%. The filter
+    * is SIZED FROM THE MEASURED BUILD CARDINALITY (next power of two
+    * ≥ 16 bits/key, floor 2^18) — exactly how a warehouse runtime
+    * filter sizes from table stats; a fixed 10⁴-key build blew past
+    * the 5 % bound at sf1 (88 k build keys → ~96 % fpp, caught by the
+    * sf1 oracle run). At ≥ 16 bits/key true fpp ≲ 0.05 %, so the
+    * boolean is deterministic at any scale.
     *
     * Scale: the build side aggregates to one 32 KB binary (OR-merge of
     * partials — order-independent, so the sketch is partition-stable);
@@ -822,8 +828,16 @@ object RelationalQueries {
   private def qBloomMembership(s: SparkSession, d: String): DataFrame = {
     graft.functions.BloomFns.register(s)
     Tables.registerViews(s, d)
+    // Size from the build side (one count — the table-stats lookup of
+    // a production runtime filter): items inserted, and the next
+    // power of two ≥ 16 bits per item.
+    val nBuild = math.max(1L,
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01")).count())
+    val nBits = math.max(1L << 18,
+      java.lang.Long.highestOneBit(16L * nBuild - 1) << 1)
     s.sql(
-      """WITH recent AS (
+      s"""WITH recent AS (
         |  SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
         |probe AS (
@@ -831,7 +845,7 @@ object RelationalQueries {
         |    EXISTS(SELECT 1 FROM recent r
         |           WHERE r.o_custkey = c_custkey) AS is_member,
         |    graft_might_contain(
-        |      (SELECT graft_bloom_agg(o_custkey, 10000L, 262144L)
+        |      (SELECT graft_bloom_agg(o_custkey, ${nBuild}L, ${nBits}L)
         |       FROM recent), c_custkey) AS bloom_hit
         |  FROM customer)
         |SELECT count(*) AS n_customers,

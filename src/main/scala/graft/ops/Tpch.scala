@@ -30,8 +30,9 @@ object Tpch {
     Det.money2(col("l_extendedprice")) * Det.factor2(lit(1) - col("l_discount")))
 
   private val revenueSql =
-    """CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      |         * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)""".stripMargin
+    graft.Det.stableDoubleSql(
+      """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(1 - l_discount AS DECIMAL(4,2)))""".stripMargin)
 
   // --------------------------------------------------------------- q_tpch3
   /** Q3 (shipping priority): top-10 unshipped BUILDING-segment orders
@@ -190,8 +191,9 @@ object Tpch {
         count(lit(1)).cast(IntegerType).as("n_lines"))
 
   private val qTpch6Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      |           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    s"""SELECT ${graft.Det.stableDoubleSql(
+           """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             |           * CAST(l_discount AS DECIMAL(4,2)))""".stripMargin)} AS revenue,
       |  CAST(count(*) AS INTEGER) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -592,7 +594,7 @@ object Tpch {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${Det.dsumSql("l_quantity")} AS sum_qty,
        |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM($disc) AS DOUBLE) AS sum_disc_price,
+       |  ${Det.stableDoubleSql(s"SUM($disc)")} AS sum_disc_price,
        |  CAST(SUM($disc * CAST(1 + l_tax AS DECIMAL(4,2))) * 1000000
        |       AS BIGINT) / 1000000.0 AS sum_charge,
        |  ${Det.davgSql("l_quantity")} AS avg_qty,
