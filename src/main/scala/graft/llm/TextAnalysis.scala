@@ -1790,13 +1790,18 @@ object TextAnalysis {
     * review — exactly how an LM filter flags low-quality/outlier
     * text for exclusion.
     *
-    * Scale: the LM is ONE corpus pass aggregated to (w1, w2, count)
-    * with the history count derived from the pair frame (vocab²-
-    * bounded, not corpus-bounded); per-document bigrams then join the
-    * LM on (w1, w2) — a hash join between a corpus-scale token frame
-    * and a vocab-scale count frame, never doc×doc. A document's own
-    * bigrams are in the counts, so every join matches (no null
-    * probability) and the divisor is ≥ 1.
+    * Scale: the corpus-scale exploded bigram frame is REPARTITIONED
+    * ON (w1, w2) ONCE, and every downstream consumer reuses that one
+    * exchange (`ReusedExchangeExec`): the LM agg to (w1, w2, count)
+    * needs exactly that clustering, the head-word counts are a
+    * vocab-scale agg of the vocab²-scale pair frame whose result is
+    * '''broadcast''' back (so the LM join preserves the (w1, w2)
+    * partitioning), and the probe join is then co-partitioned on both
+    * sides — zero additional corpus-scale shuffles until the final
+    * doc_id agg (map-side combined to doc-scale). A hash join between
+    * a corpus-scale token frame and a vocab-scale count frame, never
+    * doc×doc. A document's own bigrams are in the counts, so every
+    * join matches (no null probability) and the divisor is ≥ 1.
     */
   private val SURPRISAL_K = 50
 
@@ -1808,11 +1813,13 @@ object TextAnalysis {
         "transform(sequence(0, size(tk) - 2), " +
           "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .repartition(col("w1"), col("w2"))
     val pairs = docBigrams
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bigram"))
     val lm = pairs.join(
-      pairs.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1")),
+      broadcast(
+        pairs.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1"))),
       Seq("w1"))
     docBigrams.join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -1835,7 +1842,7 @@ object TextAnalysis {
        |  FROM tok WHERE len(tk) >= 2),
        |bg AS (
        |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 FROM bgidx),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
        |  FROM bg GROUP BY 1, 2),
        |lm AS (

@@ -409,13 +409,56 @@ object Operational {
     * work scales with Σ basket_size², not orders × parts; item counts
     * and the N scalar are item-catalog-sized → '''broadcast'''. The
     * top-25 is TakeOrderedAndProject.
+    *
+    * Mega-basket guard (the q_ts_pairs discipline, declarative form):
+    * Σ basket² is unbounded in the largest basket — ONE pathological
+    * transaction of 10⁶ items at warehouse scale contributes 10¹²
+    * pairs and sinks the join. Baskets larger than
+    * [[BASKET_MAX_ITEMS]] are excluded from the TRANSACTION UNIVERSE
+    * (semi-join on basket size ≤ cap, mirrored in the oracle) before
+    * any metric — N, item counts, and pairs all see the same filtered
+    * set, so support/confidence/lift stay mutually consistent.
+    * Dropping degenerate transactions is standard association-mining
+    * practice (a crawl artifact carries no basket signal); the cap
+    * bounds per-basket pair work at ~2²⁰. The guard's cost model
+    * rides on mega-baskets being RARE BY DEFINITION (they are the
+    * pathology, not the population): basket sizes aggregate map-side
+    * to an orders-scale count frame, only the OVERSIZED keys survive
+    * the filter (an empty-to-tiny frame at any realistic scale), and
+    * the exclusion is a '''broadcast''' left-anti join — the base
+    * plan's exchanges are untouched (measured at sf1: a groupBy+
+    * semi-join guard added two corpus-scale exchanges, +85% warm; a
+    * count-window guard added a corpus-scale sort, +45%; the
+    * broadcast anti form is within noise of the unguarded plan).
     */
   private val BASKET_MIN = 3
+  private[graft] val BASKET_MAX_ITEMS = 1024
 
-  private def qBasket(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val n = op.select(col("l_orderkey")).distinct()
+  /** Association rules over a distinct (l_orderkey, l_partkey) frame —
+    * factored out of [[qBasket]] so the mega-basket guard is testable
+    * on synthetic frames (see `BasketGuardSpec`).
+    */
+  private[graft] def basketRules(op0raw: DataFrame, minCount: Int,
+      maxBasket: Int): DataFrame = {
+    // The distinct (order, part) frame feeds SIX consumers (pair join
+    // x/y, item counts, N, and the guard's size agg) — per-branch
+    // filter pushdown makes their subtrees canonically different, so
+    // exchange reuse never fires and each consumer re-scans and
+    // re-distincts the corpus (measured at sf1: 3 full lineitem
+    // scans). Checkpoint it ONCE per invocation (the q_ts_pairs
+    // discipline; at warehouse scale this frame is the materialized
+    // transaction table a basket job writes first).
+    val op0 = op0raw.localCheckpoint(true)
+    // One basket-size frame serves BOTH the guard (oversized keys →
+    // broadcast anti) and the transaction count N (surviving rows) —
+    // the separate distinct-orderkey count pass the unguarded plan
+    // paid for N disappears, so the guard is net-free.
+    val sizes = op0.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("bsz"))
+    val mega = sizes.filter(col("bsz") > maxBasket)
+      .select(col("l_orderkey"))
+    val op = op0.join(broadcast(mega), Seq("l_orderkey"), "left_anti")
+    val n = sizes.filter(col("bsz") <= maxBasket)
       .agg(count(lit(1)).as("n"))
     val item = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     val pairs = op.alias("x")
@@ -425,7 +468,7 @@ object Operational {
       .groupBy(col("x.l_partkey").as("part_a"),
         col("y.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= BASKET_MIN)
+      .filter(col("c_ab") >= minCount)
     pairs
       .join(broadcast(item.select(col("l_partkey").as("part_a"),
         col("c").as("c_a"))), Seq("part_a"))
@@ -444,9 +487,20 @@ object Operational {
       .limit(25)
   }
 
+  private def qBasket(s: SparkSession, d: String): DataFrame =
+    basketRules(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      BASKET_MIN, BASKET_MAX_ITEMS)
+
   private val qBasketSql: String =
-    s"""WITH op AS (
+    s"""WITH op0 AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |op AS MATERIALIZED (
+       |  SELECT * FROM op0
+       |  WHERE l_orderkey NOT IN (
+       |    SELECT l_orderkey FROM op0
+       |    GROUP BY 1 HAVING count(*) > $BASKET_MAX_ITEMS)),
        |n AS (
        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
        |item AS (
@@ -1873,7 +1927,11 @@ object Operational {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val byType = Window.partitionBy(col("event_type"))
-    val wr = ev
+    // NULL values must not enter the rank frame: the builtins this
+    // rewrite replaced ignore NULLs, and Spark ranks NULLS FIRST while
+    // DuckDB ranks NULLS LAST — an unfiltered NULL would shift rn
+    // differently per engine and diverge the thresholds.
+    val wr = ev.filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(byType.orderBy(col("value"))) - 1)
       .withColumn("n", count(lit(1)).over(byType))
     def pos(q: Double): Column = lit(q) * (col("n") - 1)
@@ -1910,7 +1968,7 @@ object Operational {
        |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
        |      AS rn,
        |    count(*) OVER (PARTITION BY event_type) AS n
-       |  FROM events),
+       |  FROM events WHERE value IS NOT NULL),
        |th AS (
        |  SELECT event_type, max(n) AS n_,
        |    max(CASE WHEN rn = floor(CAST(0.05 AS DOUBLE) * (n - 1))

@@ -825,15 +825,38 @@ object RelationalQueries {
     * the probe is a broadcast scalar, map-only per row. At 100 TB this
     * replaces a 15 k-row × corpus semi-join with a byte-array lookup.
     */
+  /** Measured build-side cardinality for [[qBloomMembership]],
+    * memoized per (session, corpus) like the other maintained-table
+    * memos: a production runtime filter reads this from table stats
+    * once, not with a fresh scan per query run.
+    */
+  private val bloomBuildKeysMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Long]
+
+  /** Drop corpus-keyed memos for `dir` (test isolation — mirrors
+    * [[graft.llm.Dedup.invalidate]]).
+    */
+  def invalidate(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    bloomBuildKeysMemo.keySet.asScala
+      .filter(_._2 == dir).foreach(bloomBuildKeysMemo.remove)
+  }
+
   private def qBloomMembership(s: SparkSession, d: String): DataFrame = {
     graft.functions.BloomFns.register(s)
     Tables.registerViews(s, d)
-    // Size from the build side (one count — the table-stats lookup of
-    // a production runtime filter): items inserted, and the next
-    // power of two ≥ 16 bits per item.
+    // Size from the build side: DISTINCT keys inserted (the 16-bits/key
+    // bound is stated against inserted-key cardinality, not build rows
+    // — repeat customers don't grow the filter), next power of two
+    // ≥ 16 bits per key. Memoized so the sizing scan runs once per
+    // (session, corpus), not per invocation.
     val nBuild = math.max(1L,
-      Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("2001-01-01")).count())
+      bloomBuildKeysMemo.computeIfAbsent((s, d), { _ =>
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01"))
+          .select(col("o_custkey")).distinct().count()
+      }).longValue())
     val nBits = math.max(1L << 18,
       java.lang.Long.highestOneBit(16L * nBuild - 1) << 1)
     s.sql(

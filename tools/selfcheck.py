@@ -90,6 +90,13 @@ def main():
             print(f"ERR  {name}: {e}", flush=True)
             n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==", flush=True)
+    if names and not exclude and n_ok + n_bad < len(set(names)):
+        # A typo'd include (e.g. an attached-dash '-q_foo' meant as an
+        # exclude) must not read as a green no-op run.
+        missing = sorted(set(names) - set(oracle))
+        print(f"ERR  requested names not in oracle set: {missing}",
+              flush=True)
+        sys.exit(1)
     sys.exit(1 if n_bad else 0)
 
 
