@@ -694,11 +694,13 @@ object Dedup {
 
   private[llm] def sharedShingleSets(s: SparkSession, d: String): DataFrame =
     hsMemo.computeIfAbsent((s, d), _ =>
-      shingleHashSets(Tables.documents(s, d)).localCheckpoint(true))
+      graft.IndexTier.cached(s, d, "dedup_hs")(
+        shingleHashSets(Tables.documents(s, d))))
 
   private[llm] def sharedSigs(s: SparkSession, d: String): DataFrame =
     sigsMemo.computeIfAbsent((s, d), _ =>
-      sigsFromSets(sharedShingleSets(s, d)).localCheckpoint(true))
+      graft.IndexTier.cached(s, d, "dedup_sigs")(
+        sigsFromSets(sharedShingleSets(s, d))))
 
   /** MinHash signatures derived from the (distinct) shingle-hash sets:
     * min() is insensitive to duplicates, so the sigs are identical to
@@ -786,12 +788,12 @@ object Dedup {
   private[llm] def sharedVerifiedSuperset(s: SparkSession, d: String)
       : DataFrame =
     verSupMemo.computeIfAbsent((s, d), _ =>
-      jaccardVerified(
-        bandCandidates(sharedSigs(s, d), "doc_id", K, 1)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
-        sharedShingleSets(s, d), "doc_a", "doc_b", threshold = 0.0)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint(true))
+      graft.IndexTier.cached(s, d, "dedup_versup")(
+        jaccardVerified(
+          bandCandidates(sharedSigs(s, d), "doc_id", K, 1)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          sharedShingleSets(s, d), "doc_a", "doc_b", threshold = 0.0)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))))
 
   /** Session-scoped memo of the DEFAULT-SHAPE verified pair table:
     * the ROWS_PER_BAND-band candidates with their exact Jaccard,
@@ -811,10 +813,10 @@ object Dedup {
 
   private def verifiedPairsSharedAll(s: SparkSession, d: String): DataFrame =
     verPairsMemo.computeIfAbsent((s, d), _ =>
-      bandCandidates(sharedSigs(s, d), "doc_id")
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        .join(sharedVerifiedSuperset(s, d), Seq("doc_a", "doc_b"))
-        .localCheckpoint(true))
+      graft.IndexTier.cached(s, d, "dedup_verpairs")(
+        bandCandidates(sharedSigs(s, d), "doc_id")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .join(sharedVerifiedSuperset(s, d), Seq("doc_a", "doc_b"))))
 
   /** Verified pairs at the default band shape meeting `threshold` — a
     * filter over the memoized pair table.
@@ -1113,6 +1115,7 @@ object Dedup {
     verPairsMemo.keySet.removeIf(_._2 == dir)
     hsMemo.keySet.removeIf(_._2 == dir)
     sigsMemo.keySet.removeIf(_._2 == dir)
+    graft.IndexTier.invalidate(dir)
     ()
   }
 
@@ -1143,9 +1146,10 @@ object Dedup {
 
   private def qCcStar(s: SparkSession, d: String): DataFrame =
     starMemo.computeIfAbsent((s, d), _ =>
-      graft.ops.Graph.starContractComponents(
-        sharedShingleSets(s, d).select(col("doc_id")),
-        verifiedPairsShared(s, d, JACCARD_T)).localCheckpoint(true))
+      graft.IndexTier.cached(s, d, "dedup_cc_star")(
+        graft.ops.Graph.starContractComponents(
+          sharedShingleSets(s, d).select(col("doc_id")),
+          verifiedPairsShared(s, d, JACCARD_T))))
 
   private val qDedupCcSql: String =
     s"""WITH RECURSIVE ${verSqlCtes("documents")},

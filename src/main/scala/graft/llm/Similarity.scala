@@ -1327,8 +1327,10 @@ object Similarity {
   /** Drop the memoized NSW graph for `dir` (the
     * [[graft.ops.Graph.invalidate]] contract).
     */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     nswMemo.keySet.removeIf(_._2 == dir)
+    graft.IndexTier.invalidate(dir)
+  }
 
   private def nswEmbAndGraph(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
@@ -1341,18 +1343,20 @@ object Similarity {
       val planes = typedlit((0 until NSW_MAX_PLANES).flatMap(planeLit))
       val planes2 = typedlit(
         (NSW_MAX_PLANES until 2 * NSW_MAX_PLANES).flatMap(planeLit))
-      val emb = embWithNorm(s, d)
-        .crossJoin(broadcast(nVec))
-        .withColumn("p", pCol)
-        .withColumn("nb", expr("shiftleft(1L, cast(p as int))"))
-        .withColumn("bucket",
-          graft.functions.LshBucket.lsh_bucket(col("v"), planes)
-            % col("nb"))
-        .withColumn("bucket2",
-          graft.functions.LshBucket.lsh_bucket(col("v"), planes2)
-            % col("nb"))
-        .drop("n_vec", "p", "nb")
-        .localCheckpoint(true) // feeds graph build, probes, and scoring
+      // Feeds graph build, probes, and scoring — tiered (parquet if a
+      // root is configured, eager localCheckpoint otherwise).
+      val emb = graft.IndexTier.cached(s, d, "nsw_emb")(
+        embWithNorm(s, d)
+          .crossJoin(broadcast(nVec))
+          .withColumn("p", pCol)
+          .withColumn("nb", expr("shiftleft(1L, cast(p as int))"))
+          .withColumn("bucket",
+            graft.functions.LshBucket.lsh_bucket(col("v"), planes)
+              % col("nb"))
+          .withColumn("bucket2",
+            graft.functions.LshBucket.lsh_bucket(col("v"), planes2)
+              % col("nb"))
+          .drop("n_vec", "p", "nb"))
       // Neighbor graph: candidate pairs from either bucketing,
       // per-vector top-M, symmetrized. The cosine is computed INSIDE
       // the bucket self-join — the pair frame then carries only
@@ -1370,18 +1374,20 @@ object Similarity {
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
           (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
             .as("cos"))
-      val cand = scoredPairs("bucket").unionAll(scoredPairs("bucket2"))
-        .distinct()
-      val bySrc = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst").asc)
-      val gtop = cand
-        .withColumn("rk", row_number().over(bySrc))
-        .filter(col("rk") <= NSW_M)
-        .select(col("src"), col("dst"))
-      val graph = gtop
-        .unionAll(gtop.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint(true) // rescanned once per expansion round
+      // Rescanned once per expansion round — tiered like `emb`.
+      val graph = graft.IndexTier.cached(s, d, "nsw_graph") {
+        val cand = scoredPairs("bucket").unionAll(scoredPairs("bucket2"))
+          .distinct()
+        val bySrc = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst").asc)
+        val gtop = cand
+          .withColumn("rk", row_number().over(bySrc))
+          .filter(col("rk") <= NSW_M)
+          .select(col("src"), col("dst"))
+        gtop
+          .unionAll(gtop.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }
       (emb, graph)
     })
 

@@ -37,6 +37,15 @@ class ExchangeGoldenSpec extends SparkSpec {
   // instead of a silent surprise on the first big corpus.
   private val goldenPathSf001 =
     Paths.get("src/test/resources/exchange_golden_sf0.01.tsv")
+  // Third-scale pins at sf1 (round-9 verdict #7): AQE is off here,
+  // but `autoBroadcastJoinThreshold` reads FILE SIZES, so a plan can
+  // flip strategy between the bench regime and the 10x regime; until
+  // this file, such a flip surfaced only as wall time. /tmp/sf1 is
+  // regenerated per session (graft.ScaleUp — see the verify skill),
+  // so this test cancels with instructions when the corpus is absent
+  // rather than silently passing.
+  private val goldenPathSf1 =
+    Paths.get("src/test/resources/exchange_golden_sf1.tsv")
 
   private def planCounts(dir: String): Seq[(String, Int, Int)] = {
     // Session memos (dedup shingle/sig frames, the Gram matrix, the
@@ -49,6 +58,7 @@ class ExchangeGoldenSpec extends SparkSpec {
     graft.llm.Embeddings.invalidate(dir)
     graft.llm.Similarity.invalidate(dir)
     graft.ops.Graph.invalidate(dir)
+    graft.ops.RelationalQueries.invalidate(dir)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan
       val sh = plan.collect { case e: ShuffleExchangeExec => e }.size
@@ -105,5 +115,13 @@ class ExchangeGoldenSpec extends SparkSpec {
 
   test("per-query exchange counts match the sf0.01 golden pins") {
     checkOrUpdate(sf("sf0.01"), goldenPathSf001)
+  }
+
+  test("per-query exchange counts match the sf1 golden pins") {
+    assume(Files.isDirectory(Paths.get("/tmp/sf1")),
+      "/tmp/sf1 absent — regenerate with " +
+        "`sbt \"runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10\"`" +
+        " to run the sf1 plan pins")
+    checkOrUpdate("/tmp/sf1", goldenPathSf1)
   }
 }
