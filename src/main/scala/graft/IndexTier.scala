@@ -56,6 +56,27 @@ object IndexTier {
         s.read.parquet(path)
     }
 
+  /** [[cached]], then pinned HOT: when the tier is on, the parquet
+    * scan is eagerly localCheckpointed so the session serves repeat
+    * consumers from block-manager memory. For frames a single query
+    * rescans many times (the HITS edge list is scanned four times per
+    * run), re-decoding parquet per scan measurably loses to memory
+    * blocks (q_hits sf1 warm 2.3 -> 5.0 s on the scan-only tier);
+    * the checkpoint restores warm speed while the disk tier still
+    * turns a fresh session's rebuild into a scan.
+    */
+  def cachedHot(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val scan = cached(s, d, name)(build)
+    if (rootDir.isDefined)
+      // Re-spread before pinning: a small parquet index packs into
+      // one or two scan splits, which would serialize every
+      // downstream stage that starts from the checkpoint.
+      scan.repartition(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
+    else scan
+  }
+
   /** Delete the on-disk indexes for `d` — the disk half of the
     * corpus-memo `invalidate(dir)` contract (corpus rewritten in
     * place ⇒ every derived materialization is stale).

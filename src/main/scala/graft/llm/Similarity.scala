@@ -1345,7 +1345,7 @@ object Similarity {
         (NSW_MAX_PLANES until 2 * NSW_MAX_PLANES).flatMap(planeLit))
       // Feeds graph build, probes, and scoring — tiered (parquet if a
       // root is configured, eager localCheckpoint otherwise).
-      val emb = graft.IndexTier.cached(s, d, "nsw_emb")(
+      val emb = graft.IndexTier.cachedHot(s, d, "nsw_emb")(
         embWithNorm(s, d)
           .crossJoin(broadcast(nVec))
           .withColumn("p", pCol)
@@ -1375,7 +1375,7 @@ object Similarity {
           (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
             .as("cos"))
       // Rescanned once per expansion round — tiered like `emb`.
-      val graph = graft.IndexTier.cached(s, d, "nsw_graph") {
+      val graph = graft.IndexTier.cachedHot(s, d, "nsw_graph") {
         val cand = scoredPairs("bucket").unionAll(scoredPairs("bucket2"))
           .distinct()
         val bySrc = Window.partitionBy(col("src"))

@@ -57,7 +57,8 @@ object Graph {
       DataFrame]()
 
   private[ops] def topEdges(s: SparkSession, d: String): DataFrame =
-    edgeMemo.computeIfAbsent((s, d), _ => buildTopEdges(s, d))
+    edgeMemo.computeIfAbsent((s, d), _ =>
+      graft.IndexTier.cached(s, d, "graph_topedges")(buildTopEdges(s, d)))
 
   /** Session-scoped memo of the HITS bipartite (customer, supplier)
     * edge list — the eager materialization is the dominant cost of
@@ -72,13 +73,15 @@ object Graph {
 
   private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
     bipartiteMemo.computeIfAbsent((s, d), _ =>
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-        .distinct()
-        .repartition(col("c"))
-        .localCheckpoint(true))
+      // No repartition: a checkpoint (or parquet) scan reports
+      // UnknownPartitioning, so a pre-shuffle here cannot be seen by
+      // the planner — the half-step joins re-exchange regardless.
+      graft.IndexTier.cachedHot(s, d, "graph_bipartite")(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()))
 
   /** Drop the memoized edge lists for `dir` (all sessions) — call when
     * the corpus at `dir` is rewritten in place, otherwise the memo
@@ -88,6 +91,7 @@ object Graph {
   def invalidate(dir: String): Unit = {
     edgeMemo.keySet.removeIf(_._2 == dir)
     bipartiteMemo.keySet.removeIf(_._2 == dir)
+    graft.IndexTier.invalidate(dir)
   }
 
   private def buildTopEdges(s: SparkSession, d: String): DataFrame = {
@@ -99,18 +103,18 @@ object Graph {
           col("a.l_suppkey") < col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
       .agg(count(lit(1)).as("w"))
-    // Eager localCheckpoint, not lazy persist: the consumers reference
-    // this frame MANY times inside one job (deg, orientation, wedge
-    // and closing joins; every PageRank iteration), and a lazy cache
-    // is not yet filled when those subtrees execute concurrently — the
-    // whole edge build would re-run per reference. Materializing the
-    // ≤EDGE_TOP rows up front makes every consumer a cheap scan, and
-    // truncates the lineage the iterative consumer would otherwise
-    // re-plan (same rationale as canonicalFixpointHops).
+    // Eagerly materialized by IndexTier.cached at the memo site (not
+    // lazy persist): the consumers reference this frame MANY times
+    // inside one job (deg, orientation, wedge and closing joins; every
+    // PageRank iteration), and a lazy cache is not yet filled when
+    // those subtrees execute concurrently — the whole edge build would
+    // re-run per reference. Materializing the ≤EDGE_TOP rows up front
+    // makes every consumer a cheap scan, and truncates the lineage the
+    // iterative consumer would otherwise re-plan (same rationale as
+    // canonicalFixpointHops).
     pw.orderBy(col("w").desc, col("sa"), col("sb"))
       .limit(EDGE_TOP)
       .select(col("sa"), col("sb"), col("w"))
-      .localCheckpoint(true)
   }
 
   /** SQL CTE chain `co/pw/edges` — the oracle twin of [[topEdges]]
@@ -805,7 +809,18 @@ object Graph {
     // re-shuffling between the c- and p-keyed half-steps). The build
     // itself is memoized per (session, corpus) — see [[bipartiteMemo]].
     val edges = bipartiteEdges(s, d)
-    def l1norm(x: DataFrame, k: String): DataFrame = {
+    // Each half-step's RAW score frame is vertex-scale (suppliers or
+    // customers) and feeds THREE consumers: its own L1 normalizer, the
+    // next half-step's join, and (for the last round) the top-15 —
+    // and a checkpoint scan reports UnknownPartitioning, so exchange
+    // reuse cannot be relied on to dedupe them. Without the eager
+    // checkpoint the whole upstream chain re-executed once per
+    // consumer (measured at sf1: the 4 half-step plan contained the
+    // edge⋈score join SIX times; with it, each half-step runs exactly
+    // once and the checkpoint jobs are vertex-sized — sf1 warm
+    // 5.3 -> ~2 s).
+    def l1norm(x0: DataFrame, k: String): DataFrame = {
+      val x = x0.localCheckpoint(true)
       val tot = x.agg(sum(col("s")).as("tot"))
       x.crossJoin(broadcast(tot))
         .select(col(k), expr("CAST(s AS DECIMAL(38,0)) * 1000000000000" +

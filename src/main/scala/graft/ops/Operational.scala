@@ -3375,11 +3375,11 @@ object Operational {
         unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
         (graft.Det.money2(col("o_totalprice")) * 100).cast("long")
           .as("cents"))
-    // Eagerly materialized: each tile pass reads its input TWICE
-    // (histogram + rank join), so a lazily chained users→tile→tile→
-    // tile plan re-evaluates the orders aggregation up to 2³ times.
-    // The frame is customer-sized; each tile output is checkpointed
-    // for the same reason.
+    // Eagerly materialized: every tile histogram and every rank join
+    // reads this frame (6 consumers), so a lazy plan re-evaluates the
+    // orders aggregation per consumer. The frame is customer-sized;
+    // it is the ONLY checkpoint in the query (tile outputs chain
+    // lazily — see tile5).
     val users = o.groupBy(col("o_custkey"))
       .agg(max(expr("ts_us div 86400000000")).as("r_day"),
         count(lit(1)).as("f_cnt"),
@@ -3395,8 +3395,21 @@ object Operational {
     // within-shard prefix is a shard-partitioned cumulative window —
     // both linear, where the naive non-equi self-join is quadratic in
     // distinct values (measured: 6.8 s → sub-second at sf0.1).
+    //
+    // Every histogram reads USERS, not the previous tile's output —
+    // the three tile passes chain as three value-partitioned windows
+    // + three broadcast rank maps inside one action, with no per-tile
+    // checkpoint and no re-evaluation blowup. The round-10 sf1 job
+    // profile of this query: ~30 jobs, every one under 0.45 s, cost
+    // dominated by broadcast-map builds and AQE stage scheduling on a
+    // customer-scale frame — overhead that SHRINKS relative to data
+    // work at the next decade, and the reason its wall time wobbles
+    // ±0.5 s with host load (the r8/r9 "drift"). A single shared
+    // long-form rank map was tried and measured SLOWER (the metric-id
+    // predicate is pushed into each build side, splitting the shared
+    // broadcast back into three).
     def tile5(in: DataFrame, metric: String, out: String): DataFrame = {
-      val hist = in.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      val hist = users.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
         .withColumn("shard", expr(s"$metric div 1024"))
       val shardTot = hist.groupBy(col("shard"))
         .agg(sum(col("cnt")).as("scnt"))
@@ -3423,7 +3436,6 @@ object Operational {
             |           + n div 5 - 1) div (n div 5))
             |AS INT)""".stripMargin.replace("\n", " ")))
         .drop("n_higher", "rnk", "n", "shard")
-        .localCheckpoint(true)
     }
     val scored = tile5(tile5(tile5(users,
       "r_day", "r_tile"), "f_cnt", "f_tile"), "m_dollars", "m_tile")
