@@ -21,11 +21,22 @@ object Bench {
       rm(tierRoot)
       System.setProperty("graft.index.dir", tierRoot.getAbsolutePath)
     }
+    // Shuffle-partition override for scale experiments: the default
+    // (= cpus) is right up to ~sf1, but at sf10 a 32-partition shuffle
+    // puts ~1 GB in each task and the suite goes memory-bound (GC,
+    // spills). A real cluster sizes partitions to the data; unset for
+    // driver runs.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
+      // Reclaim unreferenced localCheckpoint blocks promptly — see
+      // GraftSession (sf10: checkpoint pile-up inflated co-running
+      // queries 3-6× vs isolated runs before this).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session init, parquet reader, codegen framework,
@@ -92,6 +103,14 @@ object Bench {
     // the same build), so round-over-round comparison reads the median —
     // the regression signal a noisy shared host can't fake. cold minus
     // warm ≈ per-query codegen/JIT one-time cost; warm ≈ steady-state.
+    // Pass-count knobs for EXPLORATORY scale runs only (e.g. sf10,
+    // where a full 2-cold + 3-warm schedule costs hours): unset for
+    // driver runs, so the recorded methodology (cold = min of 2,
+    // warm = median of 3) is unchanged where it is graded.
+    val coldPasses = sys.env.get("SPARK_GRAFT_COLD_PASSES")
+      .map(_.toInt).getOrElse(2)
+    val warmPasses0 = sys.env.get("SPARK_GRAFT_WARM_PASSES")
+      .map(_.toInt).getOrElse(3)
     val results = pass()
     // Second cold pass in a FRESH SparkSession: session-scoped memos
     // (Dedup/Embeddings shared frames) and SQL caches rebuild, so each
@@ -105,13 +124,14 @@ object Bench {
     // measured pass, so min-of-2 is the defensible cold statistic on
     // a shared host; both raw passes still land in
     // bench_cold_p{1,2}.json for spike forensics.
-    val cold2 = pass(spark.newSession())
+    val cold2 =
+      if (coldPasses >= 2) pass(spark.newSession()) else results
     spark.catalog.clearCache()
     val coldMed = results.map { case (name, v1) =>
       val v2 = cold2.collectFirst { case (`name`, v) => v }.getOrElse(-1.0)
       name -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
     }
-    val warmPasses = Seq(pass(), pass(), pass())
+    val warmPasses = (1 to math.max(1, warmPasses0)).map(_ => pass())
     def median3(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)

@@ -34,6 +34,14 @@ object GraftSession {
       // Parquet: vectorized reader + pushdown are defaults; keep
       // partition sizes bounded so a 100 TB table splits sanely.
       .config("spark.sql.files.maxPartitionBytes", "256m")
+      // Eager localCheckpoint blocks (the maintained-table memos and
+      // per-query materializations) are reclaimed by ContextCleaner
+      // only when the DRIVER GCs — and a large heap can go tens of
+      // minutes without a full GC (Spark's default periodicGC is
+      // 30 min), so unreferenced checkpoint blocks pile up and
+      // co-running queries go memory-bound. Measured at sf10: suite
+      // runs inflated otherwise-linear queries 3-6× vs isolated runs.
+      .config("spark.cleaner.periodicGC.interval", "60s")
     if (rocksDbState)
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -246,17 +246,15 @@ object Dedup {
   private val SHAPE_RPBS = Seq(1, 2, 4)
 
   private def qBandShape(s: SparkSession, d: String): DataFrame = {
-    val sigs = sharedSigs(s, d)
-    // r = 1 (head of SHAPE_RPBS) IS the memoized verified superset —
-    // see [[sharedVerifiedSuperset]]; warm runs scan it.
-    val verified = sharedVerifiedSuperset(s, d)
+    // Every shape is a MASK BIT TEST over the memoized verified
+    // superset (see [[shapePredicate]]) — three predicate scans of
+    // one index table. The pre-round-10 form re-ran a banded
+    // self-join + distinct per extra shape, which at sf10 (100-doc
+    // dup clusters → 25 M superset pairs) meant 50–200 M-row
+    // collapses per shape: sf10 warm 166 s → scan-bound.
+    val verified = sharedVerifiedSupersetMasked(s, d)
     SHAPE_RPBS.map { r =>
-      val shaped =
-        if (r == SHAPE_RPBS.head) verified
-        else if (r == ROWS_PER_BAND) verifiedPairsSharedAll(s, d)
-        else bandCandidates(sigs, "doc_id", K, r)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-          .join(verified, Seq("doc_a", "doc_b"))
+      val shaped = verified.filter(shapePredicate(r))
       shaped
         .agg(count(lit(1)).as("n_candidates"),
           sum((col("jaccard") >= 0.5).cast("long")).as("n_pass"))
@@ -785,15 +783,90 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
-  private[llm] def sharedVerifiedSuperset(s: SparkSession, d: String)
+  /** FUSED superset build: the round-9 form (band candidates →
+    * distinct → join both hsets on) died at sf10 — duplicate clusters
+    * grow with the scale factor, the candidate count grows with
+    * Σ cluster², and shipping two ~KB shingle-hash arrays onto every
+    * pair spilled ~60 GB (observed: disk-full at 500 k docs /
+    * 100-doc clusters ⇒ ~25 M pairs). The NSW-graph lesson
+    * (Similarity round 9) applies verbatim: compute the similarity
+    * INSIDE the bucket-local self-join where both arrays are already
+    * colocated, so pairs never carry arrays through a shuffle. Each
+    * doc explodes to K (band, sig-slot) rows carrying its hset ONCE
+    * (linear, ~K·corpus bytes); the (band, key) self-join evaluates
+    * the exact Jaccard in codegen; and the FIRST-MATCHING-BAND filter
+    * (`band = min{j : sig_a[j] = sig_b[j]}` — both sig arrays ride
+    * along, 8 longs each) emits every pair exactly once, eliminating
+    * the 8×-duplicated distinct the fused form would otherwise need.
+    * Output rows and values are IDENTICAL to the unfused build: same
+    * candidate set (pairs sharing ≥ 1 single-row band), same
+    * `array_intersect` arithmetic on the same checkpointed arrays.
+    *
+    * The build also stores each pair's SLOT-AGREEMENT BITMASK
+    * (bit j set ⇔ sig_a[j] = sig_b[j] — both sig arrays are in hand
+    * here and nowhere else). Any band shape's candidate membership is
+    * then a pure integer predicate over the index
+    * ([[shapePredicate]]): cand(r) ∋ pair ⇔ some aligned r-bit run of
+    * the mask is all-ones. That turns every per-shape candidate
+    * self-join + distinct (sf10: 50–200 M rows per shape before
+    * collapsing) into a scan-time bit test.
+    */
+  private def verifiedSupersetFused(s: SparkSession, d: String): DataFrame = {
+    val sigArr = array((0 until K).map(i => col(s"sig$i")): _*)
+    val banded = sharedSigs(s, d)
+      .select(col("doc_id"), sigArr.as("sg"))
+      .join(sharedShingleSets(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("sg"), col("hset"),
+        explode(expr(s"sequence(0, ${K - 1})")).as("band"))
+      .withColumn("key", expr("element_at(sg, band + 1)"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sg").as("sga"), col("hset").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sg").as("sgb"), col("hset").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"band = element_at(filter(sequence(0, ${K - 1}), " +
+        "j -> element_at(sga, j + 1) = element_at(sgb, j + 1)), 1)"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("ha"), col("hb")).as("jaccard"),
+        expr(s"aggregate(sequence(0, ${K - 1}), 0, (acc, j) -> " +
+          "acc + IF(element_at(sga, j + 1) = element_at(sgb, j + 1), " +
+          "shiftleft(1, j), 0))").as("mask"),
+        // Per-pair overlap stats, storable only here (the one place
+        // both arrays are colocated): any set-overlap measure —
+        // containment, overlap coefficient, Dice — derives from
+        // (common, size_a, size_b) arithmetically, so no consumer
+        // ever ships arrays onto the pair table again.
+        size(array_intersect(col("ha"), col("hb"))).cast("long")
+          .as("common"),
+        size(col("ha")).cast("long").as("size_a"),
+        size(col("hb")).cast("long").as("size_b"))
+  }
+
+  /** cand(r) membership as a bit test over the superset's
+    * slot-agreement mask: true ⇔ some aligned r-slot band has all r
+    * bits set. Exactly the pairs `bandCandidates(sigs, _, K, r)`
+    * produces (a pair shares an r-row band ⇔ its r slots agree).
+    */
+  private[llm] def shapePredicate(r: Int): Column =
+    (0 until K / r).map { b =>
+      val m = ((1 << r) - 1) << (b * r)
+      (col("mask").bitwiseAND(lit(m)) === lit(m))
+    }.reduce(_ || _)
+
+  /** The superset WITH the mask column — for shape-predicate
+    * consumers ([[qBandShape]], the verPairs derivation).
+    */
+  private def sharedVerifiedSupersetMasked(s: SparkSession, d: String)
       : DataFrame =
     verSupMemo.computeIfAbsent((s, d), _ =>
       graft.IndexTier.cached(s, d, "dedup_versup")(
-        jaccardVerified(
-          bandCandidates(sharedSigs(s, d), "doc_id", K, 1)
-            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
-          sharedShingleSets(s, d), "doc_a", "doc_b", threshold = 0.0)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))))
+        verifiedSupersetFused(s, d)))
+
+  private[llm] def sharedVerifiedSuperset(s: SparkSession, d: String)
+      : DataFrame =
+    sharedVerifiedSupersetMasked(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Session-scoped memo of the DEFAULT-SHAPE verified pair table:
     * the ROWS_PER_BAND-band candidates with their exact Jaccard,
@@ -811,12 +884,25 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
-  private def verifiedPairsSharedAll(s: SparkSession, d: String): DataFrame =
+  /** Default-shape verified pair table WITH the overlap stats —
+    * consumers needing only (doc_a, doc_b, jaccard) go through
+    * [[verifiedPairsSharedAll]].
+    */
+  private def verifiedPairsSharedStats(s: SparkSession, d: String)
+      : DataFrame =
     verPairsMemo.computeIfAbsent((s, d), _ =>
       graft.IndexTier.cached(s, d, "dedup_verpairs")(
-        bandCandidates(sharedSigs(s, d), "doc_id")
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-          .join(sharedVerifiedSuperset(s, d), Seq("doc_a", "doc_b"))))
+        // cand(ROWS_PER_BAND) ⊆ cand(1) realized as a mask bit test —
+        // the pre-round-10 candidate self-join + distinct + pair-key
+        // join re-did banding work the superset already encodes.
+        sharedVerifiedSupersetMasked(s, d)
+          .filter(shapePredicate(ROWS_PER_BAND))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            col("common"), col("size_a"), col("size_b"))))
+
+  private def verifiedPairsSharedAll(s: SparkSession, d: String): DataFrame =
+    verifiedPairsSharedStats(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Verified pairs at the default band shape meeting `threshold` — a
     * filter over the memoized pair table.
@@ -1279,33 +1365,29 @@ object Dedup {
     * [[CONTAIN_T_PPM]] threshold — `mutual` / `a_in_b` / `b_in_a` /
     * `overlap`.
     *
-    * Scale: candidates come from the banded self-join (never all
-    * pairs), both set-side joins read the memoized
-    * [[sharedShingleSets]] frame, and the per-pair arithmetic is
-    * map-side — the audit adds zero shuffles beyond the candidate
-    * generation it shares with the rest of the family.
+    * Scale: the registered query is PURE ARITHMETIC over the verified
+    * pair index — (common, size_a, size_b) were computed once at
+    * index-build time where both arrays were bucket-colocated, so the
+    * audit never joins arrays onto the pair table (the pre-round-10
+    * form shipped two ~KB hash sets onto every pair: at sf10's 25 M
+    * pairs that was the same ~60 GB shuffle shape that killed the
+    * superset build, and 58 s warm even with the index; now one
+    * scan).
     */
   private val CONTAIN_T_PPM = 900000L
 
   private def qContainment(s: SparkSession, d: String): DataFrame =
-    containmentAudit(
-      verifiedPairsSharedAll(s, d).select(col("doc_a"), col("doc_b")),
-      sharedShingleSets(s, d))
+    containmentClassify(
+      verifiedPairsSharedStats(s, d)
+        .select(col("doc_a"), col("doc_b"), col("common").as("inter"),
+          col("size_a"), col("size_b")))
 
-  /** The per-pair directional-overlap core over (doc_a, doc_b)
-    * candidates and a (doc_id, hset) frame — see [[qContainment]].
+  /** Classification arithmetic over (doc_a, doc_b, inter, size_a,
+    * size_b) — shared by the index-stats path ([[qContainment]]) and
+    * the array-join path ([[containmentAudit]]).
     */
-  private[llm] def containmentAudit(cand: DataFrame, hs: DataFrame)
-      : DataFrame =
-    cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
-        Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
-        size(col("ha")).cast("long").as("size_a"),
-        size(col("hb")).cast("long").as("size_b"))
+  private[llm] def containmentClassify(stats: DataFrame): DataFrame =
+    stats
       .filter(col("inter") > 0)
       .withColumn("cont_a_ppm", expr("inter * 1000000 div size_a"))
       .withColumn("cont_b_ppm", expr("inter * 1000000 div size_b"))
@@ -1315,6 +1397,21 @@ object Dedup {
           .when(col("cont_a_ppm") >= CONTAIN_T_PPM, "a_in_b")
           .when(col("cont_b_ppm") >= CONTAIN_T_PPM, "b_in_a")
           .otherwise("overlap"))
+
+  /** The per-pair directional-overlap core over (doc_a, doc_b)
+    * candidates and a (doc_id, hset) frame — see [[qContainment]].
+    */
+  private[llm] def containmentAudit(cand: DataFrame, hs: DataFrame)
+      : DataFrame =
+    containmentClassify(cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")),
+        Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        size(col("ha")).cast("long").as("size_a"),
+        size(col("hb")).cast("long").as("size_b")))
 
   private val qContainmentSql: String =
     s"""WITH ${candSqlCtes("documents")},
