@@ -21,8 +21,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column type these indexes carry (long/double/string/arrays), so
   * tier on/off cannot change a query's result, only where the bytes
   * come from. A half-written index (crash mid-job) is never read:
-  * presence is detected via the `_SUCCESS` marker the parquet
-  * committer writes last.
+  * the build goes to a temp sibling and is RENAMED into place only
+  * after the committer's `_SUCCESS`, so presence of the final dir
+  * implies a complete index and concurrent builders race on the
+  * rename, not the data (loser deletes its temp and reads the
+  * winner's).
+  *
+  * Staleness: the per-corpus index tree is keyed by a FINGERPRINT of
+  * the corpus — the canonical path plus every source parquet file's
+  * (name, length, mtime). A corpus regenerated in place (e.g.
+  * /tmp/sf1 rebuilt by a new session under a persistent
+  * GRAFT_INDEX_DIR) hashes to a different tree, so stale indexes are
+  * never served — they are simply orphaned. The fingerprint also
+  * disambiguates distinct dirs whose sanitized names collide
+  * ("/tmp/sf1" vs "/tmp_sf1") and unifies relative/absolute spellings
+  * of the same dir (canonical path).
   *
   * Consumers joining a tiered frame also get SIZE STATISTICS (a
   * parquet scan has them; a checkpoint scan does not) — the
@@ -38,8 +51,47 @@ object IndexTier {
   private def sanitize(d: String): String =
     d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Corpus fingerprint: canonical path + sorted (name, length,
+    * mtime) of every file under it (one level of nesting covers the
+    * `table.parquet/part-*.parquet` layout the test corpora use).
+    * Cheap — a directory listing, no data read — and exactly as
+    * stale-sensitive as the corpus: any rewrite touches lengths or
+    * mtimes.
+    */
+  private def fingerprint(d: String): String = {
+    val canon = new java.io.File(d).getCanonicalFile
+    val entries = Option(canon.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.isFile)
+            .map(c => s"${f.getName}/${c.getName}:${c.length}:${c.lastModified}")
+        else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+      }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(canon.getPath.getBytes("UTF-8"))
+    entries.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  // Fingerprinting lists the corpus dir on every cached() call site's
+  // first touch; memoize per raw dir string for the session. A corpus
+  // rewritten in place mid-session must go through the module
+  // invalidate(dir) contract anyway, which clears this too.
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The per-corpus subdirectory name under the tier root:
+    * sanitized path + corpus fingerprint. Public so specs (and
+    * operators inspecting the tier) can locate a corpus's tree.
+    */
+  def corpusKey(d: String): String = {
+    val fp = fpMemo.computeIfAbsent(d, fingerprint(_))
+    s"${sanitize(d)}-$fp"
+  }
+
   private def indexPath(root: String, d: String, name: String): String =
-    s"$root/${sanitize(d)}/$name.parquet"
+    s"$root/${corpusKey(d)}/$name.parquet"
 
   /** Build-if-absent / scan-if-present when a tier root is
     * configured; eager localCheckpoint otherwise. `name` must be
@@ -51,8 +103,26 @@ object IndexTier {
       case None => build.localCheckpoint(true)
       case Some(root) =>
         val path = indexPath(root, d, name)
-        if (!new java.io.File(path, "_SUCCESS").exists())
-          build.write.mode("overwrite").parquet(path)
+        val dst = new java.io.File(path)
+        if (!new java.io.File(dst, "_SUCCESS").exists()) {
+          // Build into a temp sibling and rename into place: the
+          // final dir either does not exist or is complete, and two
+          // concurrent builders race on the (atomic, same-volume)
+          // rename instead of overwriting each other's files.
+          val tmp = new java.io.File(
+            dst.getParentFile,
+            s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+          build.write.mode("overwrite").parquet(tmp.getPath)
+          if (!tmp.renameTo(dst)) {
+            // Lost the race (or a stale incomplete dst blocks us):
+            // clear an incomplete dst once and retry, else discard.
+            if (!new java.io.File(dst, "_SUCCESS").exists()) {
+              rmTree(dst)
+              tmp.renameTo(dst)
+            }
+            rmTree(tmp)
+          }
+        }
         s.read.parquet(path)
     }
 
@@ -77,16 +147,27 @@ object IndexTier {
     else scan
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   /** Delete the on-disk indexes for `d` — the disk half of the
     * corpus-memo `invalidate(dir)` contract (corpus rewritten in
-    * place ⇒ every derived materialization is stale).
+    * place ⇒ every derived materialization is stale). With a
+    * `prefix`, only that module's index names are removed — a
+    * partial invalidate must not delete parquet that OTHER modules'
+    * live in-memory memos still scan.
     */
-  def invalidate(d: String): Unit =
+  def invalidate(d: String, prefix: String = ""): Unit = {
     rootDir.foreach { root =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$root/${sanitize(d)}"))
+      val tree = new java.io.File(s"$root/${corpusKey(d)}")
+      if (prefix.isEmpty) rmTree(tree)
+      else Option(tree.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).foreach(rmTree)
     }
+    // The corpus may be about to be rewritten — re-fingerprint on
+    // next touch.
+    fpMemo.remove(d); ()
+  }
 }

@@ -1201,7 +1201,7 @@ object Dedup {
     verPairsMemo.keySet.removeIf(_._2 == dir)
     hsMemo.keySet.removeIf(_._2 == dir)
     sigsMemo.keySet.removeIf(_._2 == dir)
-    graft.IndexTier.invalidate(dir)
+    graft.IndexTier.invalidate(dir, "dedup_")
     ()
   }
 

@@ -1329,7 +1329,7 @@ object Similarity {
     */
   def invalidate(dir: String): Unit = {
     nswMemo.keySet.removeIf(_._2 == dir)
-    graft.IndexTier.invalidate(dir)
+    graft.IndexTier.invalidate(dir, "nsw_")
   }
 
   private def nswEmbAndGraph(s: SparkSession, d: String)

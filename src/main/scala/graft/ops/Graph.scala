@@ -91,7 +91,7 @@ object Graph {
   def invalidate(dir: String): Unit = {
     edgeMemo.keySet.removeIf(_._2 == dir)
     bipartiteMemo.keySet.removeIf(_._2 == dir)
-    graft.IndexTier.invalidate(dir)
+    graft.IndexTier.invalidate(dir, "graph_")
   }
 
   private def buildTopEdges(s: SparkSession, d: String): DataFrame = {
