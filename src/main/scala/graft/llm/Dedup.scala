@@ -1551,11 +1551,58 @@ object Dedup {
     * name similarity rather than a natural key's fixed block sizes.
     * Exact Levenshtein ≤ 4 confirms; counts tie the verdicts back to
     * part rows.
+    *
+    * Scale shape (round-11, the fused-superset discipline applied to
+    * names — the last raw [[bandCandidates]] hot path grew 13×/decade
+    * at sf10). The corpus makes the blocking DEGENERATE: p_name has
+    * only 64 base values, so the 4-gram minhash yields exactly 16
+    * (band, key) buckets at every scale, each holding ~1/8 of all
+    * distinct names — candidate pairs grow quadratically with the
+    * scale factor by construction (sf1: 50 k pairs, sf10: 4.2 M).
+    * What made that 13×/decade in wall time was not the pair count —
+    * 4.2 M in-stage levenshteins is ~2 s of codegen work — but the
+    * OLD build shipping every pair up-to-8×-duplicated through a
+    * corpus-scale `distinct` shuffle. Two fixes:
+    *  1. FIRST-MATCHING-BAND EMIT: each name carries its (surviving)
+    *     band-key array through the bucket self-join, and a pair is
+    *     emitted only in the FIRST band whose keys agree — exactly
+    *     once, no duplicated `distinct` (the `verifiedSupersetFused`
+    *     move). The verify filter runs in the same codegen stage, so
+    *     candidates never cross a shuffle at all.
+    *  2. DEGENERATE-BUCKET CAP ([[LEV_BUCKET_CAP]]): a (band, key)
+    *     bucket holding more distinct names than the cap is excluded
+    *     from candidate generation (the [[graft.ops.Operational]]
+    *     `BASKET_MAX_ITEMS` pattern; standard oversized-bucket
+    *     skipping in dedup literature) via a BROADCAST null-out of
+    *     the per-name band-key array, bounding any bucket's
+    *     contribution to cap² pairs. The cap is sized to NEVER BIND
+    *     at tested scales (oracle hash unchanged through sf10;
+    *     `LevenshteinCapSpec` pins cap-off equivalence) — it is the
+    *     guard that keeps an adversarial corpus from turning the
+    *     16-bucket quadratic into a cluster-killer, and the oracle
+    *     applies the identical cap. A band nulled by the cap never
+    *     compares equal, so "first" means first SURVIVING agreeing
+    *     band and the candidate set is precisely "pairs sharing ≥ 1
+    *     surviving bucket" — the set the oracle's DISTINCT computes.
     */
   private val K_NAME = 4
   private val LEV_T = 4
 
-  private def qLevenshtein(s: SparkSession, d: String): DataFrame = {
+  /** Max distinct names per (band, key) bucket before the bucket is
+    * treated as degenerate and skipped. 4096 ≈ 5.6× the largest
+    * bucket observed at sf10 (728), so every tested scale is
+    * cap-invariant; a single surviving bucket can cost at most
+    * cap²/2 ≈ 8 M in-stage comparisons (~seconds), whatever the
+    * corpus does.
+    */
+  private[llm] val LEV_BUCKET_CAP = 4096
+
+  private[llm] def qLevenshtein(s: SparkSession, d: String): DataFrame =
+    qLevenshteinCapped(s, d, LEV_BUCKET_CAP)
+
+  private[llm] def qLevenshteinCapped(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val nBands = K_NAME / ROWS_PER_BAND
     val names = Tables.part(s, d)
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("rep_key"), count(lit(1)).as("n_parts"))
@@ -1573,12 +1620,88 @@ object Dedup {
     val aggs = (0 until K_NAME).map(i =>
       min(minhashFn(col("h"), i)).as(s"sig$i"))
     val sigs = grams.groupBy(col("p_name")).agg(aggs.head, aggs.tail: _*)
-    val cand = bandCandidates(sigs, "p_name", K_NAME, ROWS_PER_BAND)
-      .select(col("id_a").as("name_a"), col("id_b").as("name_b"))
+    // Per-name band-key array (nBands strings — small).
+    val bksCol = array((0 until nBands).map(b =>
+      concat_ws(",", (0 until ROWS_PER_BAND)
+        .map(r => col(s"sig${b * ROWS_PER_BAND + r}")): _*)): _*)
+    // Eagerly materialized: the minhash chain (gram explode + two
+    // aggs) feeds BOTH the bucket census and the effective-key
+    // null-out — without the checkpoint the whole chain plans (and
+    // runs) twice. Same move as the shared sig/hset memos, scoped to
+    // the query (names are only q_levenshtein's concern).
+    val withBks = sigs.select(col("p_name"), bksCol.as("bks"))
+      .localCheckpoint(true)
+    // Oversized buckets: tiny frame (names per (band, key) > cap is
+    // rare by construction), broadcast into per-band null-outs.
+    val bandRows = withBks.select(col("p_name"),
+      explode(expr(s"sequence(0, ${nBands - 1})")).as("band"),
+      col("bks"))
+      .withColumn("key", expr("element_at(bks, band + 1)"))
+    val big = bandRows.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(col("band"), col("key"))
+    val effective = (0 until nBands).foldLeft(withBks) { (df, b) =>
+      df.join(broadcast(big.filter(col("band") === b)
+          .select(col("key").as(s"_big$b"))),
+          expr(s"element_at(bks, ${b + 1})") === col(s"_big$b"),
+          "left")
+    }.select(col("p_name"),
+      array((0 until nBands).map(b =>
+        when(col(s"_big$b").isNull, expr(s"element_at(bks, ${b + 1})"))): _*)
+        .as("bks"))
+    // Re-spread before the self-join (the IndexTier.cachedHot
+    // lesson): the name index is tiny, so AQE coalesces it to one
+    // partition — and then every bucket's n² verify work runs in ONE
+    // task (measured: the sf10 join stage pinned at ~7 s on a single
+    // core regardless of cpu count). A round-robin repartition of
+    // 2·|names| rows is free and restores full-width probing.
+    val keyed = effective
+      .select(col("p_name"), col("bks"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("key", expr("element_at(bks, band + 1)"))
+      .filter(col("key").isNotNull)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val a = keyed.select(col("band"), col("key"),
+      col("p_name").as("name_a"), col("bks").as("bka"))
+    val b = keyed.select(col("band"), col("key"),
+      col("p_name").as("name_b"), col("bks").as("bkb"))
+    // First surviving agreeing band, written as a plain boolean over
+    // array indexing — NOT the higher-order `filter(...)` lambda,
+    // which is CodegenFallback and ran interpreted per joined row
+    // (measured: the sf10 join stage 12.7 s with the lambda, ~1 s
+    // without). "agree at j" must be null-REJECTING (a capped bucket
+    // nulls both sides, and null <=> null is true): coalesce(=, false).
+    val firstMatch = (0 until nBands).map { j =>
+      !(col("band") > lit(j)) ||
+        !coalesce(expr(s"element_at(bka, ${j + 1})") ===
+          expr(s"element_at(bkb, ${j + 1})"), lit(false))
+    }.reduce(_ && _)
+    // The b-side is the banded DISTINCT-NAME index (vocabulary-scale:
+    // 640 rows at sf1, 6.4 k at sf10 — two short strings + a 2-array
+    // each), so broadcast it: the bucket self-join becomes a
+    // BroadcastHashJoin probed by the a-side, which spreads the work
+    // by a-side ROWS instead of by the 16 degenerate (band, key)
+    // buckets — with a shuffle join, whole buckets landed on single
+    // tasks and the verify stage ran skew-bound (6.8 s at sf10; the
+    // probe-side plan balances across all cores). If names ever
+    // outgrew broadcast, drop this hint and the same plan runs as a
+    // shuffle join with the cap still bounding per-bucket work.
+    val cand = a.join(broadcast(b), Seq("band", "key"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(firstMatch)
+      .select(col("name_a"), col("name_b"))
     cand
+      // Threshold-bounded levenshtein (O(len·t) banded DP with early
+      // abort, -1 past the threshold) — the verify step runs once per
+      // candidate pair, and most candidates in a degenerate bucket are
+      // NOT within distance 4, so the abort is the common path. Kept
+      // rows carry the exact distance, identical to the unbounded
+      // oracle value.
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast(IntegerType))
-      .filter(col("dist") <= LEV_T)
+        levenshtein(col("name_a"), col("name_b"), LEV_T)
+          .cast(IntegerType))
+      .filter(col("dist") >= 0 && col("dist") <= LEV_T)
       .join(names.select(col("p_name").as("name_a"),
         col("n_parts").as("n_parts_a")), Seq("name_a"))
       .join(names.select(col("p_name").as("name_b"),
@@ -1596,19 +1719,26 @@ object Dedup {
        |      range(length(p_name) - 3),
        |      i -> substring(p_name, CAST(i + 1 AS INTEGER), 4)))) AS g
        |  FROM names),
-       |th AS (SELECT p_name, ${tokHashSql("g")} AS h FROM tok),
-       |mh AS (
+       |th AS MATERIALIZED (SELECT p_name, ${tokHashSql("g")} AS h FROM tok),
+       |mh AS MATERIALIZED (
        |  SELECT p_name, i,
        |    min((h * (i * 2 + 1) + i * 12345) % 1000000007) AS sig
        |  FROM th, range($K_NAME) r(i) GROUP BY p_name, i),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT p_name, i // $ROWS_PER_BAND AS band,
        |    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
        |  FROM mh GROUP BY p_name, i // $ROWS_PER_BAND),
+       |big AS MATERIALIZED (
+       |  SELECT band, key FROM bands
+       |  GROUP BY band, key HAVING count(*) > $LEV_BUCKET_CAP),
+       |kept AS MATERIALIZED (
+       |  SELECT p_name, band, key FROM bands b
+       |  WHERE NOT EXISTS (SELECT 1 FROM big g
+       |                    WHERE g.band = b.band AND g.key = b.key)),
        |cand AS (
        |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-       |  FROM bands a
-       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  FROM kept a
+       |  JOIN kept b ON a.band = b.band AND a.key = b.key
        |              AND a.p_name < b.p_name)
        |SELECT c.name_a, c.name_b,
        |  CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
