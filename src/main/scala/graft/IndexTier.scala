@@ -100,7 +100,7 @@ object IndexTier {
   def cached(s: SparkSession, d: String, name: String)
       (build: => DataFrame): DataFrame =
     rootDir match {
-      case None => build.localCheckpoint(true)
+      case None => build.transform(graft.Memo.checkpoint)
       case Some(root) =>
         val path = indexPath(root, d, name)
         val dst = new java.io.File(path)
@@ -143,7 +143,7 @@ object IndexTier {
       // one or two scan splits, which would serialize every
       // downstream stage that starts from the checkpoint.
       scan.repartition(s.sessionState.conf.numShufflePartitions)
-        .localCheckpoint(true)
+        .transform(graft.Memo.checkpoint)
     else scan
   }
 

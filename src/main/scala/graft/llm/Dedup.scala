@@ -980,7 +980,7 @@ object Dedup {
     // cache registry rather than the backing RDD anyway.)
     var cur = ids.select(col("doc_id"),
       col("doc_id").as("canonical_id"), lit(0).as("hops"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -1002,7 +1002,7 @@ object Dedup {
         .withColumn("hops",
           when(col("canonical_id") < col("_prev"), lit(i))
             .otherwise(col("hops")))
-        .localCheckpoint(true)         // materializes + truncates lineage
+        .transform(graft.Memo.checkpoint)         // materializes + truncates lineage
       changed = step
         .filter(col("canonical_id") =!= col("_prev"))
         .count()
@@ -1630,7 +1630,7 @@ object Dedup {
     // runs) twice. Same move as the shared sig/hset memos, scoped to
     // the query (names are only q_levenshtein's concern).
     val withBks = sigs.select(col("p_name"), bksCol.as("bks"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     // Oversized buckets: tiny frame (names per (band, key) > cap is
     // rare by construction), broadcast into per-band null-outs.
     val bandRows = withBks.select(col("p_name"),

@@ -463,7 +463,7 @@ object Embeddings {
         .join(cent.alias("b"), Seq("vec_id"))
         .groupBy(col("a.i").as("i"), col("b.i").as("j"))
         .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("c"))
-        .localCheckpoint(true) // feeds every power iteration
+        .transform(graft.Memo.checkpoint) // feeds every power iteration
     })
 
   /** Drop the memoized Gram matrix for `dir` (the

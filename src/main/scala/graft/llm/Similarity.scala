@@ -1433,7 +1433,7 @@ object Similarity {
     }
     val finalBeam = scored(beam)
       .filter(col("vec_id") =!= col("query_id"))
-      .localCheckpoint(true) // feeds n_beam and the top-5 audit
+      .transform(graft.Memo.checkpoint) // feeds n_beam and the top-5 audit
     val nBeam = finalBeam.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_beam"))
     val truth = bruteTopK(emb, probeSet(emb, probePred), 5)

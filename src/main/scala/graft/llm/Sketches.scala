@@ -644,13 +644,13 @@ object Sketches {
         mixed(poly_hash(col("user_id").cast("string"))).as("h"))
       .select(col("day"), jc.as("j"), rhoc.as("rho"))
       .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m_j"))
-      .localCheckpoint(true) // 64·days rows feed three estimates
+      .transform(graft.Memo.checkpoint) // 64·days rows feed three estimates
     val span = regs.agg(max(col("day")).as("max_day"))
     def estimate(regsW: DataFrame, out: String): DataFrame =
       hllDayEstimate(regsW, out)
     def merged(w: Int): DataFrame = hllTrailingMerge(regs, w)
     // Exact trailing distincts — the calibration columns.
-    val udCk = ud.localCheckpoint(true)
+    val udCk = ud.transform(graft.Memo.checkpoint)
     def exact(w: Int, out: String): DataFrame =
       udCk.crossJoin(broadcast(span.withColumnRenamed("max_day", "md")))
         .select(col("user_id"),
@@ -778,7 +778,7 @@ object Sketches {
     import org.apache.spark.sql.functions._
     val counts = Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds exact, top-K, and totals
+      .transform(graft.Memo.checkpoint) // feeds exact, top-K, and totals
     selfjoinEstFromCounts(counts)
   }
 

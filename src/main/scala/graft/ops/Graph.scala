@@ -161,7 +161,7 @@ object Graph {
     val o = keyed.select(
       when(aFirst, col("sa")).otherwise(col("sb")).as("u"),
       when(aFirst, col("sb")).otherwise(col("sa")).as("v"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     val ou = o.join(broadcast(deg.select(col("v"), col("d").as("dv"))),
       Seq("v"))
     val tri = ou.alias("a")
@@ -234,7 +234,7 @@ object Graph {
     // degree table plus every iteration's join.
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val verts = deg.select(col("u").as("v"))
     val nRow = verts.agg(count(lit(1)).as("n"))
@@ -323,7 +323,7 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("sa").as("v")).unionAll(e.select(col("sb").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    var alive = degrees(edges0).select(col("v")).localCheckpoint(true)
+    var alive = degrees(edges0).select(col("v")).transform(graft.Memo.checkpoint)
     var edges = edges0
     val peeled = collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to PEEL_ROUNDS) {
@@ -332,13 +332,13 @@ object Graph {
       val rem = alive.join(degrees(edges), Seq("v"), "left")
         .filter(coalesce(col("deg"), lit(0L)) < CORE_K)
         .select(col("v"))
-        .localCheckpoint(true)
+        .transform(graft.Memo.checkpoint)
       peeled += rem.select(col("v"), lit(r).as("peel_round"))
-      alive = alive.join(rem, Seq("v"), "left_anti").localCheckpoint(true)
+      alive = alive.join(rem, Seq("v"), "left_anti").transform(graft.Memo.checkpoint)
       edges = edges
         .join(rem.select(col("v").as("sa")), Seq("sa"), "left_anti")
         .join(rem.select(col("v").as("sb")), Seq("sb"), "left_anti")
-        .localCheckpoint(true)
+        .transform(graft.Memo.checkpoint)
     }
     val survivors = alive.join(degrees(edges), Seq("v"), "left")
       .select(col("v"), lit(0).as("peel_round"),
@@ -414,7 +414,7 @@ object Graph {
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"), col("w"))
       .unionAll(edges.select(col("sb").as("u"), col("sa").as("v"), col("w")))
       .withColumn("cost", expr("CAST(1000000 AS BIGINT) div w"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     var dist = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
     for (_ <- 1 to BF_ROUNDS) {
       val relaxed = dir
@@ -474,7 +474,7 @@ object Graph {
     val edges = topEdges(s, d)
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     var lbl = dir.select(col("u").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to LPA_ROUNDS) {
@@ -547,7 +547,7 @@ object Graph {
     */
   private def qModularity(s: SparkSession, d: String): DataFrame = {
     val edges = topEdges(s, d)
-    val lbl = lpaLabels(s, d).localCheckpoint(true)
+    val lbl = lpaLabels(s, d).transform(graft.Memo.checkpoint)
     val m1 = edges.agg(count(lit(1)).as("m"))
     val ein = edges
       .join(broadcast(lbl.select(col("v").as("sa"), col("lbl").as("la"))),
@@ -820,7 +820,7 @@ object Graph {
     // once and the checkpoint jobs are vertex-sized — sf1 warm
     // 5.3 -> ~2 s).
     def l1norm(x0: DataFrame, k: String): DataFrame = {
-      val x = x0.localCheckpoint(true)
+      val x = x0.transform(graft.Memo.checkpoint)
       val tot = x.agg(sum(col("s")).as("tot"))
       x.crossJoin(broadcast(tot))
         .select(col(k), expr("CAST(s AS DECIMAL(38,0)) * 1000000000000" +
@@ -916,7 +916,7 @@ object Graph {
     val edges = topEdges(s, d)
     val dir = edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionAll(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val verts = deg.select(col("u").as("v"))
     var pr = verts.select(col("v"),
@@ -1097,7 +1097,7 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    var edges = init.localCheckpoint(true)
+    var edges = init.transform(graft.Memo.checkpoint)
     var i = 0
     var done = edges.isEmpty
     while (!done && i < maxIter) {
@@ -1123,7 +1123,7 @@ object Graph {
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Memo.checkpoint)
       val changed = small.exceptAll(edges).limit(1).count() +
         edges.exceptAll(small).limit(1).count()
       edges = small

@@ -80,7 +80,7 @@ object LayoutAudit {
   private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
-      .localCheckpoint(true) // feeds 6 (candidate × layout) passes
+      .transform(graft.Memo.checkpoint) // feeds 6 (candidate × layout) passes
     val span = li.agg(
       min(col("l_orderkey")).as("lo_o"), max(col("l_orderkey")).as("hi_o"),
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
@@ -160,7 +160,7 @@ object LayoutAudit {
   private def qZorder(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_partkey"))
-      .localCheckpoint(true) // feeds 6 (layout × probe) passes
+      .transform(graft.Memo.checkpoint) // feeds 6 (layout × probe) passes
     val span = li.agg(
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
       min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
@@ -174,7 +174,7 @@ object LayoutAudit {
         s" div (hi_s - lo_s + 1), ${F - 1})"))
       .withColumn("fp", expr(s"least((l_partkey - lo_p) * $F" +
         s" div (hi_p - lo_p + 1), ${F - 1})"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     def probe(layout: String, fileCol: String, dim: String): DataFrame = {
       val fm = ws.groupBy(col(fileCol).as("f"))
         .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))

@@ -448,7 +448,7 @@ object Operational {
     // scans). Checkpoint it ONCE per invocation (the q_ts_pairs
     // discipline; at warehouse scale this frame is the materialized
     // transaction table a basket job writes first).
-    val op0 = op0raw.localCheckpoint(true)
+    val op0 = op0raw.transform(graft.Memo.checkpoint)
     // One basket-size frame serves BOTH the guard (oversized keys →
     // broadcast anti) and the transaction count N (surviving rows) —
     // the separate distinct-orderkey count pass the unguarded plan
@@ -1046,7 +1046,7 @@ object Operational {
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-      .localCheckpoint(true) // feeds three expansions
+      .transform(graft.Memo.checkpoint) // feeds three expansions
     val span = ud.agg(max(col("day")).as("max_day"))
     def trailing(w: Int, out: String): DataFrame =
       ud.crossJoin(broadcast(span))
@@ -2226,7 +2226,7 @@ object Operational {
     */
   private[graft] def tsPairsTopK(ranked0: DataFrame, k: Int,
       maxExactWindows: Long = TS_PAIRS_MAX_WINDOWS): DataFrame = {
-    val ranked = ranked0.localCheckpoint(true) // guard count + pair join
+    val ranked = ranked0.transform(graft.Memo.checkpoint) // guard count + pair join
     val nWindows = ranked.select(col("w")).distinct().count()
     val paired =
       if (nWindows <= maxExactWindows) {
@@ -3385,7 +3385,7 @@ object Operational {
         count(lit(1)).as("f_cnt"),
         sum(col("cents")).as("m_cents"))
       .withColumn("m_dollars", expr("m_cents div 100"))
-      .localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
     val tot = users.agg(count(lit(1)).as("n"))
     // ntile(5) by `metric` DESC (tie: custkey) without a global window.
     // "Customers strictly better" is a TWO-LEVEL prefix (the q_pack
@@ -3543,8 +3543,8 @@ object Operational {
     // both consumers.
     val perUser = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
-      .localCheckpoint(true)
-    val intervals = kmIntervals(s, perUser).localCheckpoint(true)
+      .transform(graft.Memo.checkpoint)
+    val intervals = kmIntervals(s, perUser).transform(graft.Memo.checkpoint)
     intervals.createOrReplaceTempView("km_intervals")
     s.sql(
       """WITH RECURSIVE km(t, n_at_risk, d_events, c_censored, s_ppm) AS (

@@ -46,8 +46,37 @@ class ExchangeGoldenSpec extends SparkSpec {
   // rather than silently passing.
   private val goldenPathSf1 =
     Paths.get("src/test/resources/exchange_golden_sf1.tsv")
+  // Fourth-scale pins at sf10 (round-10 verdict #6): plan flips are
+  // the scale-regime bug vector (round 9 proved it at sf1, round 10
+  // at sf10 — three real bugs), and "252 queries ran at sf10" says
+  // nothing about the PLANS they ran with. Pinning the executed
+  // exchange counts at the second decade makes a broadcast→shuffle
+  // (or worse) regime flip at 60 M rows a reviewed diff, the cheapest
+  // honest sf10 correctness evidence short of a DuckDB oracle run.
+  private val goldenPathSf10 =
+    Paths.get("src/test/resources/exchange_golden_sf10.tsv")
 
-  private def planCounts(dir: String): Seq[(String, Int, Int)] = {
+  // Excluded from the sf10 pins ONLY: these queries' CONSTRUCTION
+  // runs data-dependent actions — fixpoint-loop convergence counts
+  // (the canonicalFixpoint / star-contraction family and q_curate,
+  // which composes it), beam expansions (q_ann_beam), power-iteration
+  // checkpoints (q_hits), k-core peeling (q_kcore) — so "planning"
+  // them at sf10 executes the full one-time index build plus the loop
+  // on the 4-core test session: measured with graft.tools.PlanTime at
+  // 32 cores, q_cc_star alone is 784 s (≥ an hour at local[4]); every
+  // query kept below is ≤ 8 s at 32 cores, 240-query total ~80 s.
+  // Their sf10 scale behavior is still gated — by the sf1→sf10 wall
+  // time ratios in ScaleGateSpec — just not plan-pinned, and their
+  // plans ARE pinned at the three smaller scales where construction
+  // is affordable.
+  private val sf10Exclude = Set(
+    "q_ann_beam", "q_hits", "q_kcore",
+    "q_cc_star", "q_dedup_cc", "q_dedup_fuzzy", "q_golden_record",
+    "q_dedup_hops", "q_dedup_delta", "q_dedup_cap", "q_cluster_stats",
+    "q_curate")
+
+  private def planCounts(dir: String,
+      exclude: Set[String] = Set.empty): Seq[(String, Int, Int)] = {
     // Session memos (dedup shingle/sig frames, the Gram matrix, the
     // graph edge view) replace whole plan subtrees with checkpointed
     // scans, so a query's exchange count depends on which memos are
@@ -59,7 +88,8 @@ class ExchangeGoldenSpec extends SparkSpec {
     graft.llm.Similarity.invalidate(dir)
     graft.ops.Graph.invalidate(dir)
     graft.ops.RelationalQueries.invalidate(dir)
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(e => exclude.contains(e._1)).map { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan
       val sh = plan.collect { case e: ShuffleExchangeExec => e }.size
       val bc = plan.collect { case e: BroadcastExchangeExec => e }.size
@@ -68,11 +98,29 @@ class ExchangeGoldenSpec extends SparkSpec {
   }
 
   private def checkOrUpdate(dir: String,
-      goldenPath: java.nio.file.Path): Unit = {
+      goldenPath: java.nio.file.Path,
+      exclude: Set[String] = Set.empty): Unit = {
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Exchange NODE counts are independent of the partition count,
+    // but the construction-time actions some queries take (fixpoint
+    // loop counts, stats probes) are not: at sf10 a 4-partition
+    // shuffle spills for tens of minutes. 32 partitions keeps those
+    // probes tractable without touching anything the pins measure.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // PLAN-ONLY memos (graft.Memo): pinning needs executed plans, not
+    // results, but eager memo checkpoints run whole index builds at
+    // construction — at sf10 that is tens of minutes of spill on the
+    // 4-core test session. Lazy checkpoints plan to the identical
+    // stats-less LogicalRDD scan, so the counts cannot differ; the
+    // three pre-existing goldens re-pinning byte-identically under
+    // this flag is the recorded equivalence proof. Memos built here
+    // are lazily-backed, so they are invalidated again afterwards
+    // rather than leaked to suites that will actually run queries.
+    System.setProperty("graft.plan.only", "1")
     try {
-      val counts = planCounts(dir)
+      val counts = planCounts(dir, exclude)
       if (sys.env.contains("GRAFT_UPDATE_GOLDEN")) {
         val body = counts
           .map { case (n, s, b) => s"$n\t$s\t$b" }.mkString("", "\n", "\n")
@@ -106,7 +154,16 @@ class ExchangeGoldenSpec extends SparkSpec {
           (problems ++ removed.map(n => s"$n: pinned but no longer " +
             s"registered — regenerate golden")).mkString("\n"))
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prior)
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      System.clearProperty("graft.plan.only")
+      graft.llm.Dedup.invalidate(dir)
+      graft.llm.Embeddings.invalidate(dir)
+      graft.llm.Similarity.invalidate(dir)
+      graft.ops.Graph.invalidate(dir)
+      graft.ops.RelationalQueries.invalidate(dir)
+    }
   }
 
   test("per-query exchange counts match the golden pins") {
@@ -123,5 +180,13 @@ class ExchangeGoldenSpec extends SparkSpec {
         "`sbt \"runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10\"`" +
         " to run the sf1 plan pins")
     checkOrUpdate("/tmp/sf1", goldenPathSf1)
+  }
+
+  test("per-query exchange counts match the sf10 golden pins") {
+    assume(Files.isDirectory(Paths.get("/tmp/sf10")),
+      "/tmp/sf10 absent — regenerate /tmp/sf1 first, then " +
+        "`sbt \"runMain graft.ScaleUp /tmp/sf1 /tmp/sf10 10\"`" +
+        " to run the sf10 plan pins")
+    checkOrUpdate("/tmp/sf10", goldenPathSf10, sf10Exclude)
   }
 }

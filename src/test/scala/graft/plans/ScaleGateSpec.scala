@@ -90,6 +90,27 @@ class ScaleGateSpec extends AnyFunSuite {
     }
   }
 
+  /** The SECOND decade (sf1→sf10) pair, when the newest two profile
+    * sets both carry sf10 profiles (round-10 verdict #2: the decade
+    * where the real scale bugs lived had no machine-checked
+    * reference). Same rules as decade 1.
+    */
+  private def latestRatioPairSf10: Option[(Map[String, Double],
+      Map[String, Double], String)] = {
+    val dirs = profileDirs
+      .filter(p => Files.exists(p.resolve("sf10_warm.json")))
+    if (dirs.size < 2) None
+    else {
+      val Seq(ref, cand) = dirs.takeRight(2)
+      Some((
+        warmRatios(loadProfile(cand, "sf1_warm"),
+          loadProfile(cand, "sf10_warm")),
+        warmRatios(loadProfile(ref, "sf1_warm"),
+          loadProfile(ref, "sf10_warm")),
+        s"${cand.getFileName} vs ${ref.getFileName} (sf1->sf10)"))
+    }
+  }
+
   test("newest checked-in scale profiles pass the gate vs the previous set") {
     latestRatioPair match {
       case None =>
@@ -104,6 +125,23 @@ class ScaleGateSpec extends AnyFunSuite {
           s"tolerance (rel ${RelTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         // The comparison must not silently dwindle: both sets cover
         // (nearly) the full suite.
+        assert(cand.size >= ref.size - 5,
+          s"candidate ratio set shrank: ${cand.size} vs ${ref.size}")
+    }
+  }
+
+  test("second decade (sf1->sf10): newest sf10 profiles pass the gate") {
+    latestRatioPairSf10 match {
+      case None =>
+        cancel("fewer than two profile sets with sf10 profiles — the " +
+          "second-decade gate activates once two rounds have checked " +
+          "in sf10 benches")
+      case Some((cand, ref, label)) =>
+        val failures = gate(cand, ref)
+        assert(failures.isEmpty,
+          s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
+        info(s"scale gate OK ($label): ${cand.size} queries within " +
+          s"tolerance (rel ${RelTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         assert(cand.size >= ref.size - 5,
           s"candidate ratio set shrank: ${cand.size} vs ${ref.size}")
     }
