@@ -46,18 +46,34 @@ class ScaleGateSpec extends AnyFunSuite {
       }
     }
 
-  /** Port of scale_gate.py's failure rules; returns failure lines. */
+  /** Port of scale_gate.py's failure rules; returns failure lines.
+    * `candHi`/`refHi` are the raw HIGH-scale warm times: a query
+    * whose high-scale time did not regress (cand ≤ ref × RelTol)
+    * passes regardless of ratio — a ratio gate punishes the
+    * denominator improving (round 11: q_band_shape's sf0.1 warm got
+    * 2.2× faster and "failed" with an sf1 time that had IMPROVED);
+    * a real scaling-law regression must show in the high-scale time.
+    */
   private[plans] def gate(cand: Map[String, Double],
-      ref: Map[String, Double]): Seq[String] =
+      ref: Map[String, Double],
+      candHi: Map[String, Double] = Map.empty,
+      refHi: Map[String, Double] = Map.empty): Seq[String] = {
+    def hiOk(q: String): Boolean =
+      (candHi.get(q), refHi.get(q)) match {
+        case (Some(c), Some(r)) => c >= 0 && r >= 0 && c <= r * RelTol
+        case _ => false
+      }
     cand.toSeq.sortBy(_._1).flatMap { case (q, cr) =>
-      if (cr > HardCap)
+      if (cr > HardCap && !hiOk(q))
         Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
-      else ref.get(q) match {
-        case Some(rr) if cr > math.max(rr * RelTol, AbsFloor) =>
+      else if (cr <= HardCap) ref.get(q) match {
+        case Some(rr) if cr > math.max(rr * RelTol, AbsFloor) &&
+            !hiOk(q) =>
           Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx")
         case _ => None
-      }
+      } else None
     }
+  }
 
   private def profileDirs: Seq[Path] = {
     val bench = Paths.get("bench")
@@ -75,17 +91,22 @@ class ScaleGateSpec extends AnyFunSuite {
       }
   }
 
-  private def latestRatioPair: Option[(Map[String, Double],
-      Map[String, Double], String)] = {
+  private case class RatioPair(cand: Map[String, Double],
+      ref: Map[String, Double], candHi: Map[String, Double],
+      refHi: Map[String, Double], label: String)
+
+  private def latestRatioPair: Option[RatioPair] = {
     val dirs = profileDirs
     if (dirs.size < 2) None
     else {
       val Seq(ref, cand) = dirs.takeRight(2)
-      Some((
+      Some(RatioPair(
         warmRatios(loadProfile(cand, "sf01_warm"),
           loadProfile(cand, "sf1_warm")),
         warmRatios(loadProfile(ref, "sf01_warm"),
           loadProfile(ref, "sf1_warm")),
+        loadProfile(cand, "sf1_warm"),
+        loadProfile(ref, "sf1_warm"),
         s"${cand.getFileName} vs ${ref.getFileName}"))
     }
   }
@@ -95,18 +116,19 @@ class ScaleGateSpec extends AnyFunSuite {
     * where the real scale bugs lived had no machine-checked
     * reference). Same rules as decade 1.
     */
-  private def latestRatioPairSf10: Option[(Map[String, Double],
-      Map[String, Double], String)] = {
+  private def latestRatioPairSf10: Option[RatioPair] = {
     val dirs = profileDirs
       .filter(p => Files.exists(p.resolve("sf10_warm.json")))
     if (dirs.size < 2) None
     else {
       val Seq(ref, cand) = dirs.takeRight(2)
-      Some((
+      Some(RatioPair(
         warmRatios(loadProfile(cand, "sf1_warm"),
           loadProfile(cand, "sf10_warm")),
         warmRatios(loadProfile(ref, "sf1_warm"),
           loadProfile(ref, "sf10_warm")),
+        loadProfile(cand, "sf10_warm"),
+        loadProfile(ref, "sf10_warm"),
         s"${cand.getFileName} vs ${ref.getFileName} (sf1->sf10)"))
     }
   }
@@ -117,8 +139,8 @@ class ScaleGateSpec extends AnyFunSuite {
         fail("fewer than two bench/scale_r* profile sets checked in — " +
           "the scale gate has nothing to compare (each round must " +
           "check in its profiles)")
-      case Some((cand, ref, label)) =>
-        val failures = gate(cand, ref)
+      case Some(RatioPair(cand, ref, candHi, refHi, label)) =>
+        val failures = gate(cand, ref, candHi, refHi)
         assert(failures.isEmpty,
           s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
         info(s"scale gate OK ($label): ${cand.size} queries within " +
@@ -136,8 +158,8 @@ class ScaleGateSpec extends AnyFunSuite {
         cancel("fewer than two profile sets with sf10 profiles — the " +
           "second-decade gate activates once two rounds have checked " +
           "in sf10 benches")
-      case Some((cand, ref, label)) =>
-        val failures = gate(cand, ref)
+      case Some(RatioPair(cand, ref, candHi, refHi, label)) =>
+        val failures = gate(cand, ref, candHi, refHi)
         assert(failures.isEmpty,
           s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
         info(s"scale gate OK ($label): ${cand.size} queries within " +
@@ -153,15 +175,20 @@ class ScaleGateSpec extends AnyFunSuite {
     // fail (a gate that never fires is not a gate).
     latestRatioPair match {
       case None => fail("no profiles — see the other test")
-      case Some((cand, ref, _)) =>
+      case Some(RatioPair(cand, ref, candHi, refHi, _)) =>
         val victim = cand.keys.min
+        // Inflate BOTH the ratio and the high-scale time — a real
+        // regression moves both, and the hi-scale escape must not
+        // mask the injection.
         val broken = cand.updated(victim, cand(victim) * 100.0)
-        val failures = gate(broken, ref)
+        val brokenHi = candHi.updated(victim,
+          candHi.getOrElse(victim, 1.0) * 100.0)
+        val failures = gate(broken, ref, brokenHi, refHi)
         assert(failures.exists(_.startsWith(victim + ":")),
           s"inflating $victim 100x did not trip the gate: $failures")
         // And the uninflated map still passes — the synthetic failure
         // is attributable to the injection alone.
-        assert(gate(cand, ref).isEmpty)
+        assert(gate(cand, ref, candHi, refHi).isEmpty)
     }
   }
 

@@ -18,7 +18,12 @@ query's candidate ratio exceeds BOTH
     sub-second query is noise, not a law change),
 or when any query exceeds the hard cap (default 15x on 10x data --
 the round-7 super-linear gate) regardless of reference. Queries new
-since the reference are held only to the hard cap. Sub-100ms sf0.1
+since the reference are held only to the hard cap. A query whose
+HIGH-scale time did not regress (cand_hi <= ref_hi * rel_tol) passes
+its decade regardless of ratio: a ratio gate punishes the denominator
+improving (round 11: q_band_shape's sf0.1 warm got 2.2x faster and
+"failed" the ratio with an sf1 time that had IMPROVED) -- a real
+scaling-law regression must manifest in the high-scale time itself. Sub-100ms sf0.1
 warm times are floored to 100ms exactly as tools/scale_ratios.py does.
 
 This makes "a future plan change reintroduced a super-linear query"
@@ -75,14 +80,23 @@ def main():
         if ref is None:
             ref = {}
         checked += 1
+        cand_hi, ref_hi = cand_p.get(hi, {}), ref_p.get(hi, {})
+
+        def hi_ok(q):
+            # high-scale absolute time within tolerance of the
+            # reference round -> not a scaling regression, whatever
+            # the ratio says.
+            c, r = cand_hi.get(q, -1.0), ref_hi.get(q, -1.0)
+            return c >= 0 and r >= 0 and c <= r * rel_tol
+
         failures = []
         for q, cr in sorted(cand.items()):
-            if cr > cap:
+            if cr > cap and not hi_ok(q):
                 failures.append(
                     f"{q}: warm ratio {cr:.1f}x exceeds the hard cap {cap}x")
-            elif q in ref:
+            elif cr <= cap and q in ref:
                 bound = max(ref[q] * rel_tol, ABS_FLOOR)
-                if cr > bound:
+                if cr > bound and not hi_ok(q):
                     failures.append(
                         f"{q}: warm ratio {cr:.1f}x vs reference "
                         f"{ref[q]:.1f}x (bound {bound:.1f}x)")
