@@ -25,9 +25,27 @@ object Bench {
     // (= cpus) is right up to ~sf1, but at sf10 a 32-partition shuffle
     // puts ~1 GB in each task and the suite goes memory-bound (GC,
     // spills). A real cluster sizes partitions to the data; unset for
-    // driver runs.
+    // driver runs. `bytes` (round-11 verdict #4) applies the policy a
+    // cluster would: partitions = max(cpus, corpus-parquet-bytes ×
+    // row-expansion ÷ 128 MB-per-task), i.e. never fewer slots than
+    // cores, and at scale enough that one task's shuffle slice stays
+    // ~128 MB of row data (parquet decodes ~4× its on-disk size).
+    // At sf0.1 (220 MB) this IS cpus; at sf10 (2.0 GB) it's ~64; at
+    // 100 TB it's ~3M — the policy, not the constant, is the point.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus) match {
+        case "bytes" =>
+          def du(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+            else f.length
+          val bytes = du(new java.io.File(sfDir))
+          val target = 128L << 20
+          val expansion = 4L
+          math.max(cpus.toInt,
+            ((bytes * expansion + target - 1) / target).toInt).toString
+        case v => v
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -175,6 +193,22 @@ object Bench {
     writeProfile("bench_cold.json", coldMed) // per-query median of 2
     writeProfile("bench_cold_p1.json", results)
     writeProfile("bench_cold_p2.json", cold2)
+    // Self-describing methodology (round-11 verdict #2): the lower-
+    // middle statistic is a true median for odd warm-pass counts but
+    // the MIN for the reduced 2-pass scale schedule, so a profile
+    // JSON alone cannot be compared like-for-like across rounds.
+    // This sidecar names the statistic each profile carries; the
+    // scale gate (tools/scale_gate.py, ScaleGateSpec) reads it and
+    // flags/widens when candidate and reference statistics differ.
+    // Checked-in bench/scale_r* sets copy it as sfX_meta.json.
+    def stat(n: Int, even: String, odd: String): String =
+      if (n <= 1) "single" else if (n % 2 == 0) s"$even$n" else s"$odd$n"
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("target/bench_meta.json"))
+      try w.println(
+        s"""{"cold_passes":$coldPasses,"cold_stat":"${stat(coldPasses, "min", "min")}","warm_passes":${warmPasses.size},"warm_stat":"${stat(warmPasses.size, "min", "median")}","shuffle_partitions":$shufflePartitions,"cpus":$cpus,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     // The stdout errs list is CAPPED (a mass failure would push the
     // final JSON line past the driver's ~2000-char tail window and lose
     // its head — the exact failure mode the full list was added to

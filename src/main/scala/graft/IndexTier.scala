@@ -51,23 +51,25 @@ object IndexTier {
   private def sanitize(d: String): String =
     d.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Corpus fingerprint: canonical path + sorted (name, length,
-    * mtime) of every file under it (one level of nesting covers the
-    * `table.parquet/part-*.parquet` layout the test corpora use).
-    * Cheap — a directory listing, no data read — and exactly as
+  /** Corpus fingerprint: canonical path + sorted (relative path,
+    * length, mtime) of every file under it, recursing the FULL tree —
+    * partitioned-parquet corpora nest arbitrarily deep
+    * (`table.parquet/k=v/part-*.parquet`), and a rewrite that only
+    * touches a deep leaf must still change the fingerprint.
+    * Cheap — directory listings, no data read — and exactly as
     * stale-sensitive as the corpus: any rewrite touches lengths or
     * mtimes.
     */
   private def fingerprint(d: String): String = {
     val canon = new java.io.File(d).getCanonicalFile
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
     val entries = Option(canon.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty)
-            .filter(_.isFile)
-            .map(c => s"${f.getName}/${c.getName}:${c.length}:${c.lastModified}")
-        else Array(s"${f.getName}:${f.length}:${f.lastModified}")
-      }.sorted
+      .flatMap(c => walk(c, c.getName))
+      .sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(canon.getPath.getBytes("UTF-8"))
     entries.foreach(e => md.update(e.getBytes("UTF-8")))
@@ -123,6 +125,16 @@ object IndexTier {
             rmTree(tmp)
           }
         }
+        // Parquet reads do not require _SUCCESS, so an unguarded read
+        // here could scan a crash-truncated dst if the retry rename
+        // above also failed. The invariant "presence of the final dir
+        // implies a complete index" is only safe to rely on after
+        // re-asserting it.
+        if (!new java.io.File(dst, "_SUCCESS").exists())
+          throw new IllegalStateException(
+            s"index tier install failed for $path: no _SUCCESS after " +
+              "build+rename — refusing to scan a possibly-incomplete " +
+              "index (delete the directory and retry)")
         s.read.parquet(path)
     }
 

@@ -983,6 +983,7 @@ object Dedup {
       .transform(graft.Memo.checkpoint)
     var changed = 1L
     var i = 0
+    var exchPerIter = -1
     while (changed > 0 && i < maxIter) {
       i += 1
       // neighbor minima of the CURRENT labels, then fold into own label
@@ -993,7 +994,7 @@ object Dedup {
       // Carry the previous label alongside the new one so convergence
       // is a filter over this frame — not a separate next⋈cur join
       // (which would re-shuffle both generations every round).
-      val step = cur
+      val step0 = cur
         .join(viaEdges, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"), col("canonical_id").as("_prev"),
           least(col("canonical_id"),
@@ -1002,12 +1003,18 @@ object Dedup {
         .withColumn("hops",
           when(col("canonical_id") < col("_prev"), lit(i))
             .otherwise(col("hops")))
+      // Round k plans exactly like round 1 (each generation is a
+      // checkpointed flat scan), so one plan walk pins the whole
+      // loop's per-iteration shuffle budget.
+      if (i == 1) exchPerIter = graft.LoopProbe.exchangeCount(step0)
+      val step = step0
         .transform(graft.Memo.checkpoint)         // materializes + truncates lineage
       changed = step
         .filter(col("canonical_id") =!= col("_prev"))
         .count()
       cur = step.drop("_prev")
     }
+    graft.LoopProbe.record("canonical_fixpoint", i, exchPerIter)
     edges.unpersist(false)
     cur
   }
@@ -1194,6 +1201,22 @@ object Dedup {
     * localCheckpoint blocks are reclaimed by the ContextCleaner once
     * the frames are unreferenced.
     */
+  /** Drop ONLY the canonical-map materializations (the fixpoint /
+    * star-contraction RESULTS), keeping the per-document derivations
+    * (shingle sets, signatures, verified pairs) they are built from.
+    * [[graft.tools.FixpointGolden]] uses this between probed queries:
+    * the convergence loop must re-RUN per query for its iteration
+    * count to be recorded, but the loop's INPUT is a checkpointed
+    * scan either way, so rebuilding the whole superset per query
+    * would change nothing but the wall clock (measured at sf10:
+    * ~15 min per query with full invalidation, ~1–2 with this).
+    */
+  def invalidateCanonical(dir: String): Unit = {
+    ccMemo.keySet.removeIf(_._2 == dir)
+    starMemo.keySet.removeIf(_._2 == dir)
+    graft.IndexTier.invalidate(dir, "dedup_cc_star")
+  }
+
   def invalidate(dir: String): Unit = {
     ccMemo.keySet.removeIf(_._2 == dir)
     starMemo.keySet.removeIf(_._2 == dir)

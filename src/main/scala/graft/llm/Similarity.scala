@@ -1422,7 +1422,8 @@ object Similarity {
         col("qnrm"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("q"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    for (_ <- 1 to NSW_ROUNDS) {
+    var exchPerIter = -1
+    for (it <- 1 to NSW_ROUNDS) {
       val expanded = beam.unionAll(
         broadcast(beam).join(graph, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id"))).distinct()
@@ -1430,7 +1431,9 @@ object Similarity {
         .withColumn("rk", row_number().over(byQuery))
         .filter(col("rk") <= NSW_BEAM)
         .select(col("query_id"), col("vec_id"))
+      if (it == 1) exchPerIter = graft.LoopProbe.exchangeCount(beam)
     }
+    graft.LoopProbe.record("nsw_beam", NSW_ROUNDS, exchPerIter)
     val finalBeam = scored(beam)
       .filter(col("vec_id") =!= col("query_id"))
       .transform(graft.Memo.checkpoint) // feeds n_beam and the top-5 audit

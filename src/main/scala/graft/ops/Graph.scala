@@ -326,12 +326,15 @@ object Graph {
     var alive = degrees(edges0).select(col("v")).transform(graft.Memo.checkpoint)
     var edges = edges0
     val peeled = collection.mutable.Buffer.empty[DataFrame]
+    var exchPerIter = -1
     for (r <- 1 to PEEL_ROUNDS) {
       // Degree 0 counts as < k: a vertex stripped of every edge by an
       // earlier round's removals peels THIS round (left join, not inner).
-      val rem = alive.join(degrees(edges), Seq("v"), "left")
+      val rem0 = alive.join(degrees(edges), Seq("v"), "left")
         .filter(coalesce(col("deg"), lit(0L)) < CORE_K)
         .select(col("v"))
+      if (r == 1) exchPerIter = graft.LoopProbe.exchangeCount(rem0)
+      val rem = rem0
         .transform(graft.Memo.checkpoint)
       peeled += rem.select(col("v"), lit(r).as("peel_round"))
       alive = alive.join(rem, Seq("v"), "left_anti").transform(graft.Memo.checkpoint)
@@ -340,6 +343,7 @@ object Graph {
         .join(rem.select(col("v").as("sb")), Seq("sb"), "left_anti")
         .transform(graft.Memo.checkpoint)
     }
+    graft.LoopProbe.record("kcore_peel", PEEL_ROUNDS, exchPerIter)
     val survivors = alive.join(degrees(edges), Seq("v"), "left")
       .select(col("v"), lit(0).as("peel_round"),
         coalesce(col("deg"), lit(0L)).as("core_deg"))
@@ -829,14 +833,22 @@ object Graph {
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("s"))
     var auth: DataFrame = null
-    for (_ <- 1 to HITS_ITERS) {
-      auth = l1norm(
-        edges.join(hub, Seq("c")).groupBy(col("p"))
-          .agg(sum(col("s")).as("s")), "p")
-      hub = l1norm(
-        edges.join(broadcast(auth), Seq("p")).groupBy(col("c"))
-          .agg(sum(col("s")).as("s")), "c")
+    var exchPerIter = -1
+    for (it <- 1 to HITS_ITERS) {
+      val authRaw = edges.join(hub, Seq("c")).groupBy(col("p"))
+        .agg(sum(col("s")).as("s"))
+      auth = l1norm(authRaw, "p")
+      val hubRaw = edges.join(broadcast(auth), Seq("p")).groupBy(col("c"))
+        .agg(sum(col("s")).as("s"))
+      hub = l1norm(hubRaw, "c")
+      // l1norm checkpoints its input, so probe the two raw half-step
+      // frames BEFORE they are truncated: their sum is one full
+      // power-iteration's shuffle budget.
+      if (it == 1 && graft.LoopProbe.isEnabled)
+        exchPerIter = graft.LoopProbe.exchangeCount(authRaw) +
+          graft.LoopProbe.exchangeCount(hubRaw)
     }
+    graft.LoopProbe.record("hits_power", HITS_ITERS, exchPerIter)
     val topAuth = auth.orderBy(col("s").desc, col("p")).limit(15)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("s").desc, col("p"))).cast("int"))
@@ -1099,6 +1111,7 @@ object Graph {
       .distinct()
     var edges = init.transform(graft.Memo.checkpoint)
     var i = 0
+    var exchPerIter = -1
     var done = edges.isEmpty
     while (!done && i < maxIter) {
       // large-star
@@ -1123,13 +1136,15 @@ object Graph {
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .distinct()
-        .transform(graft.Memo.checkpoint)
-      val changed = small.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(small).limit(1).count()
-      edges = small
+      if (i == 0) exchPerIter = graft.LoopProbe.exchangeCount(small)
+      val small2 = small.transform(graft.Memo.checkpoint)
+      val changed = small2.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(small2).limit(1).count()
+      edges = small2
       done = changed == 0
       i += 1
     }
+    graft.LoopProbe.record("cc_star", i, exchPerIter)
     ids.join(
         edges.select(col("b").as("doc_id"), col("a").as("canonical_id")),
         Seq("doc_id"), "left")

@@ -17,13 +17,22 @@ import scala.jdk.CollectionConverters._
   * warm sf0.1→sf1 ratio (sub-100 ms sf0.1 times floored to 100 ms)
   * fails when it exceeds BOTH `reference_ratio × 1.5` and the 3×
   * absolute floor, or the 15× hard cap regardless of reference
-  * (15× on 10× data = super-linear).
+  * (15× on 10× data = super-linear). Round-12 tightening (ADVICE
+  * r11): the hard-cap escape requires the LOW-scale time to have
+  * improved vs the reference round — the denominator effect is the
+  * only legitimate way a ratio blows the cap with nothing regressed.
+  * Statistic awareness (verdict r11 #2): profile sets may carry
+  * `sfX_meta.json` sidecars naming the warm statistic; when
+  * candidate and reference differ (min-of-2 vs median-of-3), the
+  * relative tolerance widens ×1.3 for that decade so a min reference
+  * is not compared raw against a median candidate.
   */
 class ScaleGateSpec extends AnyFunSuite {
 
   private val RelTol = 1.5
   private val AbsFloor = 3.0
   private val HardCap = 15.0
+  private val StatMismatchWiden = 1.3
 
   /** Parse the flat `{"name":1.23,...}` maps graft.Bench writes. */
   private[plans] def parseProfile(text: String): Map[String, Double] =
@@ -35,6 +44,18 @@ class ScaleGateSpec extends AnyFunSuite {
   private def loadProfile(dir: Path, name: String): Map[String, Double] =
     parseProfile(new String(
       Files.readAllBytes(dir.resolve(name + ".json")), "UTF-8"))
+
+  /** The warm statistic named in `sfX_meta.json` next to profile
+    * `sfX_warm`, when the sidecar is checked in (older rounds lack
+    * it — treated as unknown, no widening).
+    */
+  private def warmStat(dir: Path, warmName: String): Option[String] = {
+    val p = dir.resolve(warmName.replace("_warm", "_meta") + ".json")
+    if (!Files.exists(p)) None
+    else "\"warm_stat\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1))
+  }
 
   private[plans] def warmRatios(sf01: Map[String, Double],
       sf1: Map[String, Double]): Map[String, Double] =
@@ -48,26 +69,38 @@ class ScaleGateSpec extends AnyFunSuite {
 
   /** Port of scale_gate.py's failure rules; returns failure lines.
     * `candHi`/`refHi` are the raw HIGH-scale warm times: a query
-    * whose high-scale time did not regress (cand ≤ ref × RelTol)
-    * passes regardless of ratio — a ratio gate punishes the
-    * denominator improving (round 11: q_band_shape's sf0.1 warm got
-    * 2.2× faster and "failed" with an sf1 time that had IMPROVED);
-    * a real scaling-law regression must show in the high-scale time.
+    * whose high-scale time did not regress (cand ≤ ref × relTol)
+    * passes the reference-relative rule regardless of ratio — a
+    * ratio gate punishes the denominator improving (round 11:
+    * q_band_shape's sf0.1 warm got 2.2× faster and "failed" with an
+    * sf1 time that had IMPROVED); a real scaling-law regression must
+    * show in the high-scale time. The HARD cap's escape additionally
+    * requires `candLo < refLo` (the low-scale time improved): without
+    * it, a query super-linear in BOTH rounds would be grandfathered
+    * by flat absolute times.
     */
   private[plans] def gate(cand: Map[String, Double],
       ref: Map[String, Double],
       candHi: Map[String, Double] = Map.empty,
-      refHi: Map[String, Double] = Map.empty): Seq[String] = {
+      refHi: Map[String, Double] = Map.empty,
+      candLo: Map[String, Double] = Map.empty,
+      refLo: Map[String, Double] = Map.empty,
+      relTol: Double = RelTol): Seq[String] = {
     def hiOk(q: String): Boolean =
       (candHi.get(q), refHi.get(q)) match {
-        case (Some(c), Some(r)) => c >= 0 && r >= 0 && c <= r * RelTol
+        case (Some(c), Some(r)) => c >= 0 && r >= 0 && c <= r * relTol
+        case _ => false
+      }
+    def loImproved(q: String): Boolean =
+      (candLo.get(q), refLo.get(q)) match {
+        case (Some(c), Some(r)) => c >= 0 && r >= 0 && c < r
         case _ => false
       }
     cand.toSeq.sortBy(_._1).flatMap { case (q, cr) =>
-      if (cr > HardCap && !hiOk(q))
+      if (cr > HardCap && !(hiOk(q) && loImproved(q)))
         Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
       else if (cr <= HardCap) ref.get(q) match {
-        case Some(rr) if cr > math.max(rr * RelTol, AbsFloor) &&
+        case Some(rr) if cr > math.max(rr * relTol, AbsFloor) &&
             !hiOk(q) =>
           Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx")
         case _ => None
@@ -93,43 +126,68 @@ class ScaleGateSpec extends AnyFunSuite {
 
   private case class RatioPair(cand: Map[String, Double],
       ref: Map[String, Double], candHi: Map[String, Double],
-      refHi: Map[String, Double], label: String)
+      refHi: Map[String, Double], candLo: Map[String, Double],
+      refLo: Map[String, Double], relTol: Double, label: String)
+
+  /** The decade's effective relative tolerance: widened ×1.3 when the
+    * two sets' warm statistics differ on either profile (meta
+    * sidecars present on both sides and unequal).
+    */
+  private def decadeRelTol(cand: Path, ref: Path,
+      lo: String, hi: String): Double = {
+    val mismatch = Seq(lo, hi).exists { n =>
+      (warmStat(cand, n), warmStat(ref, n)) match {
+        case (Some(c), Some(r)) => c != r
+        case _ => false
+      }
+    }
+    if (mismatch) RelTol * StatMismatchWiden else RelTol
+  }
+
+  private def ratioPair(cand: Path, ref: Path,
+      lo: String, hi: String, label: String): RatioPair =
+    RatioPair(
+      warmRatios(loadProfile(cand, lo), loadProfile(cand, hi)),
+      warmRatios(loadProfile(ref, lo), loadProfile(ref, hi)),
+      loadProfile(cand, hi),
+      loadProfile(ref, hi),
+      loadProfile(cand, lo),
+      loadProfile(ref, lo),
+      decadeRelTol(cand, ref, lo, hi),
+      label)
 
   private def latestRatioPair: Option[RatioPair] = {
     val dirs = profileDirs
     if (dirs.size < 2) None
     else {
       val Seq(ref, cand) = dirs.takeRight(2)
-      Some(RatioPair(
-        warmRatios(loadProfile(cand, "sf01_warm"),
-          loadProfile(cand, "sf1_warm")),
-        warmRatios(loadProfile(ref, "sf01_warm"),
-          loadProfile(ref, "sf1_warm")),
-        loadProfile(cand, "sf1_warm"),
-        loadProfile(ref, "sf1_warm"),
+      Some(ratioPair(cand, ref, "sf01_warm", "sf1_warm",
         s"${cand.getFileName} vs ${ref.getFileName}"))
     }
   }
 
-  /** The SECOND decade (sf1→sf10) pair, when the newest two profile
-    * sets both carry sf10 profiles (round-10 verdict #2: the decade
+  /** The SECOND decade (sf1→sf10) pair over the newest two profile
+    * sets that carry sf10 profiles (round-10 verdict #2: the decade
     * where the real scale bugs lived had no machine-checked
-    * reference). Same rules as decade 1.
+    * reference). Same rules as decade 1. Returns Left(error) when
+    * the NEWEST overall set LACKS sf10 even though an older set has
+    * it — a round must not escape the second-decade gate by simply
+    * omitting its sf10 profiles (ADVICE r11 #2).
     */
-  private def latestRatioPairSf10: Option[RatioPair] = {
-    val dirs = profileDirs
-      .filter(p => Files.exists(p.resolve("sf10_warm.json")))
-    if (dirs.size < 2) None
+  private def latestRatioPairSf10: Either[String, Option[RatioPair]] = {
+    val all = profileDirs
+    val withSf10 = all.filter(p => Files.exists(p.resolve("sf10_warm.json")))
+    if (withSf10.isEmpty) Right(None)
+    else if (all.nonEmpty && all.last != withSf10.last)
+      Left(s"newest profile set ${all.last.getFileName} lacks " +
+        s"sf10_warm.json but ${withSf10.last.getFileName} carries one — " +
+        "the second-decade gate cannot be skipped by omitting sf10 " +
+        "profiles; re-run the sf10 bench and check the profiles in")
+    else if (withSf10.size < 2) Right(None)
     else {
-      val Seq(ref, cand) = dirs.takeRight(2)
-      Some(RatioPair(
-        warmRatios(loadProfile(cand, "sf1_warm"),
-          loadProfile(cand, "sf10_warm")),
-        warmRatios(loadProfile(ref, "sf1_warm"),
-          loadProfile(ref, "sf10_warm")),
-        loadProfile(cand, "sf10_warm"),
-        loadProfile(ref, "sf10_warm"),
-        s"${cand.getFileName} vs ${ref.getFileName} (sf1->sf10)"))
+      val Seq(ref, cand) = withSf10.takeRight(2)
+      Right(Some(ratioPair(cand, ref, "sf1_warm", "sf10_warm",
+        s"${cand.getFileName} vs ${ref.getFileName} (sf1->sf10)")))
     }
   }
 
@@ -139,12 +197,12 @@ class ScaleGateSpec extends AnyFunSuite {
         fail("fewer than two bench/scale_r* profile sets checked in — " +
           "the scale gate has nothing to compare (each round must " +
           "check in its profiles)")
-      case Some(RatioPair(cand, ref, candHi, refHi, label)) =>
-        val failures = gate(cand, ref, candHi, refHi)
+      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, label)) =>
+        val failures = gate(cand, ref, candHi, refHi, candLo, refLo, relTol)
         assert(failures.isEmpty,
           s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
         info(s"scale gate OK ($label): ${cand.size} queries within " +
-          s"tolerance (rel ${RelTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
+          s"tolerance (rel ${relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         // The comparison must not silently dwindle: both sets cover
         // (nearly) the full suite.
         assert(cand.size >= ref.size - 5,
@@ -154,16 +212,17 @@ class ScaleGateSpec extends AnyFunSuite {
 
   test("second decade (sf1->sf10): newest sf10 profiles pass the gate") {
     latestRatioPairSf10 match {
-      case None =>
-        cancel("fewer than two profile sets with sf10 profiles — the " +
-          "second-decade gate activates once two rounds have checked " +
-          "in sf10 benches")
-      case Some(RatioPair(cand, ref, candHi, refHi, label)) =>
-        val failures = gate(cand, ref, candHi, refHi)
+      case Left(err) => fail(err)
+      case Right(None) =>
+        cancel("no profile set with sf10 profiles yet — the " +
+          "second-decade gate activates once a round checks in an " +
+          "sf10 bench")
+      case Right(Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, label))) =>
+        val failures = gate(cand, ref, candHi, refHi, candLo, refLo, relTol)
         assert(failures.isEmpty,
           s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
         info(s"scale gate OK ($label): ${cand.size} queries within " +
-          s"tolerance (rel ${RelTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
+          s"tolerance (rel ${relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         assert(cand.size >= ref.size - 5,
           s"candidate ratio set shrank: ${cand.size} vs ${ref.size}")
     }
@@ -175,7 +234,7 @@ class ScaleGateSpec extends AnyFunSuite {
     // fail (a gate that never fires is not a gate).
     latestRatioPair match {
       case None => fail("no profiles — see the other test")
-      case Some(RatioPair(cand, ref, candHi, refHi, _)) =>
+      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, _)) =>
         val victim = cand.keys.min
         // Inflate BOTH the ratio and the high-scale time — a real
         // regression moves both, and the hi-scale escape must not
@@ -183,13 +242,29 @@ class ScaleGateSpec extends AnyFunSuite {
         val broken = cand.updated(victim, cand(victim) * 100.0)
         val brokenHi = candHi.updated(victim,
           candHi.getOrElse(victim, 1.0) * 100.0)
-        val failures = gate(broken, ref, brokenHi, refHi)
+        val failures = gate(broken, ref, brokenHi, refHi, candLo, refLo, relTol)
         assert(failures.exists(_.startsWith(victim + ":")),
           s"inflating $victim 100x did not trip the gate: $failures")
         // And the uninflated map still passes — the synthetic failure
         // is attributable to the injection alone.
-        assert(gate(cand, ref, candHi, refHi).isEmpty)
+        assert(gate(cand, ref, candHi, refHi, candLo, refLo, relTol).isEmpty)
     }
+  }
+
+  test("hard-cap escape requires the low-scale time to have improved") {
+    // A query super-linear in BOTH rounds (ratio > cap) with flat
+    // absolute times must FAIL: only the denominator effect (low
+    // scale improved, high scale not regressed) legitimizes a
+    // capped-out ratio. This pins the ADVICE-r11 tightening.
+    val cand = Map("q_x" -> 20.0)
+    val ref = Map("q_x" -> 20.0)
+    val hi = Map("q_x" -> 10.0)
+    val loFlat = Map("q_x" -> 0.5)
+    assert(gate(cand, ref, hi, hi, loFlat, loFlat).nonEmpty,
+      "flat low-scale time must not grandfather a capped-out ratio")
+    // Same shape but the low-scale time improved: legitimate
+    // denominator effect, escape applies.
+    assert(gate(cand, ref, hi, hi, Map("q_x" -> 0.4), loFlat).isEmpty)
   }
 
   test("profile parser reads Bench's JSON map format") {

@@ -5,7 +5,7 @@ Usage: scale_gate.py <candidate_dir> <reference_dir> [rel_tol] [abs_cap]
 
 Both dirs hold the profile maps graft.Bench writes, copied as
   sf01_cold.json sf01_warm.json sf1_cold.json sf1_warm.json
-  [sf10_cold.json sf10_warm.json]
+  [sf10_cold.json sf10_warm.json] [sf01_meta.json sf1_meta.json ...]
 (the bench/scale_r* layout). For every query the WARM sf0.1->sf1
 ratio is the scaling law under test -- and, when BOTH dirs carry
 sf10 profiles, the sf1->sf10 ratio too (round-11: the second decade
@@ -17,25 +17,48 @@ query's candidate ratio exceeds BOTH
   - a floor of abs_floor (default 3.0: a 0.4x->0.8x wobble on a
     sub-second query is noise, not a law change),
 or when any query exceeds the hard cap (default 15x on 10x data --
-the round-7 super-linear gate) regardless of reference. Queries new
-since the reference are held only to the hard cap. A query whose
-HIGH-scale time did not regress (cand_hi <= ref_hi * rel_tol) passes
-its decade regardless of ratio: a ratio gate punishes the denominator
-improving (round 11: q_band_shape's sf0.1 warm got 2.2x faster and
-"failed" the ratio with an sf1 time that had IMPROVED) -- a real
-scaling-law regression must manifest in the high-scale time itself. Sub-100ms sf0.1
-warm times are floored to 100ms exactly as tools/scale_ratios.py does.
+the round-7 super-linear gate). Queries new since the reference are
+held only to the hard cap.
+
+Escapes (round-12, tightened per ADVICE r11):
+  - reference-relative rule: a query whose HIGH-scale time did not
+    regress (cand_hi <= ref_hi * rel_tol) passes regardless of ratio
+    -- a ratio gate punishes the denominator improving (round 11:
+    q_band_shape's sf0.1 warm got 2.2x faster and "failed" the ratio
+    with an sf1 time that had IMPROVED).
+  - HARD cap: the escape additionally requires the LOW-scale time to
+    have IMPROVED vs the reference round (cand_lo < ref_lo) -- the
+    denominator effect is the only legitimate way a ratio blows the
+    cap while nothing regressed; without this, a query super-linear
+    in both rounds would be permanently grandfathered by flat
+    absolute times on a noisy host.
+
+Statistic awareness (round-11 verdict #2): each profile may carry an
+sfX_meta.json sidecar (graft.Bench's target/bench_meta.json) naming
+the warm statistic ("median3" = true median of 3 passes, "min2" =
+lower-middle of 2 = the MIN, "single"). When candidate and reference
+were measured with DIFFERENT warm statistics for a decade, the gate
+prints a flag and widens rel_tol by 1.3x for that decade -- a min
+reference is systematically optimistic vs a median candidate, and
+vice versa; the widened bound absorbs the statistic skew without
+silencing a real complexity-class change (those blow past 50%, let
+alone 95%).
+
+Sub-100ms low-scale warm times are floored to 100ms exactly as
+tools/scale_ratios.py does.
 
 This makes "a future plan change reintroduced a super-linear query"
 a failing gate run instead of a surprise on the next manual decade
-run: after each scale bench, copy the four profiles to bench/scale_rN
-and run  tools/scale_gate.py bench/scale_rN bench/scale_r<prev>.
+run: after each scale bench, copy the profiles (and meta sidecars)
+to bench/scale_rN and run
+  tools/scale_gate.py bench/scale_rN bench/scale_r<prev>.
 """
 import json
 import os
 import sys
 
 ABS_FLOOR = 3.0
+STAT_MISMATCH_WIDEN = 1.3
 
 
 def load(d):
@@ -48,7 +71,18 @@ def load(d):
         if os.path.exists(p):
             with open(p) as f:
                 out[name] = json.load(f)
+    for sf in ("sf01", "sf1", "sf10"):
+        p = os.path.join(d, sf + "_meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out[sf + "_meta"] = json.load(f)
     return out
+
+
+def warm_stat(p, profile_name):
+    # "sf1_warm" -> the sf1_meta sidecar's warm_stat, if checked in.
+    meta = p.get(profile_name.replace("_warm", "_meta"))
+    return meta.get("warm_stat") if meta else None
 
 
 def warm_ratios(p, lo="sf01_warm", hi="sf1_warm"):
@@ -65,7 +99,7 @@ def warm_ratios(p, lo="sf01_warm", hi="sf1_warm"):
 
 def main():
     cand_dir, ref_dir = sys.argv[1], sys.argv[2]
-    rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    base_rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     cap = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
     cand_p, ref_p = load(cand_dir), load(ref_dir)
     decades = [("sf0.1->sf1", "sf01_warm", "sf1_warm"),
@@ -80,7 +114,19 @@ def main():
         if ref is None:
             ref = {}
         checked += 1
+        rel_tol = base_rel_tol
+        stats = [(n, warm_stat(cand_p, n), warm_stat(ref_p, n))
+                 for n in (lo, hi)]
+        mismatched = [(n, c, r) for n, c, r in stats
+                      if c and r and c != r]
+        if mismatched:
+            rel_tol = base_rel_tol * STAT_MISMATCH_WIDEN
+            for n, c, r in mismatched:
+                print(f"[{label}] STATISTIC MISMATCH on {n}: candidate "
+                      f"{c} vs reference {r} -> rel_tol widened to "
+                      f"{rel_tol:.2f}x")
         cand_hi, ref_hi = cand_p.get(hi, {}), ref_p.get(hi, {})
+        cand_lo, ref_lo = cand_p.get(lo, {}), ref_p.get(lo, {})
 
         def hi_ok(q):
             # high-scale absolute time within tolerance of the
@@ -89,9 +135,16 @@ def main():
             c, r = cand_hi.get(q, -1.0), ref_hi.get(q, -1.0)
             return c >= 0 and r >= 0 and c <= r * rel_tol
 
+        def lo_improved(q):
+            # the denominator effect: the LOW-scale time got faster
+            # vs the reference round, inflating the ratio without any
+            # high-scale regression.
+            c, r = cand_lo.get(q, -1.0), ref_lo.get(q, -1.0)
+            return c >= 0 and r >= 0 and c < r
+
         failures = []
         for q, cr in sorted(cand.items()):
-            if cr > cap and not hi_ok(q):
+            if cr > cap and not (hi_ok(q) and lo_improved(q)):
                 failures.append(
                     f"{q}: warm ratio {cr:.1f}x exceeds the hard cap {cap}x")
             elif cr <= cap and q in ref:
