@@ -31,6 +31,14 @@ class ScaleGateSpec extends AnyFunSuite {
 
   private val RelTol = 1.5
   private val AbsFloor = 3.0
+  // The reference-relative rule also needs a >1.0 s ABSOLUTE
+  // high-scale regression: the gate's recorded false positives
+  // (q_code_detect r11 0.15→0.47 s, q_zipf r12 0.33→0.95 s) are all
+  // in-suite pressure on sub-second queries — a ratio over a tiny
+  // denominator amplifies wobble no scaling law can be read from,
+  // while every REAL regression caught so far cost whole seconds of
+  // high-scale time. The hard cap ignores this floor.
+  private val AbsDeltaFloor = 1.0
   private val HardCap = 15.0
   private val StatMismatchWiden = 1.3
 
@@ -96,13 +104,19 @@ class ScaleGateSpec extends AnyFunSuite {
         case (Some(c), Some(r)) => c >= 0 && r >= 0 && c < r
         case _ => false
       }
+    def delta(q: String): Double =
+      (candHi.get(q), refHi.get(q)) match {
+        case (Some(c), Some(r)) if c >= 0 && r >= 0 => c - r
+        case _ => Double.MaxValue // unknown high-scale times: no floor
+      }
     cand.toSeq.sortBy(_._1).flatMap { case (q, cr) =>
       if (cr > HardCap && !(hiOk(q) && loImproved(q)))
         Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
       else if (cr <= HardCap) ref.get(q) match {
         case Some(rr) if cr > math.max(rr * relTol, AbsFloor) &&
-            !hiOk(q) =>
-          Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx")
+            !hiOk(q) && delta(q) > AbsDeltaFloor =>
+          Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx " +
+            f"(hi +${delta(q)}%.2fs)")
         case _ => None
       } else None
     }
@@ -265,6 +279,21 @@ class ScaleGateSpec extends AnyFunSuite {
     // Same shape but the low-scale time improved: legitimate
     // denominator effect, escape applies.
     assert(gate(cand, ref, hi, hi, Map("q_x" -> 0.4), loFlat).isEmpty)
+  }
+
+  test("sub-second absolute wobble does not trip the reference-relative rule") {
+    // q_zipf r12: ratio 3.4x vs ref 1.4x, but the high-scale time
+    // moved 0.33 -> 0.95 s — in-suite pressure, not a scaling law.
+    val cand = Map("q_w" -> 3.4)
+    val ref = Map("q_w" -> 1.4)
+    assert(gate(cand, ref,
+      candHi = Map("q_w" -> 0.95), refHi = Map("q_w" -> 0.33)).isEmpty,
+      "a <1s absolute high-scale delta must not fail the ratio rule")
+    // The same ratios with a multi-second absolute regression DO fail
+    // (the r12 corpus-layout incident shape).
+    assert(gate(cand, ref,
+      candHi = Map("q_w" -> 9.5), refHi = Map("q_w" -> 3.3)).nonEmpty,
+      "a multi-second high-scale regression must still fail")
   }
 
   test("profile parser reads Bench's JSON map format") {

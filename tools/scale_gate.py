@@ -45,7 +45,17 @@ silencing a real complexity-class change (those blow past 50%, let
 alone 95%).
 
 Sub-100ms low-scale warm times are floored to 100ms exactly as
-tools/scale_ratios.py does.
+tools/scale_ratios.py does. The reference-relative rule additionally
+requires the HIGH-scale time to have regressed by more than
+ABS_DELTA_FLOOR (1.0 s) in absolute terms: the recorded failure mode
+of this gate (q_code_detect r11 at 0.15->0.47 s, q_zipf r12 at
+0.33->0.95 s) is in-suite pressure on sub-second queries, where a
+ratio over a tiny denominator amplifies absolute wobble a scaling law
+cannot be read from. A genuine complexity-class change at 10x data
+lands in SECONDS of high-scale time (every real one caught so far:
+band_shape +162 s, containment +58 s, levenshtein +28 s, the r12
+corpus-layout incident +1.2 s on each of three doc-scan queries); the
+hard cap is untouched by this floor.
 
 This makes "a future plan change reintroduced a super-linear query"
 a failing gate run instead of a surprise on the next manual decade
@@ -58,6 +68,7 @@ import os
 import sys
 
 ABS_FLOOR = 3.0
+ABS_DELTA_FLOOR = 1.0
 STAT_MISMATCH_WIDEN = 1.3
 
 
@@ -149,10 +160,12 @@ def main():
                     f"{q}: warm ratio {cr:.1f}x exceeds the hard cap {cap}x")
             elif cr <= cap and q in ref:
                 bound = max(ref[q] * rel_tol, ABS_FLOOR)
-                if cr > bound and not hi_ok(q):
+                delta = cand_hi.get(q, -1.0) - ref_hi.get(q, -1.0)
+                if cr > bound and not hi_ok(q) and delta > ABS_DELTA_FLOOR:
                     failures.append(
                         f"{q}: warm ratio {cr:.1f}x vs reference "
-                        f"{ref[q]:.1f}x (bound {bound:.1f}x)")
+                        f"{ref[q]:.1f}x (bound {bound:.1f}x, "
+                        f"hi +{delta:.2f}s)")
         n = len(cand)
         if failures:
             any_fail = True
