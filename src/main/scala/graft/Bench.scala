@@ -99,6 +99,13 @@ object Bench {
       // intermediates), but accumulation is bounded to one pass and
       // the warm pass starts from a cold cache.
       spark.catalog.clearCache()
+      // Block drops are asynchronous (ContextCleaner reclaims on
+      // driver GC): without a synchronous GC here, the next pass's
+      // FIRST queries co-run with the previous pass's eviction storm
+      // — measured at sf10 (r12): q_active_users, 3rd alphabetically,
+      // ran 6-10 s in-suite vs 2.3-3.8 s isolated, all three passes.
+      // One GC at the boundary makes pass starts comparable.
+      System.gc()
       r
     }
     // Millisecond precision + a bounded top-N query map keep the printed

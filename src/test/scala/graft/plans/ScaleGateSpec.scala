@@ -75,6 +75,31 @@ class ScaleGateSpec extends AnyFunSuite {
       }
     }
 
+  /** Optional `attributions.tsv` in the candidate profile dir:
+    * `query<TAB>hiProfile<TAB>isolatedSeconds<TAB>evidence`. A
+    * failing query is waived iff its row targets the decade's HIGH
+    * profile and the ISOLATED re-measurement itself passes the hi_ok
+    * test — machine-checkable evidence that the suite value was
+    * co-running pressure (round-11 verdict #1's "gate taught to
+    * carry an attribution"). Never silent: the waiver is surfaced
+    * via info() in the tests.
+    */
+  private[plans] def loadAttributions(dir: Path)
+      : Map[(String, String), (Double, String)] = {
+    val p = dir.resolve("attributions.tsv")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\t") match {
+          case a if a.length >= 3 =>
+            Some((a(0), a(1)) ->
+              (a(2).toDouble, if (a.length > 3) a(3) else ""))
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Port of scale_gate.py's failure rules; returns failure lines.
     * `candHi`/`refHi` are the raw HIGH-scale warm times: a query
     * whose high-scale time did not regress (cand ≤ ref × relTol)
@@ -93,7 +118,22 @@ class ScaleGateSpec extends AnyFunSuite {
       refHi: Map[String, Double] = Map.empty,
       candLo: Map[String, Double] = Map.empty,
       refLo: Map[String, Double] = Map.empty,
-      relTol: Double = RelTol): Seq[String] = {
+      relTol: Double = RelTol,
+      attributions: Map[String, (Double, String)] = Map.empty,
+      waived: String => Unit = _ => ()): Seq[String] = {
+    def attributed(q: String): Boolean =
+      attributions.get(q) match {
+        case Some((isolated, evidence)) =>
+          refHi.get(q) match {
+            case Some(r) if r >= 0 && isolated <= r * relTol =>
+              waived(f"$q: suite ${candHi.getOrElse(q, -1.0)}%.2fs " +
+                f"waived (isolated $isolated%.2fs <= ref $r%.2fs x " +
+                f"$relTol%.2f): $evidence")
+              true
+            case _ => false
+          }
+        case None => false
+      }
     def hiOk(q: String): Boolean =
       (candHi.get(q), refHi.get(q)) match {
         case (Some(c), Some(r)) => c >= 0 && r >= 0 && c <= r * relTol
@@ -110,11 +150,11 @@ class ScaleGateSpec extends AnyFunSuite {
         case _ => Double.MaxValue // unknown high-scale times: no floor
       }
     cand.toSeq.sortBy(_._1).flatMap { case (q, cr) =>
-      if (cr > HardCap && !(hiOk(q) && loImproved(q)))
+      if (cr > HardCap && !(hiOk(q) && loImproved(q)) && !attributed(q))
         Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
       else if (cr <= HardCap) ref.get(q) match {
         case Some(rr) if cr > math.max(rr * relTol, AbsFloor) &&
-            !hiOk(q) && delta(q) > AbsDeltaFloor =>
+            !hiOk(q) && delta(q) > AbsDeltaFloor && !attributed(q) =>
           Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx " +
             f"(hi +${delta(q)}%.2fs)")
         case _ => None
@@ -141,7 +181,8 @@ class ScaleGateSpec extends AnyFunSuite {
   private case class RatioPair(cand: Map[String, Double],
       ref: Map[String, Double], candHi: Map[String, Double],
       refHi: Map[String, Double], candLo: Map[String, Double],
-      refLo: Map[String, Double], relTol: Double, label: String)
+      refLo: Map[String, Double], relTol: Double, label: String,
+      attributions: Map[String, (Double, String)] = Map.empty)
 
   /** The decade's effective relative tolerance: widened ×1.3 when the
     * two sets' warm statistics differ on either profile (meta
@@ -168,7 +209,10 @@ class ScaleGateSpec extends AnyFunSuite {
       loadProfile(cand, lo),
       loadProfile(ref, lo),
       decadeRelTol(cand, ref, lo, hi),
-      label)
+      label,
+      loadAttributions(cand).collect {
+        case ((q, p), v) if p == hi => q -> v
+      })
 
   private def latestRatioPair: Option[RatioPair] = {
     val dirs = profileDirs
@@ -211,16 +255,17 @@ class ScaleGateSpec extends AnyFunSuite {
         fail("fewer than two bench/scale_r* profile sets checked in — " +
           "the scale gate has nothing to compare (each round must " +
           "check in its profiles)")
-      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, label)) =>
-        val failures = gate(cand, ref, candHi, refHi, candLo, refLo, relTol)
+      case Some(rp) =>
+        val failures = gate(rp.cand, rp.ref, rp.candHi, rp.refHi,
+          rp.candLo, rp.refLo, rp.relTol, rp.attributions, info(_))
         assert(failures.isEmpty,
-          s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
-        info(s"scale gate OK ($label): ${cand.size} queries within " +
-          s"tolerance (rel ${relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
+          s"scale gate FAIL (${rp.label}):\n" + failures.mkString("\n"))
+        info(s"scale gate OK (${rp.label}): ${rp.cand.size} queries within " +
+          s"tolerance (rel ${rp.relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         // The comparison must not silently dwindle: both sets cover
         // (nearly) the full suite.
-        assert(cand.size >= ref.size - 5,
-          s"candidate ratio set shrank: ${cand.size} vs ${ref.size}")
+        assert(rp.cand.size >= rp.ref.size - 5,
+          s"candidate ratio set shrank: ${rp.cand.size} vs ${rp.ref.size}")
     }
   }
 
@@ -231,14 +276,15 @@ class ScaleGateSpec extends AnyFunSuite {
         cancel("no profile set with sf10 profiles yet — the " +
           "second-decade gate activates once a round checks in an " +
           "sf10 bench")
-      case Right(Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, label))) =>
-        val failures = gate(cand, ref, candHi, refHi, candLo, refLo, relTol)
+      case Right(Some(rp)) =>
+        val failures = gate(rp.cand, rp.ref, rp.candHi, rp.refHi,
+          rp.candLo, rp.refLo, rp.relTol, rp.attributions, info(_))
         assert(failures.isEmpty,
-          s"scale gate FAIL ($label):\n" + failures.mkString("\n"))
-        info(s"scale gate OK ($label): ${cand.size} queries within " +
-          s"tolerance (rel ${relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
-        assert(cand.size >= ref.size - 5,
-          s"candidate ratio set shrank: ${cand.size} vs ${ref.size}")
+          s"scale gate FAIL (${rp.label}):\n" + failures.mkString("\n"))
+        info(s"scale gate OK (${rp.label}): ${rp.cand.size} queries within " +
+          s"tolerance (rel ${rp.relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
+        assert(rp.cand.size >= rp.ref.size - 5,
+          s"candidate ratio set shrank: ${rp.cand.size} vs ${rp.ref.size}")
     }
   }
 
@@ -248,7 +294,7 @@ class ScaleGateSpec extends AnyFunSuite {
     // fail (a gate that never fires is not a gate).
     latestRatioPair match {
       case None => fail("no profiles — see the other test")
-      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, _)) =>
+      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, _, _)) =>
         val victim = cand.keys.min
         // Inflate BOTH the ratio and the high-scale time — a real
         // regression moves both, and the hi-scale escape must not
@@ -294,6 +340,24 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(gate(cand, ref,
       candHi = Map("q_w" -> 9.5), refHi = Map("q_w" -> 3.3)).nonEmpty,
       "a multi-second high-scale regression must still fail")
+  }
+
+  test("attribution waives only when the isolated value itself passes hi_ok") {
+    val cand = Map("q_a" -> 5.5)
+    val ref = Map("q_a" -> 2.3)
+    val candHi = Map("q_a" -> 8.26)
+    val refHi = Map("q_a" -> 3.14)
+    // Without an attribution: fails (ratio over bound, delta > 1s).
+    assert(gate(cand, ref, candHi, refHi).nonEmpty)
+    // Isolated re-measurement within ref x relTol: waived, surfaced.
+    var msgs = List.empty[String]
+    assert(gate(cand, ref, candHi, refHi,
+      attributions = Map("q_a" -> (2.53, "isolated evidence")),
+      waived = m => msgs ::= m).isEmpty)
+    assert(msgs.exists(_.contains("isolated")))
+    // Isolated value that ITSELF regressed: attribution rejected.
+    assert(gate(cand, ref, candHi, refHi,
+      attributions = Map("q_a" -> (7.9, "bogus"))).nonEmpty)
   }
 
   test("profile parser reads Bench's JSON map format") {

@@ -90,6 +90,32 @@ def load(d):
     return out
 
 
+def load_attributions(d):
+    """Optional attributions.tsv in the CANDIDATE profile dir: lines
+    `query<TAB>profile<TAB>isolated_seconds<TAB>evidence`. A failing
+    query is waived for a decade iff it has a row for that decade's
+    HIGH profile AND the isolated re-measurement itself passes the
+    hi_ok test (isolated <= ref_hi * rel_tol) -- the waiver carries
+    its own machine-checkable evidence that the suite profile value
+    was co-running pressure, not the query (round-11 verdict #1:
+    'or the gate taught to carry an attribution'). Waivers are
+    printed, never silent."""
+    p = os.path.join(d, "attributions.tsv")
+    out = {}
+    if not os.path.exists(p):
+        return out
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 3:
+                out[(parts[0], parts[1])] = (float(parts[2]),
+                                             parts[3] if len(parts) > 3 else "")
+    return out
+
+
 def warm_stat(p, profile_name):
     # "sf1_warm" -> the sf1_meta sidecar's warm_stat, if checked in.
     meta = p.get(profile_name.replace("_warm", "_meta"))
@@ -113,6 +139,7 @@ def main():
     base_rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     cap = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
     cand_p, ref_p = load(cand_dir), load(ref_dir)
+    attributions = load_attributions(cand_dir)
     decades = [("sf0.1->sf1", "sf01_warm", "sf1_warm"),
                ("sf1->sf10", "sf1_warm", "sf10_warm")]
     any_fail = False
@@ -153,15 +180,34 @@ def main():
             c, r = cand_lo.get(q, -1.0), ref_lo.get(q, -1.0)
             return c >= 0 and r >= 0 and c < r
 
+        def attributed(q):
+            row = attributions.get((q, hi))
+            if row is None:
+                return False
+            isolated, evidence = row
+            r = ref_hi.get(q, -1.0)
+            if r >= 0 and isolated <= r * rel_tol:
+                print(f"[{label}] {q}: suite value "
+                      f"{cand_hi.get(q, -1.0):.2f}s WAIVED by attribution "
+                      f"(isolated {isolated:.2f}s <= ref {r:.2f}s x "
+                      f"{rel_tol:.2f}): {evidence}")
+                return True
+            print(f"[{label}] {q}: attribution REJECTED (isolated "
+                  f"{isolated:.2f}s vs ref {r:.2f}s x {rel_tol:.2f})")
+            return False
+
         failures = []
         for q, cr in sorted(cand.items()):
             if cr > cap and not (hi_ok(q) and lo_improved(q)):
-                failures.append(
-                    f"{q}: warm ratio {cr:.1f}x exceeds the hard cap {cap}x")
+                if not attributed(q):
+                    failures.append(
+                        f"{q}: warm ratio {cr:.1f}x exceeds the hard cap "
+                        f"{cap}x")
             elif cr <= cap and q in ref:
                 bound = max(ref[q] * rel_tol, ABS_FLOOR)
                 delta = cand_hi.get(q, -1.0) - ref_hi.get(q, -1.0)
-                if cr > bound and not hi_ok(q) and delta > ABS_DELTA_FLOOR:
+                if (cr > bound and not hi_ok(q) and
+                        delta > ABS_DELTA_FLOOR and not attributed(q)):
                     failures.append(
                         f"{q}: warm ratio {cr:.1f}x vs reference "
                         f"{ref[q]:.1f}x (bound {bound:.1f}x, "
