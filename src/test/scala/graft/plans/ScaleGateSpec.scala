@@ -21,24 +21,44 @@ import scala.jdk.CollectionConverters._
   * r11): the hard-cap escape requires the LOW-scale time to have
   * improved vs the reference round — the denominator effect is the
   * only legitimate way a ratio blows the cap with nothing regressed.
+  * Round-13 (ADVICE r12 medium): attribution rows waive ONLY the
+  * reference-relative rules, never the hard cap — their
+  * isolated-seconds value is self-reported by the candidate (a judge
+  * re-runs the cited ExplainQ command to verify), so it must not
+  * bypass the one rule that catches a query super-linear in both
+  * rounds. Round-13 (verdict r12 #2) adds the ratio-independent
+  * ABSOLUTE cross-round rule: a query whose high-scale warm exceeds
+  * the reference round's by >2× AND >2 s fails the decade even with
+  * a flat ratio — the uniform-regression shape (r12's q_zorder: sf1
+  * 2.78→6.17 s AND sf10 9.4→30.8 s, ratio within tolerance) that the
+  * ratio family is structurally blind to. Waivable by attribution.
   * Statistic awareness (verdict r11 #2): profile sets may carry
   * `sfX_meta.json` sidecars naming the warm statistic; when
   * candidate and reference differ (min-of-2 vs median-of-3), the
-  * relative tolerance widens ×1.3 for that decade so a min reference
-  * is not compared raw against a median candidate.
+  * relative tolerance widens ×1.3 for that decade (and the absolute
+  * rule's 2× likewise) so a min reference is not compared raw
+  * against a median candidate.
   */
 class ScaleGateSpec extends AnyFunSuite {
 
   private val RelTol = 1.5
   private val AbsFloor = 3.0
-  // The reference-relative rule also needs a >1.0 s ABSOLUTE
-  // high-scale regression: the gate's recorded false positives
-  // (q_code_detect r11 0.15→0.47 s, q_zipf r12 0.33→0.95 s) are all
-  // in-suite pressure on sub-second queries — a ratio over a tiny
+  // The reference-relative RATIO rule also needs an ABSOLUTE
+  // high-scale regression of max(1.0 s, refHi) — round 13 scaled the
+  // flat floor with the query (ADVICE r12): for a multi-second query
+  // a sub-refHi delta is host noise rel_tol already tolerates, while
+  // the 1.0 s base keeps the recorded sub-second false positives dead
+  // (q_code_detect r11 0.15→0.47 s, q_zipf r12 0.33→0.95 s were
+  // in-suite pressure on tiny denominators — a ratio over a tiny
   // denominator amplifies wobble no scaling law can be read from,
   // while every REAL regression caught so far cost whole seconds of
-  // high-scale time. The hard cap ignores this floor.
+  // high-scale time). The hard cap ignores this floor.
   private val AbsDeltaFloor = 1.0
+  // Ratio-independent absolute cross-round rule (round 13, verdict
+  // r12 #2): high-scale warm > refHi × AbsRel AND +AbsRegressFloor
+  // seconds fails — the uniform-regression shape ratios can't see.
+  private val AbsRel = 2.0
+  private val AbsRegressFloor = 2.0
   private val HardCap = 15.0
   private val StatMismatchWiden = 1.3
 
@@ -149,16 +169,33 @@ class ScaleGateSpec extends AnyFunSuite {
         case (Some(c), Some(r)) if c >= 0 && r >= 0 => c - r
         case _ => Double.MaxValue // unknown high-scale times: no floor
       }
+    // The statistic widening arrives baked into relTol; apply the
+    // same factor to the absolute rule's 2x.
+    val absRel = AbsRel * (relTol / RelTol)
     cand.toSeq.sortBy(_._1).flatMap { case (q, cr) =>
-      if (cr > HardCap && !(hiOk(q) && loImproved(q)) && !attributed(q))
-        Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
-      else if (cr <= HardCap) ref.get(q) match {
-        case Some(rr) if cr > math.max(rr * relTol, AbsFloor) &&
-            !hiOk(q) && delta(q) > AbsDeltaFloor && !attributed(q) =>
-          Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx " +
-            f"(hi +${delta(q)}%.2fs)")
+      val ratioFail =
+        // Attribution never waives the hard cap (ADVICE r12 medium):
+        // isolated_seconds is self-reported and unverifiable here.
+        if (cr > HardCap && !(hiOk(q) && loImproved(q)))
+          Some(f"$q: warm ratio $cr%.1fx exceeds the hard cap ${HardCap}x")
+        else if (cr <= HardCap) ref.get(q) match {
+          case Some(rr) if cr > math.max(rr * relTol, AbsFloor) &&
+              !hiOk(q) &&
+              delta(q) > math.max(AbsDeltaFloor,
+                refHi.getOrElse(q, 0.0)) && !attributed(q) =>
+            Some(f"$q: warm ratio $cr%.1fx vs reference $rr%.1fx " +
+              f"(hi +${delta(q)}%.2fs)")
+          case _ => None
+        } else None
+      val absFail = (candHi.get(q), refHi.get(q)) match {
+        case (Some(c), Some(r)) if c >= 0 && r >= 0 && c > r * absRel &&
+            c - r > AbsRegressFloor && !attributed(q) =>
+          Some(f"$q: high-scale warm $c%.2fs exceeds reference $r%.2fs " +
+            f"x $absRel%.1f (+${c - r}%.2fs, ratio-independent " +
+            "absolute rule)")
         case _ => None
-      } else None
+      }
+      ratioFail.toSeq ++ absFail.toSeq
     }
   }
 
@@ -294,7 +331,8 @@ class ScaleGateSpec extends AnyFunSuite {
     // fail (a gate that never fires is not a gate).
     latestRatioPair match {
       case None => fail("no profiles — see the other test")
-      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, _, _)) =>
+      case Some(RatioPair(cand, ref, candHi, refHi, candLo, refLo, relTol, _,
+          attributions)) =>
         val victim = cand.keys.min
         // Inflate BOTH the ratio and the high-scale time — a real
         // regression moves both, and the hi-scale escape must not
@@ -302,12 +340,14 @@ class ScaleGateSpec extends AnyFunSuite {
         val broken = cand.updated(victim, cand(victim) * 100.0)
         val brokenHi = candHi.updated(victim,
           candHi.getOrElse(victim, 1.0) * 100.0)
-        val failures = gate(broken, ref, brokenHi, refHi, candLo, refLo, relTol)
+        val failures = gate(broken, ref, brokenHi, refHi, candLo, refLo,
+          relTol, attributions)
         assert(failures.exists(_.startsWith(victim + ":")),
           s"inflating $victim 100x did not trip the gate: $failures")
         // And the uninflated map still passes — the synthetic failure
         // is attributable to the injection alone.
-        assert(gate(cand, ref, candHi, refHi, candLo, refLo, relTol).isEmpty)
+        assert(gate(cand, ref, candHi, refHi, candLo, refLo, relTol,
+          attributions).isEmpty)
     }
   }
 
@@ -340,6 +380,48 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(gate(cand, ref,
       candHi = Map("q_w" -> 9.5), refHi = Map("q_w" -> 3.3)).nonEmpty,
       "a multi-second high-scale regression must still fail")
+  }
+
+  test("absolute cross-round rule catches a uniform regression with a flat ratio") {
+    // The r12 q_zorder shape: sf1 2.78->6.17 s and sf10 9.42->30.75 s
+    // move TOGETHER, so the sf1->sf10 ratio stays within tolerance and
+    // every ratio rule passes — only the absolute rule can see it.
+    val candRatio = Map("q_z" -> 4.98)
+    val refRatio = Map("q_z" -> 3.39)
+    val candHi = Map("q_z" -> 30.75)
+    val refHi = Map("q_z" -> 9.42)
+    val fails = gate(candRatio, refRatio, candHi, refHi,
+      Map("q_z" -> 6.17), Map("q_z" -> 2.78))
+    assert(fails.exists(_.contains("absolute rule")),
+      s"the q_zorder shape must trip the absolute rule: $fails")
+    // Under 2x: passes (1.9x regression is rel-tol territory).
+    assert(gate(candRatio, refRatio, Map("q_z" -> 17.0), refHi).isEmpty)
+    // Over 2x but under +2 s absolute: sub-second wobble, passes.
+    assert(gate(Map("q_z" -> 3.0), Map("q_z" -> 1.4),
+      Map("q_z" -> 1.5), Map("q_z" -> 0.5)).isEmpty)
+    // Statistic widening: relTol 1.95 widens the 2x to 2.6x — a 2.5x
+    // regression then passes, a 3x still fails.
+    assert(gate(candRatio, refRatio, Map("q_z" -> 23.5), refHi,
+      relTol = RelTol * StatMismatchWiden).isEmpty)
+    assert(gate(candRatio, refRatio, Map("q_z" -> 28.3), refHi,
+      relTol = RelTol * StatMismatchWiden).nonEmpty)
+    // An attribution whose isolated value passes hi_ok waives it.
+    assert(gate(candRatio, refRatio, candHi, refHi,
+      attributions = Map("q_z" -> (9.9, "isolated clean"))).isEmpty)
+  }
+
+  test("attribution does not waive the hard cap") {
+    // A query super-linear in both rounds (ratio > 15x, flat low
+    // scale) must fail even with an attribution row: the isolated
+    // value is self-reported and the hard cap is the rule that
+    // catches genuine super-linearity (ADVICE r12 medium).
+    val cand = Map("q_s" -> 20.0)
+    val ref = Map("q_s" -> 20.0)
+    val hi = Map("q_s" -> 10.0)
+    val lo = Map("q_s" -> 0.5)
+    assert(gate(cand, ref, hi, hi, lo, lo,
+      attributions = Map("q_s" -> (1.0, "self-reported"))).nonEmpty,
+      "an attribution row must not bypass the hard cap")
   }
 
   test("attribution waives only when the isolated value itself passes hi_ok") {
