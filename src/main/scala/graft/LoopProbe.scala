@@ -14,9 +14,16 @@ package graft
   * `exchangesPerIteration` is the shuffle-exchange node count of ONE
   * iteration's pre-checkpoint plan (constant across iterations by
   * construction — every loop checkpoints each generation, so round k
-  * plans exactly like round 1): iteration count × that constant is
-  * the loop's total shuffle budget, the number that decides whether
-  * the operator finishes at 100 TB.
+  * plans exactly like round 1; nsw_beam gained its in-loop beam
+  * checkpoint in round 13 exactly so this invariant holds for it
+  * too): iteration count × that constant is the loop's total shuffle
+  * budget, the number that decides whether the operator finishes at
+  * 100 TB. One documented approximation (ADVICE r12): hits_power's
+  * value sums the two RAW half-step frames (auth + hub) — l1norm's
+  * post-checkpoint normalization exchanges straddle the half-step
+  * boundary and land in the NEXT half-step's probed plan, so the
+  * recorded constant is exact per full iteration but its split
+  * between the two halves is nominal.
   *
   * Recording is a lock-free append; overhead is one plan walk on the
   * first iteration and nothing per-row. The probe is process-global

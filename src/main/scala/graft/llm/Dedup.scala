@@ -924,9 +924,23 @@ object Dedup {
       .join(minN, col("doc_id") === col("doc_a"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("c1"))
-    c1.alias("x")
+    val res = c1.alias("x")
       .join(c1.alias("y"), col("x.c1") === col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.c1").as("canonical_id"))
+    // Round 13 (verdict r12 #3): the UNROLLED canonical construction
+    // records a probe event too — `iterations` is 1 by definition (the
+    // two min passes are a fixed-depth plan, not a loop), and
+    // `exchangesPerIter` pins the construction plan's shuffle count.
+    // The six consumers excluded from the sf10 exchange pins
+    // (q_dedup_fuzzy, q_curate, q_cluster_stats, q_dedup_cap,
+    // q_golden_record + the subset form) were previously `-` rows in
+    // the fixpoint golden, i.e. their construction paths had NO plan
+    // pin at sf10; this makes a band-shape or verify-join regime flip
+    // in that chain a reviewed golden diff. No-op unless probing is
+    // enabled (exchangeCount returns -1 and record drops the event).
+    graft.LoopProbe.record("canonical_unrolled", 1,
+      graft.LoopProbe.exchangeCount(res))
+    res
   }
 
   /** Iterative connected-components canonical pick: edge-wise min
@@ -1302,12 +1316,18 @@ object Dedup {
     val matched = jaccardVerified(cand, hs, "doc_new", "doc_other", JACCARD_T)
       .groupBy(col("doc_new"))
       .agg(min(col("doc_other")).as("mn"), count(lit(1)).as("nm"))
-    docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))
+    val res = docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))
       .join(matched, col("doc_id") === col("doc_new"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
           .as("canonical_id"),
         coalesce(col("nm"), lit(0L)).as("n_matches"))
+    // Fixed-depth construction (band join + verify + min-agg), probed
+    // like canonicalFromPairs so the sf10 fixpoint golden pins this
+    // plan too (round 13 — previously a `-` row with no sf10 pin).
+    graft.LoopProbe.record("delta_verify", 1,
+      graft.LoopProbe.exchangeCount(res))
+    res
   }
 
   private val qDedupDeltaSql: String =

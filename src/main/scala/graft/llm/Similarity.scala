@@ -1409,8 +1409,16 @@ object Similarity {
         Seq("bucket"), "left_semi")
       .groupBy(col("bucket"))
       .agg(min(col("vec_id")).as("vec_id"))
+    // Seed checkpointed (round 13, ADVICE r12): with the seed AND each
+    // round's beam checkpointed, every round's pre-checkpoint plan is
+    // one generation exactly — LoopProbe's recorded exchangesPerIter
+    // is then the true per-iteration constant it documents, not
+    // "round-1 plan including seed construction" as it used to be.
+    // The frames are ≤ |probes|·beam rows, so each checkpoint is a
+    // vertex-sized action, not a corpus pass.
     var beam = broadcast(probes).join(entry, Seq("bucket"))
       .select(col("query_id"), col("vec_id"))
+      .transform(graft.Memo.checkpoint)
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     // The frontier is ≤ |probes|·beam·(1+2M) rows — always the
@@ -1427,11 +1435,12 @@ object Similarity {
       val expanded = beam.unionAll(
         broadcast(beam).join(graph, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id"))).distinct()
-      beam = scored(expanded)
+      val nextBeam = scored(expanded)
         .withColumn("rk", row_number().over(byQuery))
         .filter(col("rk") <= NSW_BEAM)
         .select(col("query_id"), col("vec_id"))
-      if (it == 1) exchPerIter = graft.LoopProbe.exchangeCount(beam)
+      if (it == 1) exchPerIter = graft.LoopProbe.exchangeCount(nextBeam)
+      beam = nextBeam.transform(graft.Memo.checkpoint)
     }
     graft.LoopProbe.record("nsw_beam", NSW_ROUNDS, exchPerIter)
     val finalBeam = scored(beam)

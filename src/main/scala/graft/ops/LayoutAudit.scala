@@ -61,12 +61,19 @@ object LayoutAudit {
     */
   private val cands = Seq("l_orderkey", "l_suppkey", "l_partkey")
 
-  private def coverStats(rows: DataFrame, c: String, file: Column,
-      layout: String): DataFrame = {
-    val fm = rows.groupBy(file.as("f"))
-      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
-    val dv = rows.select(col(c).as("v")).distinct()
-    dv.join(broadcast(fm), col("v") >= col("lo") && col("v") <= col("hi"))
+  /** Cover join + ppm aggregation over a PRE-BUILT per-file min/max
+    * frame and a PRE-BUILT distinct-values frame (round 13: the
+    * original built both inside each probe, so 6 probes re-scanned
+    * the 60M-row checkpoint 12 times — at sf10 that was 2/3 of
+    * q_cluster_depth's and q_zorder's cost AND the block-eviction
+    * variance the r12 profile recorded; both frames are now computed
+    * once per layout/dim and shared). `fm` carries lo_/hi_ columns
+    * per candidate; the probe picks its own dim's pair.
+    */
+  private def coverStats(dv: DataFrame, fm: DataFrame, c: String,
+      layout: String): DataFrame =
+    dv.join(broadcast(fm),
+        col("v") >= col(s"lo_$c") && col("v") <= col(s"hi_$c"))
       .groupBy(col("v")).agg(count(lit(1)).as("nf"))
       .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
       .select(lit(c).as("col_name"), lit(layout).as("layout"),
@@ -75,12 +82,28 @@ object LayoutAudit {
         expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
           s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
           .as("avg_cover_ppm"))
+
+  /** One pass per FILE layout computes [min,max] of EVERY candidate
+    * column (an F-row frame); one pass per candidate computes its
+    * distinct values. Checkpointed so each is paid once however many
+    * probes consume it.
+    */
+  private def fileMinMax(rows: DataFrame, file: Column,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    rows.groupBy(file.as("f")).agg(aggs.head, aggs.tail: _*)
+      .transform(graft.Memo.checkpoint)
   }
+
+  private def distinctVals(rows: DataFrame, c: String): DataFrame =
+    rows.select(col(c).as("v")).distinct()
+      .transform(graft.Memo.checkpoint)
 
   private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
-      .transform(graft.Memo.checkpoint) // feeds 6 (candidate × layout) passes
+      .transform(graft.Memo.checkpoint) // feeds span + 4 fm + 3 dv passes
     val span = li.agg(
       min(col("l_orderkey")).as("lo_o"), max(col("l_orderkey")).as("hi_o"),
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
@@ -88,12 +111,21 @@ object LayoutAudit {
     val withSpan = li.crossJoin(broadcast(span))
     def rangeFile(c: String, lo: String, hi: String): Column =
       expr(s"least(($c - $lo) * $F div ($hi - $lo + 1), ${F - 1})")
-    val parts = cands.flatMap { c =>
+    // The ingest layout's file column is the same for every candidate
+    // → ONE min/max frame serves all three ingest probes; each range
+    // layout gets its own. 4 passes instead of 6.
+    val fmIngest =
+      fileMinMax(withSpan, rangeFile("l_orderkey", "lo_o", "hi_o"), cands)
+    val fmRange = cands.map { c =>
       val k = c.split("_")(1).head.toString // o / s / p
-      Seq(
-        coverStats(withSpan, c, rangeFile("l_orderkey", "lo_o", "hi_o"),
-          "ingest"),
-        coverStats(withSpan, c, rangeFile(c, s"lo_$k", s"hi_$k"), "range"))
+      c -> fileMinMax(withSpan, rangeFile(c, s"lo_$k", s"hi_$k"), cands)
+    }.toMap
+    // Each candidate's distinct values once (3 passes instead of 6),
+    // shared by its ingest and range probes.
+    val dvs = cands.map(c => c -> distinctVals(li, c)).toMap
+    val parts = cands.flatMap { c =>
+      Seq(coverStats(dvs(c), fmIngest, c, "ingest"),
+        coverStats(dvs(c), fmRange(c), c, "range"))
     }
     parts.reduce(_.unionAll(_))
   }
@@ -158,12 +190,18 @@ object LayoutAudit {
     }.mkString(" + ")
 
   private def qZorder(s: SparkSession, d: String): DataFrame = {
+    // No checkpoint on the raw 2-column projection (round 13): it fed
+    // only the span aggregate and the ws build — two cheap columnar
+    // scans — while pinning 60M rows of block memory at sf10 next to
+    // ws's own checkpoint (the eviction pressure the r12 profile
+    // measured at 15-33s isolated variance).
     val li = Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_partkey"))
-      .transform(graft.Memo.checkpoint) // feeds 6 (layout × probe) passes
     val span = li.agg(
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
       min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
+    // gs/gp are build-time intermediates only — dropped before the
+    // checkpoint so the pinned frame is 5 columns, not 7.
     val ws = li.crossJoin(broadcast(span))
       .withColumn("gs",
         expr(s"least((l_suppkey - lo_s) * 32 div (hi_s - lo_s + 1), 31)"))
@@ -174,22 +212,20 @@ object LayoutAudit {
         s" div (hi_s - lo_s + 1), ${F - 1})"))
       .withColumn("fp", expr(s"least((l_partkey - lo_p) * $F" +
         s" div (hi_p - lo_p + 1), ${F - 1})"))
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("fs"), col("fp"), col("fz"))
       .transform(graft.Memo.checkpoint)
-    def probe(layout: String, fileCol: String, dim: String): DataFrame = {
-      val fm = ws.groupBy(col(fileCol).as("f"))
-        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
-      val dv = ws.select(col(dim).as("v")).distinct()
-      dv.join(broadcast(fm),
-          col("v") >= col("lo") && col("v") <= col("hi"))
-        .groupBy(col("v")).agg(count(lit(1)).as("nf"))
-        .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
-        .select(lit(layout).as("layout"), lit(dim).as("probe_dim"),
-          col("n_distinct"),
-          // same row-scale cover bound as q_cluster_depth → decimal
-          expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
-            s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
-            .as("avg_cover_ppm"))
-    }
+    val dims = Seq("l_suppkey", "l_partkey")
+    // One min/max pass per LAYOUT covering both probe dims (3 passes
+    // instead of 6) and one distinct pass per DIM shared across the
+    // three layouts (2 instead of 6) — see coverStats.
+    val fms = Seq("fs", "fp", "fz")
+      .map(f => f -> fileMinMax(ws, col(f), dims)).toMap
+    val dvs = dims.map(c => c -> distinctVals(ws, c)).toMap
+    def probe(layout: String, fileCol: String, dim: String): DataFrame =
+      coverStats(dvs(dim), fms(fileCol), dim, layout)
+        .select(col("layout"), col("col_name").as("probe_dim"),
+          col("n_distinct"), col("avg_cover_ppm"))
     Seq(
       probe("range_supp", "fs", "l_suppkey"),
       probe("range_supp", "fs", "l_partkey"),

@@ -11,12 +11,18 @@ import org.apache.spark.sql.SparkSession
   *
   *   query<TAB>label:iterations:exchangesPerIteration[,label:...]
   *
-  * `-` when the query ran no instrumented loop (q_dedup_fuzzy's two
-  * rounds are unrolled, not looped). iterations × exchangesPerIter
-  * is the loop's total shuffle budget — a convergence-REGIME flip at
-  * sf10 (fixpoint suddenly needing 2× the rounds, a peel stopping
-  * early) becomes a reviewed diff of the checked-in golden instead of
-  * an invisible wall-time drift.
+  * Since round 13 the UNROLLED constructions record events too
+  * (`canonical_unrolled:1:N`, `delta_verify:1:N` — fixed-depth plans,
+  * so iterations is 1 by definition and N pins the construction
+  * plan's shuffle count): previously the six consumers of the
+  * unrolled canonical map were `-` rows, leaving their construction
+  * paths with no sf10 plan pin at all (verdict r12 #3). A remaining
+  * `-` would mean a query ran no instrumented construction — today
+  * none does. iterations × exchangesPerIter is the loop's total
+  * shuffle budget — a convergence-REGIME flip at sf10 (fixpoint
+  * suddenly needing 2× the rounds, a peel stopping early, an extra
+  * exchange inside the verify chain) becomes a reviewed diff of the
+  * checked-in golden instead of an invisible wall-time drift.
   *
   * Methodology: all module memos are reset once up front, and the
   * CANONICAL-map memos (the loop RESULTS — [[graft.llm.Dedup

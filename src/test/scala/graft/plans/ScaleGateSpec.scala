@@ -269,22 +269,36 @@ class ScaleGateSpec extends AnyFunSuite {
     * it — a round must not escape the second-decade gate by simply
     * omitting its sf10 profiles (ADVICE r11 #2).
     */
-  private def latestRatioPairSf10: Either[String, Option[RatioPair]] = {
+  private def latestRatioPairFor(lo: String, hi: String,
+      label: String): Either[String, Option[RatioPair]] = {
     val all = profileDirs
-    val withSf10 = all.filter(p => Files.exists(p.resolve("sf10_warm.json")))
-    if (withSf10.isEmpty) Right(None)
-    else if (all.nonEmpty && all.last != withSf10.last)
+    val withHi = all.filter(p => Files.exists(p.resolve(hi + ".json")))
+    if (withHi.isEmpty) Right(None)
+    else if (all.nonEmpty && all.last != withHi.last)
       Left(s"newest profile set ${all.last.getFileName} lacks " +
-        s"sf10_warm.json but ${withSf10.last.getFileName} carries one — " +
-        "the second-decade gate cannot be skipped by omitting sf10 " +
-        "profiles; re-run the sf10 bench and check the profiles in")
-    else if (withSf10.size < 2) Right(None)
+        s"$hi.json but ${withHi.last.getFileName} carries one — " +
+        s"the $label gate cannot be skipped by omitting its " +
+        "profiles; re-run the bench and check the profiles in")
+    else if (withHi.size < 2) Right(None)
     else {
-      val Seq(ref, cand) = withSf10.takeRight(2)
-      Right(Some(ratioPair(cand, ref, "sf1_warm", "sf10_warm",
-        s"${cand.getFileName} vs ${ref.getFileName} (sf1->sf10)")))
+      val Seq(ref, cand) = withHi.takeRight(2)
+      Right(Some(ratioPair(cand, ref, lo, hi,
+        s"${cand.getFileName} vs ${ref.getFileName} ($label)")))
     }
   }
+
+  private def latestRatioPairSf10: Either[String, Option[RatioPair]] =
+    latestRatioPairFor("sf1_warm", "sf10_warm", "sf1->sf10")
+
+  /** Third decade (round 13): activates once TWO checked-in sets
+    * carry sf100 profiles (the r13 set seeds the reference). The
+    * sf100 profile covers the measured TAIL (a full 252-query sf100
+    * suite is hours), so ratios gate the intersection only — but the
+    * same cannot-skip rule applies: once a round ships sf100
+    * profiles, later rounds may not silently drop them.
+    */
+  private def latestRatioPairSf100: Either[String, Option[RatioPair]] =
+    latestRatioPairFor("sf10_warm", "sf100_warm", "sf10->sf100")
 
   test("newest checked-in scale profiles pass the gate vs the previous set") {
     latestRatioPair match {
@@ -322,6 +336,23 @@ class ScaleGateSpec extends AnyFunSuite {
           s"tolerance (rel ${rp.relTol}x, floor ${AbsFloor}x, cap ${HardCap}x)")
         assert(rp.cand.size >= rp.ref.size - 5,
           s"candidate ratio set shrank: ${rp.cand.size} vs ${rp.ref.size}")
+    }
+  }
+
+  test("third decade (sf10->sf100): newest sf100 profiles pass the gate") {
+    latestRatioPairSf100 match {
+      case Left(err) => fail(err)
+      case Right(None) =>
+        cancel("fewer than two profile sets with sf100 profiles — the " +
+          "third-decade gate activates once two rounds have checked " +
+          "in an sf100 tail bench")
+      case Right(Some(rp)) =>
+        val failures = gate(rp.cand, rp.ref, rp.candHi, rp.refHi,
+          rp.candLo, rp.refLo, rp.relTol, rp.attributions, info(_))
+        assert(failures.isEmpty,
+          s"scale gate FAIL (${rp.label}):\n" + failures.mkString("\n"))
+        info(s"scale gate OK (${rp.label}): ${rp.cand.size} tail queries " +
+          s"within tolerance (rel ${rp.relTol}x, cap ${HardCap}x)")
     }
   }
 
