@@ -167,11 +167,31 @@ def warm_ratios(p, lo="sf01_warm", hi="sf1_warm"):
     return r
 
 
+def lint_profiles(p, label):
+    """Profile-quality lint (round-13, verdict r12 #3 acceptance): a
+    query whose suite WARM exceeds its suite COLD by >1.3x is showing
+    the pass-boundary-pressure signature (r12: q_active_users_hll,
+    q_zorder) -- the number is distorted by neighbors, not by the
+    query. Non-fatal: printed so the round's SCALE.md can attribute
+    or re-measure before the profile becomes a gate reference."""
+    for sf in ("sf1", "sf10", "sf100"):
+        warm, cold = p.get(sf + "_warm"), p.get(sf + "_cold")
+        if not warm or not cold:
+            continue
+        for q, w in sorted(warm.items()):
+            c = cold.get(q, -1.0)
+            if w >= 0 and c > 0.5 and w > c * 1.3:
+                print(f"[lint {label}] {q}: {sf} warm {w:.2f}s > cold "
+                      f"{c:.2f}s x1.3 -- pass-pressure signature, "
+                      "attribute or re-measure")
+
+
 def main():
     cand_dir, ref_dir = sys.argv[1], sys.argv[2]
     base_rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     cap = float(sys.argv[4]) if len(sys.argv) > 4 else 15.0
     cand_p, ref_p = load(cand_dir), load(ref_dir)
+    lint_profiles(cand_p, "candidate")
     attributions = load_attributions(cand_dir)
     # The third decade (round 13) activates when the candidate carries
     # sf100 profiles; its query set is the measured TAIL (a full
