@@ -73,6 +73,7 @@ object StreamSoak {
     lines += "chunk\tinput_rows\temitted_total\tstate_rows\tstate_mb" +
       "\trows_removed\tsec"
     var emittedPrev = 0L
+    var lastBatch = -1L
     (0 until chunks).foreach { c =>
       val t0 = System.nanoTime()
       val lo = c * perChunk
@@ -93,11 +94,29 @@ object StreamSoak {
       txns.addData(markers)
       query.processAllAvailable()
       val emitted = spark.table("soak").count()
-      val p = query.lastProgress
-      val so = p.stateOperators.headOption
-      val stateRows = so.map(_.numRowsTotal).getOrElse(-1L)
-      val stateMb = so.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)
-      val removed = so.map(_.numRowsRemoved).getOrElse(-1L)
+      // A chunk spans several micro-batches (the data batch plus
+      // watermark-advance / timeout batches), and `lastProgress` is
+      // whichever ran LAST — often an empty trailing batch whose
+      // stores were never loaded, reporting memoryUsedBytes = 0
+      // (measured: the first soak run printed 0.0 MB on every chunk
+      // while holding 56 k state rows). Aggregate over the chunk's
+      // batches instead: rows from the latest batch that reports
+      // state, memory as the chunk's MAX (peak held), evictions
+      // summed across batches.
+      val sos = query.recentProgress
+        .filter(p => p.batchId > lastBatch && p.stateOperators.nonEmpty)
+        .sortBy(_.batchId)
+      if (sys.env.contains("SOAK_DEBUG"))
+        sos.foreach(p => System.err.println("[soak-debug] " + p.json))
+      lastBatch = sos.lastOption.map(_.batchId).getOrElse(lastBatch)
+      val stateRows = sos.lastOption
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      val stateMb =
+        if (sos.isEmpty) -1.0
+        else sos.map(_.stateOperators.head.memoryUsedBytes).max / 1e6
+      val removed =
+        if (sos.isEmpty) -1L
+        else sos.map(_.stateOperators.head.numRowsRemoved).sum
       val sec = (System.nanoTime() - t0) / 1e9
       val line = f"$c\t${evs.size + markers.size}\t$emitted\t$stateRows" +
         f"\t$stateMb%.1f\t$removed\t$sec%.1f"
