@@ -859,6 +859,22 @@ object RelationalQueries {
       }).longValue())
     val nBits = math.max(1L << 18,
       java.lang.Long.highestOneBit(16L * nBuild - 1) << 1)
+    // Spark CLAMPS BloomFilterAggregate's (items, bits) arguments to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (defaults 4M / 2^26) — sized for optimizer-injected join filters,
+    // not user sketches. At sf100 the build side is 8.8M distinct keys
+    // (nBits = 2^28): the silent clamp to 2^26 bits left ~7.6 bits/key
+    // with the hash count computed for the CLAMPED geometry, and the
+    // measured fpp blew the 5% contract (6.2% — caught by the sf100
+    // value selfcheck, round 13). Raise the caps to the requested
+    // sizing, never lower them; values derive only from the corpus, so
+    // the session state stays deterministic across query orderings.
+    def raiseCap(key: String, v: Long): Unit = {
+      val cur = s.conf.getOption(key).map(_.toLong).getOrElse(0L)
+      if (v > cur) s.conf.set(key, v.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nBuild)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", nBits)
     s.sql(
       s"""WITH recent AS (
         |  SELECT o_custkey FROM orders
