@@ -71,17 +71,29 @@ object LayoutAudit {
     * per candidate; the probe picks its own dim's pair.
     */
   private def coverStats(dv: DataFrame, fm: DataFrame, c: String,
-      layout: String): DataFrame =
-    dv.join(broadcast(fm),
+      layout: String): DataFrame = {
+    // Σ_v cover(v) is the cover join's CARDINALITY: the per-value
+    // counts the original `groupBy(v)` built here were only ever
+    // summed, and that keyed aggregation shuffled up to |dv|·F rows
+    // over |dv| keys — at sf100 (150 M distinct l_orderkey) it was
+    // 37×/decade and OOM'd a 90 GB heap (round-13 isolated probe).
+    // A keyless count aggregates map-side to one row per partition —
+    // zero shuffle rows whatever the scale. n_distinct comes from dv
+    // directly: the join drops no value, because every distinct v is
+    // covered at least by the file its own rows landed in (that
+    // file's [min,max] contains v by construction).
+    val cover = dv.join(broadcast(fm),
         col("v") >= col(s"lo_$c") && col("v") <= col(s"hi_$c"))
-      .groupBy(col("v")).agg(count(lit(1)).as("nf"))
-      .agg(count(lit(1)).as("n_distinct"), sum(col("nf")).as("cover"))
+      .agg(count(lit(1)).as("cover"))
+    dv.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(broadcast(cover)) // two 1-row aggregates
       .select(lit(c).as("col_name"), lit(layout).as("layout"),
         lit(F).as("n_files"), col("n_distinct"),
         // cover ≤ n_distinct·F with n_distinct row-scale → decimal
         expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
           s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
           .as("avg_cover_ppm"))
+  }
 
   /** One pass per FILE layout computes [min,max] of EVERY candidate
     * column (an F-row frame); one pass per candidate computes its
@@ -101,13 +113,20 @@ object LayoutAudit {
       .transform(graft.Memo.checkpoint)
 
   private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
+    // No checkpoint on the raw 3-column projection (round 13, the
+    // q_zorder ws lesson one decade up): it feeds span + 4 fm + 3 dv
+    // passes, every one a cheap pushed-down columnar scan — while a
+    // 600 M-row deserialized block pin at sf100 (~30 GB) OOM'd a
+    // 90 GB heap before anything else ran. The 1-row SPAN is what
+    // multiple consumers must not recompute (each fm pass embeds it
+    // as a broadcast): checkpoint that.
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
-      .transform(graft.Memo.checkpoint) // feeds span + 4 fm + 3 dv passes
     val span = li.agg(
       min(col("l_orderkey")).as("lo_o"), max(col("l_orderkey")).as("hi_o"),
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
       min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
+      .transform(graft.Memo.checkpoint) // 1 row, embedded by 4 fm passes
     val withSpan = li.crossJoin(broadcast(span))
     def rangeFile(c: String, lo: String, hi: String): Column =
       expr(s"least(($c - $lo) * $F div ($hi - $lo + 1), ${F - 1})")
@@ -200,6 +219,7 @@ object LayoutAudit {
     val span = li.agg(
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
       min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
+      .transform(graft.Memo.checkpoint) // 1 row, embedded by 5 ws passes
     // gs/gp are build-time intermediates only — dropped before the
     // checkpoint so the pinned frame is 5 columns, not 7.
     val ws = li.crossJoin(broadcast(span))
@@ -214,7 +234,11 @@ object LayoutAudit {
         s" div (hi_p - lo_p + 1), ${F - 1})"))
       .select(col("l_suppkey"), col("l_partkey"),
         col("fs"), col("fp"), col("fz"))
-      .transform(graft.Memo.checkpoint)
+    // ws itself is NOT checkpointed (round 13): its 5 consumers (3 fm
+    // + 2 dv) each re-derive it as a pushed-down 2-column scan plus
+    // broadcast-span arithmetic — cheap at every scale — where the
+    // checkpointed 5-column frame pinned 60 M rows at sf10 (the r12
+    // isolated-variance autopsy) and ~30 GB at sf100.
     val dims = Seq("l_suppkey", "l_partkey")
     // One min/max pass per LAYOUT covering both probe dims (3 passes
     // instead of 6) and one distinct pass per DIM shared across the

@@ -34,7 +34,12 @@ import org.apache.spark.sql.SparkSession
   * `ExchangeGoldenSpec`, so the per-iteration exchange counts are the
   * static plan's, not a runtime-coalesced variant.
   *
-  * Usage: runMain graft.tools.FixpointGolden <sfDir> [outPath]
+  * Usage: runMain graft.tools.FixpointGolden <sfDir> [outPath] [q...]
+  * Trailing query names restrict the run to that subset (round 13:
+  * the sf100 golden covers only the loops whose INPUT construction
+  * is affordable at 21 GB — the fuzzy-chain consumers' superset
+  * build is a multi-hour spill there, so the third-decade TSV pins
+  * the graph/beam loops and says so next to the artifact).
   * Checked-in artifacts: src/test/resources/fixpoint_golden_sf001.tsv
   * (pinned by FixpointGoldenSpec on every `sbt test`) and
   * fixpoint_golden_sf10.tsv (regenerate against /tmp/sf10 — see
@@ -80,6 +85,9 @@ object FixpointGolden {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val out = if (args.length > 1) args(1) else "target/fixpoint_golden.tsv"
+    val subset = args.drop(2).toSet
+    val queries =
+      if (subset.isEmpty) Queries else Queries.filter(subset.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // The index tier must be OFF: a cached on-disk index would skip
     // the loop entirely (qCcStar's contraction is behind
@@ -96,7 +104,7 @@ object FixpointGolden {
     spark.sparkContext.setLogLevel("WARN")
     graft.LoopProbe.enable()
     invalidateAll(sfDir)
-    val lines = Queries.map { name =>
+    val lines = queries.map { name =>
       val t0 = System.nanoTime()
       val v = probeLine(spark, sfDir, name)
       System.err.println(
