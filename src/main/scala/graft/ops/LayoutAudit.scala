@@ -89,9 +89,13 @@ object LayoutAudit {
       .crossJoin(broadcast(cover)) // two 1-row aggregates
       .select(lit(c).as("col_name"), lit(layout).as("layout"),
         lit(F).as("n_files"), col("n_distinct"),
-        // cover ≤ n_distinct·F with n_distinct row-scale → decimal
-        expr(s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
-          s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F)")
+        // cover ≤ n_distinct·F with n_distinct row-scale → decimal.
+        // The empty-corpus guard is explicit now: the old sum-based
+        // cover was NULL there (null div 0 = null), the keyless
+        // count is 0 — and 0 div 0 throws under ANSI.
+        expr(s"CASE WHEN n_distinct = 0 THEN NULL ELSE " +
+          s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
+          s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F) END")
           .as("avg_cover_ppm"))
   }
 
