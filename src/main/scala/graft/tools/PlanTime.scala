@@ -10,20 +10,33 @@ import org.apache.spark.sql.SparkSession
   * counts, stats probes) — the list this tool prints is the
   * exclusion set the sf10 exchange-golden test documents.
   *
-  * Usage: runMain graft.tools.PlanTime <sfDir> [minSeconds]
+  * Usage: runMain graft.tools.PlanTime <sfDir> [minSeconds] [reps=N]
+  * With reps=N every query is constructed N times and the LAST
+  * construction is what gets reported — the steady-state planning
+  * cost, free of the catalyst/analyzer JIT warm-up that otherwise
+  * lands on whichever queries sort first alphabetically.
   */
 object PlanTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val minSec = if (args.length > 1) args(1).toDouble else 0.0
+    val minSec = args.drop(1).find(_.matches("[0-9.]+"))
+      .map(_.toDouble).getOrElse(0.0)
+    val reps = args.collectFirst {
+      case a if a.startsWith("reps=") => a.stripPrefix("reps=").toInt
+    }.getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B planner knobs without rebuilding: conf:key=value args.
+    args.filter(_.startsWith("conf:")).foreach { a =>
+      val kv = a.stripPrefix("conf:").split("=", 2)
+      b.config(kv(0), kv(1))
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     System.setProperty("graft.plan.only", "1")
     graft.llm.Dedup.invalidate(sfDir)
@@ -33,9 +46,12 @@ object PlanTime {
     graft.ops.RelationalQueries.invalidate(sfDir)
     val times = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).queryExecution.executedPlan
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).queryExecution.executedPlan
+          (System.nanoTime() - t0) / 1e9
+        }.last
+        name -> t
     }
     times.filter(_._2 >= minSec).sortBy(-_._2).foreach { case (n, t) =>
       println(f"[plantime] $n%-24s $t%8.2fs")
