@@ -61,96 +61,114 @@ object LayoutAudit {
     */
   private val cands = Seq("l_orderkey", "l_suppkey", "l_partkey")
 
-  /** Cover join + ppm aggregation over a PRE-BUILT per-file min/max
-    * frame and a PRE-BUILT distinct-values frame (round 13: the
-    * original built both inside each probe, so 6 probes re-scanned
-    * the 60M-row checkpoint 12 times — at sf10 that was 2/3 of
-    * q_cluster_depth's and q_zorder's cost AND the block-eviction
-    * variance the r12 profile recorded; both frames are now computed
-    * once per layout/dim and shared). `fm` carries lo_/hi_ columns
-    * per candidate; the probe picks its own dim's pair.
+  /** Fused audit core shared by both queries (optimization round 13).
+    *
+    * The round-13 build already shared the min/max and distinct
+    * frames across probes; this round fuses the remaining per-layout
+    * and per-dim passes into one each — job-profiled at sf0.1 the two
+    * queries were 42- and 38-job plans of <100 ms jobs (pure pass
+    * count, guide §2.4), and each extra pass is an extra corpus scan
+    * at every scale:
+    *
+    *  - ONE exploded pass computes every layout's per-file [min,max]
+    *    of every probe dim (`explode` of (layout, file) tags; the
+    *    keyed agg is map-side combinable to ≤ layouts·F rows per
+    *    partition — same total rows decoded as the per-layout passes,
+    *    minus the repeated scans);
+    *  - ONE pass computes every dim's distinct values ((dim, v)
+    *    pairs, one exchange carrying what the per-dim passes moved in
+    *    k exchanges);
+    *  - ONE broadcast join + keyed count computes every probe's
+    *    cover (the join's per-(dim, layout) cardinality — the keyless
+    *    count of the sf100 rewrite, now grouped by the ≤6 probe keys:
+    *    still zero corpus-scale shuffle rows, map-side combined);
+    *  - a 6-row literal SPINE left-joins the covers so the empty
+    *    corpus still yields one row per probe (n_distinct 0, ppm
+    *    NULL) exactly as the per-probe scalar aggregates did.
+    *
+    * `probes` = (dim, layoutTag, layoutLabel); `fileCols` assigns each
+    * layoutTag its file expression over `rows`.
     */
-  private def coverStats(dv: DataFrame, fm: DataFrame, c: String,
-      layout: String): DataFrame = {
-    // Σ_v cover(v) is the cover join's CARDINALITY: the per-value
-    // counts the original `groupBy(v)` built here were only ever
-    // summed, and that keyed aggregation shuffled up to |dv|·F rows
-    // over |dv| keys — at sf100 (150 M distinct l_orderkey) it was
-    // 37×/decade and OOM'd a 90 GB heap (round-13 isolated probe).
-    // A keyless count aggregates map-side to one row per partition —
-    // zero shuffle rows whatever the scale. n_distinct comes from dv
-    // directly: the join drops no value, because every distinct v is
-    // covered at least by the file its own rows landed in (that
-    // file's [min,max] contains v by construction).
-    val cover = dv.join(broadcast(fm),
-        col("v") >= col(s"lo_$c") && col("v") <= col(s"hi_$c"))
+  private def fusedCover(s: SparkSession, rows: DataFrame,
+      dims: Seq[String], fileCols: Seq[(String, Column)],
+      probes: Seq[(String, String, String)]): DataFrame = {
+    val mmAggs = dims.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    val fm = rows
+      .select(explode(array(fileCols.map { case (tag, f) =>
+        struct(lit(tag).as("lay"), f.cast("long").as("f"))
+      }: _*)).as("lf") +: dims.map(col): _*)
+      .groupBy(col("lf.lay").as("lay"), col("lf.f").as("f"))
+      .agg(mmAggs.head, mmAggs.tail: _*)
+      .transform(graft.Memo.checkpoint) // ≤ layouts·F rows
+    // Long form (lay, dim, lo, hi), restricted to the probed pairs.
+    val stackExpr = s"stack(${dims.size}, " + dims.map(c =>
+      s"'$c', lo_$c, hi_$c").mkString(", ") + ") AS (c, lo, hi)"
+    val probeSet = probes.map { case (dim, tag, _) => s"$tag|$dim" }.toSet
+    val fmLong = fm.select(col("lay"), expr(stackExpr))
+      .filter(concat_ws("|", col("lay"), col("c"))
+        .isInCollection(probeSet))
+    val dv = rows
+      .select(explode(array(dims.map(c =>
+        struct(lit(c).as("c"), col(c).as("v"))): _*)).as("cv"))
+      .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      .distinct()
+      .transform(graft.Memo.checkpoint)
+    val cover = dv.join(broadcast(fmLong),
+        dv("c") === fmLong("c") &&
+          col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(dv("c").as("c"), col("lay"))
       .agg(count(lit(1)).as("cover"))
-    dv.agg(count(lit(1)).as("n_distinct"))
-      .crossJoin(broadcast(cover)) // two 1-row aggregates
-      .select(lit(c).as("col_name"), lit(layout).as("layout"),
-        lit(F).as("n_files"), col("n_distinct"),
-        // cover ≤ n_distinct·F with n_distinct row-scale → decimal.
-        // The empty-corpus guard is explicit now: the old sum-based
-        // cover was NULL there (null div 0 = null), the keyless
-        // count is 0 — and 0 div 0 throws under ANSI.
+    val nd = dv.groupBy(col("c")).agg(count(lit(1)).as("n_distinct"))
+    import s.implicits._
+    val spine = probes.toDF("c", "lay", "layout")
+    spine
+      .join(broadcast(nd), Seq("c"), "left_outer")
+      .join(broadcast(cover), Seq("c", "lay"), "left_outer")
+      .select(col("c").as("col_name"), col("layout"),
+        lit(F).as("n_files"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("cover"))
+      // Same ppm text as the per-probe aggregates produced — the
+      // empty-corpus guard (0 div 0 throws under ANSI) included.
+      .withColumn("avg_cover_ppm",
         expr(s"CASE WHEN n_distinct = 0 THEN NULL ELSE " +
           s"CAST(cover AS DECIMAL(38,0)) * 1000000" +
-          s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F) END")
-          .as("avg_cover_ppm"))
+          s" div (CAST(n_distinct AS DECIMAL(38,0)) * $F) END"))
+      .drop("cover")
   }
-
-  /** One pass per FILE layout computes [min,max] of EVERY candidate
-    * column (an F-row frame); one pass per candidate computes its
-    * distinct values. Checkpointed so each is paid once however many
-    * probes consume it.
-    */
-  private def fileMinMax(rows: DataFrame, file: Column,
-      cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    rows.groupBy(file.as("f")).agg(aggs.head, aggs.tail: _*)
-      .transform(graft.Memo.checkpoint)
-  }
-
-  private def distinctVals(rows: DataFrame, c: String): DataFrame =
-    rows.select(col(c).as("v")).distinct()
-      .transform(graft.Memo.checkpoint)
 
   private def qClusterDepth(s: SparkSession, d: String): DataFrame = {
     // No checkpoint on the raw 3-column projection (round 13, the
-    // q_zorder ws lesson one decade up): it feeds span + 4 fm + 3 dv
-    // passes, every one a cheap pushed-down columnar scan — while a
-    // 600 M-row deserialized block pin at sf100 (~30 GB) OOM'd a
-    // 90 GB heap before anything else ran. The 1-row SPAN is what
-    // multiple consumers must not recompute (each fm pass embeds it
-    // as a broadcast): checkpoint that.
+    // q_zorder ws lesson one decade up): it feeds span + the fused
+    // fm + dv passes, every one a cheap pushed-down columnar scan —
+    // while a 600 M-row deserialized block pin at sf100 (~30 GB)
+    // OOM'd a 90 GB heap before anything else ran. The 1-row SPAN is
+    // what multiple consumers must not recompute (the fm pass embeds
+    // it as a broadcast): checkpoint that.
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
     val span = li.agg(
       min(col("l_orderkey")).as("lo_o"), max(col("l_orderkey")).as("hi_o"),
       min(col("l_suppkey")).as("lo_s"), max(col("l_suppkey")).as("hi_s"),
       min(col("l_partkey")).as("lo_p"), max(col("l_partkey")).as("hi_p"))
-      .transform(graft.Memo.checkpoint) // 1 row, embedded by 4 fm passes
+      .transform(graft.Memo.checkpoint) // 1 row, embedded by the fm pass
     val withSpan = li.crossJoin(broadcast(span))
     def rangeFile(c: String, lo: String, hi: String): Column =
       expr(s"least(($c - $lo) * $F div ($hi - $lo + 1), ${F - 1})")
-    // The ingest layout's file column is the same for every candidate
-    // → ONE min/max frame serves all three ingest probes; each range
-    // layout gets its own. 4 passes instead of 6.
-    val fmIngest =
-      fileMinMax(withSpan, rangeFile("l_orderkey", "lo_o", "hi_o"), cands)
-    val fmRange = cands.map { c =>
-      val k = c.split("_")(1).head.toString // o / s / p
-      c -> fileMinMax(withSpan, rangeFile(c, s"lo_$k", s"hi_$k"), cands)
-    }.toMap
-    // Each candidate's distinct values once (3 passes instead of 6),
-    // shared by its ingest and range probes.
-    val dvs = cands.map(c => c -> distinctVals(li, c)).toMap
-    val parts = cands.flatMap { c =>
-      Seq(coverStats(dvs(c), fmIngest, c, "ingest"),
-        coverStats(dvs(c), fmRange(c), c, "range"))
-    }
-    parts.reduce(_.unionAll(_))
+    // The ingest layout's file column is l_orderkey's range bucketing,
+    // so l_orderkey's "range" probe reads the SAME (layout, dim) cover
+    // as its "ingest" probe — one tag serves both output rows; each
+    // other candidate's range layout buckets on itself.
+    val fileCols = Seq(
+      "ingest" -> rangeFile("l_orderkey", "lo_o", "hi_o"),
+      "r_s" -> rangeFile("l_suppkey", "lo_s", "hi_s"),
+      "r_p" -> rangeFile("l_partkey", "lo_p", "hi_p"))
+    val probes = Seq(
+      ("l_orderkey", "ingest", "ingest"), ("l_orderkey", "ingest", "range"),
+      ("l_suppkey", "ingest", "ingest"), ("l_suppkey", "r_s", "range"),
+      ("l_partkey", "ingest", "ingest"), ("l_partkey", "r_p", "range"))
+    fusedCover(s, withSpan, cands, fileCols, probes)
   }
 
   private val qClusterDepthSql: String = {
@@ -238,30 +256,23 @@ object LayoutAudit {
         s" div (hi_p - lo_p + 1), ${F - 1})"))
       .select(col("l_suppkey"), col("l_partkey"),
         col("fs"), col("fp"), col("fz"))
-    // ws itself is NOT checkpointed (round 13): its 5 consumers (3 fm
-    // + 2 dv) each re-derive it as a pushed-down 2-column scan plus
-    // broadcast-span arithmetic — cheap at every scale — where the
-    // checkpointed 5-column frame pinned 60 M rows at sf10 (the r12
-    // isolated-variance autopsy) and ~30 GB at sf100.
+    // ws itself is NOT checkpointed (round 13): its consumers (the
+    // fused fm + dv passes) each re-derive it as a pushed-down
+    // 2-column scan plus broadcast-span arithmetic — cheap at every
+    // scale — where the checkpointed 5-column frame pinned 60 M rows
+    // at sf10 (the r12 isolated-variance autopsy) and ~30 GB at
+    // sf100.
     val dims = Seq("l_suppkey", "l_partkey")
-    // One min/max pass per LAYOUT covering both probe dims (3 passes
-    // instead of 6) and one distinct pass per DIM shared across the
-    // three layouts (2 instead of 6) — see coverStats.
-    val fms = Seq("fs", "fp", "fz")
-      .map(f => f -> fileMinMax(ws, col(f), dims)).toMap
-    val dvs = dims.map(c => c -> distinctVals(ws, c)).toMap
-    def probe(layout: String, fileCol: String, dim: String): DataFrame =
-      coverStats(dvs(dim), fms(fileCol), dim, layout)
-        .select(col("layout"), col("col_name").as("probe_dim"),
-          col("n_distinct"), col("avg_cover_ppm"))
-    Seq(
-      probe("range_supp", "fs", "l_suppkey"),
-      probe("range_supp", "fs", "l_partkey"),
-      probe("range_part", "fp", "l_suppkey"),
-      probe("range_part", "fp", "l_partkey"),
-      probe("zorder", "fz", "l_suppkey"),
-      probe("zorder", "fz", "l_partkey"))
-      .reduce(_.unionAll(_))
+    val fileCols = Seq(
+      "range_supp" -> col("fs"), "range_part" -> col("fp"),
+      "zorder" -> col("fz"))
+    // Every layout × every dim is probed (the 2-D audit's point).
+    val probes = for {
+      (tag, _) <- fileCols; dim <- dims
+    } yield (dim, tag, tag)
+    fusedCover(s, ws, dims, fileCols, probes)
+      .select(col("layout"), col("col_name").as("probe_dim"),
+        col("n_distinct"), col("avg_cover_ppm"))
   }
 
   private val qZorderSql: String = {
