@@ -26,6 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage-codegen class cache (STATIC conf, default 100
+  // entries): a 252-query session cycles ~1000+ distinct codegen
+  // units, so at the default size every pass recompiles nearly every
+  // stage (~20-50 ms Janino compile each). Sized to hold the whole
+  // suite's units; the same setting is applied by GraftSession /
+  // Bench for non-sbt launches. Driver-memory cost is the cached
+  // classes (~KBs each) — negligible against the heap below.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
   // local[N] puts all executor threads plus the SQL cache in this one
   // JVM; a fixed 8g forced cache eviction + GC churn that inflated
   // every query once the fuzzy-dedup family had persisted its

@@ -50,6 +50,13 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Whole-stage-codegen class cache (STATIC conf): the default
+      // 100 entries thrash under a 252-query suite (~1000+ distinct
+      // codegen units), recompiling nearly every stage every pass.
+      // Measured at sf0.1 (same tree, same 1-cold+2-warm schedule):
+      // warm suite 101.5 s → 61.3 s. Builder config is a no-op when
+      // the launcher already set the system property (sbt runs do).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       // Reclaim unreferenced localCheckpoint blocks promptly — see
       // GraftSession (sf10: checkpoint pile-up inflated co-running
