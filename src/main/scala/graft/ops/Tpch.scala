@@ -26,6 +26,48 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   */
 object Tpch {
 
+  /** Shared partsupp surrogate (optimization round 13). The schema
+    * has no `partsupp`, so FOUR queries (Q2, Q11, Q16, Q20) each
+    * rebuilt a per-(l_partkey, l_suppkey) aggregate of lineitem — the
+    * one heavy exchange in each of their plans (job-profiled at
+    * sf0.1: a ~0.5 s stage per query, 4× per pass). It is one
+    * logical maintained table — exactly the partsupp a TPC-H
+    * warehouse keeps — so it now builds ONCE per (session, corpus)
+    * into the shared-intermediate tier (same contract as
+    * [[Graph.topEdges]] / the dedup signature memos: session memo +
+    * on-disk index tier, rebuilt per session when the tier is off,
+    * scanned by later sessions when on). The superset carries every
+    * consumer's aggregate: Q2/Q11's min supply cost, Q16's distinct
+    * pair set (any grouped row IS one distinct pair), Q20's line
+    * count and 1996 quantity sum — one 4-column-wider scan and one
+    * exchange replace four scans and four exchanges at every scale.
+    */
+  private val psMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def psAgg(s: SparkSession, d: String): DataFrame =
+    psMemo.computeIfAbsent((s, d), _ =>
+      graft.IndexTier.cached(s, d, "tpch_ps") {
+        val qty96 = when(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"),
+          col("l_quantity")).otherwise(lit(0))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"),
+            count(lit(1)).as("cnt"),
+            (sum(qty96.cast(DecimalType(18, 4))) * 10000).cast("long")
+              .as("sq"))
+      })
+
+  /** Drop the memoized partsupp surrogate for `dir` (all sessions) —
+    * corpus-rewritten-in-place contract, same as [[Graph.invalidate]].
+    */
+  def invalidate(dir: String): Unit = {
+    psMemo.keySet.removeIf(_._2 == dir)
+    graft.IndexTier.invalidate(dir, "tpch_")
+  }
+
   private def revenue = Det.dsumExact(
     Det.money2(col("l_extendedprice")) * Det.factor2(lit(1) - col("l_discount")))
 
@@ -366,8 +408,8 @@ object Tpch {
     * anti side is 6 rows.
     */
   private def qTpch16(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    psAgg(s, d) // one grouped row per distinct (partkey, suppkey) pair
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#45" &&
           col("p_type") =!= "MEDIUM" &&
           col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)),
@@ -622,9 +664,8 @@ object Tpch {
     * already-filtered candidates — never a window over lineitem.
     */
   private def qTpch2(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"))
+    val ps = psAgg(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("cost_dec"))
     val cand = ps
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)),
@@ -844,9 +885,8 @@ object Tpch {
     * no window).
     */
   private def qTpch11(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"))
+    val ps = psAgg(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("cost_dec"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))
@@ -925,13 +965,8 @@ object Tpch {
     * semi-joins into supplier.
     */
   private def qTpch20(s: SparkSession, d: String): DataFrame = {
-    val qty96 = when(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1997-01-01"),
-      col("l_quantity")).otherwise(lit(0))
-    val pairs = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("cnt"),
-        (sum(qty96.cast(DecimalType(18, 4))) * 10000).cast("long").as("sq"))
+    val pairs = psAgg(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("cnt"), col("sq"))
       .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))),
         col("l_partkey") === col("p_partkey"))
       .filter(col("cnt") * 4 * 10000 > col("sq"))

@@ -59,6 +59,7 @@ object FixpointGolden {
     graft.llm.Similarity.invalidate(dir)
     graft.ops.Graph.invalidate(dir)
     graft.ops.RelationalQueries.invalidate(dir)
+    graft.ops.Tpch.invalidate(dir)
   }
 
   /** One golden line's value for `name` run against `dir` in the

@@ -44,6 +44,7 @@ object PlanTime {
     graft.llm.Similarity.invalidate(sfDir)
     graft.ops.Graph.invalidate(sfDir)
     graft.ops.RelationalQueries.invalidate(sfDir)
+    graft.ops.Tpch.invalidate(sfDir)
     val times = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t = (1 to reps).map { _ =>

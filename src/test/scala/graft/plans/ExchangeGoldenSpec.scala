@@ -88,6 +88,7 @@ class ExchangeGoldenSpec extends SparkSpec {
     graft.llm.Similarity.invalidate(dir)
     graft.ops.Graph.invalidate(dir)
     graft.ops.RelationalQueries.invalidate(dir)
+    graft.ops.Tpch.invalidate(dir)
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(e => exclude.contains(e._1)).map { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan
@@ -163,6 +164,7 @@ class ExchangeGoldenSpec extends SparkSpec {
       graft.llm.Similarity.invalidate(dir)
       graft.ops.Graph.invalidate(dir)
       graft.ops.RelationalQueries.invalidate(dir)
+      graft.ops.Tpch.invalidate(dir)
     }
   }
 
