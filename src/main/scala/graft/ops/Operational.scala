@@ -3544,22 +3544,38 @@ object Operational {
     val perUser = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
       .transform(graft.Memo.checkpoint)
-    val intervals = kmIntervals(s, perUser).transform(graft.Memo.checkpoint)
-    intervals.createOrReplaceTempView("km_intervals")
-    s.sql(
-      """WITH RECURSIVE km(t, n_at_risk, d_events, c_censored, s_ppm) AS (
-        |  SELECT t, n_at_risk, d_events, c_censored,
-        |    (1000000 * (n_at_risk - d_events)) div n_at_risk
-        |  FROM km_intervals WHERE t = 0 AND n_at_risk > 0
-        |  UNION ALL
-        |  SELECT i.t, i.n_at_risk, i.d_events, i.c_censored,
-        |    (k.s_ppm * (i.n_at_risk - i.d_events)) div i.n_at_risk
-        |  FROM km k JOIN km_intervals i ON i.t = k.t + 1
-        |  WHERE i.n_at_risk > 0)
-        |SELECT CAST(t AS BIGINT) AS week, n_at_risk,
-        |  d_events AS n_churned, c_censored AS n_censored,
-        |  CAST(s_ppm AS BIGINT) AS s_ppm
-        |FROM km""".stripMargin)
+    // The product-limit recurrence S_t = S_{t−1}·(n_t − d_t) div n_t
+    // used to run as a RECURSIVE CTE; Spark's UnionLoop re-plans and
+    // launches jobs PER ITERATION, which job-profiled as a 42-job,
+    // driver-latency-bound plan (optimization round 13, guide §4:
+    // prefer codegen'd expressions when the recursion is bounded).
+    // The interval grid is calendar-bounded (t ≤ [[KM_T]] whatever
+    // the corpus size), so the same floored recurrence —
+    // bit-identical, floor division at every step — folds as
+    // higher-order functions over the collected grid inside ONE
+    // whole-stage-codegen'd job: the prefix length k replays the
+    // CTE's termination (t contiguous from 0 while n_at_risk > 0; no
+    // overflow — acc ≤ 10⁶ and n_at_risk ≤ user count keep the
+    // product < 2⁶³ through ~10¹² users), and each row's s_ppm is the
+    // fold of its first i+1 fractions (O(T²) = 169 integer ops). The
+    // DuckDB oracle still runs its own TRUE recursion, so the hash
+    // compare proves fold ≡ recursion on every corpus.
+    kmIntervals(s, perUser)
+      .agg(array_sort(collect_list(struct(col("t"), col("n_at_risk"),
+        col("d_events"), col("c_censored")))).as("arr"))
+      .withColumn("k", expr(
+        "aggregate(sequence(0, size(arr) - 1), 0L, " +
+          "(acc, i) -> IF(acc = i AND arr[i].n_at_risk > 0, acc + 1, acc))"))
+      .select(expr(
+        "inline(IF(k = 0, " +
+          "CAST(array() AS ARRAY<STRUCT<week: BIGINT, n_at_risk: BIGINT, " +
+          "n_churned: BIGINT, n_censored: BIGINT, s_ppm: BIGINT>>), " +
+          "transform(sequence(0, CAST(k AS INT) - 1), i -> struct(" +
+          "arr[i].t AS week, arr[i].n_at_risk AS n_at_risk, " +
+          "arr[i].d_events AS n_churned, arr[i].c_censored AS n_censored, " +
+          "aggregate(slice(arr, 1, i + 1), CAST(1000000 AS BIGINT), " +
+          "(acc, x) -> (acc * (x.n_at_risk - x.d_events)) div x.n_at_risk" +
+          ") AS s_ppm))))"))
   }
 
   private val qKaplanMeierSql: String =

@@ -46,19 +46,28 @@ object Tpch {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
+  private def psBuild(s: SparkSession, d: String): DataFrame = {
+    val qty96 = when(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"),
+      col("l_quantity")).otherwise(lit(0))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"),
+        count(lit(1)).as("cnt"),
+        (sum(qty96.cast(DecimalType(18, 4))) * 10000).cast("long")
+          .as("sq"))
+  }
+
   private def psAgg(s: SparkSession, d: String): DataFrame =
     psMemo.computeIfAbsent((s, d), _ =>
-      graft.IndexTier.cached(s, d, "tpch_ps") {
-        val qty96 = when(col("l_shipdate") >= lit("1996-01-01") &&
-            col("l_shipdate") < lit("1997-01-01"),
-          col("l_quantity")).otherwise(lit(0))
-        Tables.lineitem(s, d)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(Det.money2(col("l_extendedprice"))).as("cost_dec"),
-            count(lit(1)).as("cnt"),
-            (sum(qty96.cast(DecimalType(18, 4))) * 10000).cast("long")
-              .as("sq"))
-      })
+      graft.IndexTier.cached(s, d, "tpch_ps")(psBuild(s, d)))
+
+  /** The raw (un-memoized) surrogate build, for plan-shape specs: the
+    * one-lineitem-pass property lives here once consumers read the
+    * maintained table.
+    */
+  private[graft] def psBuildForSpec(s: SparkSession, d: String): DataFrame =
+    psBuild(s, d)
 
   /** Drop the memoized partsupp surrogate for `dir` (all sessions) —
     * corpus-rewritten-in-place contract, same as [[Graph.invalidate]].

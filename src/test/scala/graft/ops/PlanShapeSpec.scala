@@ -350,16 +350,30 @@ class PlanShapeSpec extends SparkSpec {
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // Optimization round 13: the pair aggregate moved into the
+      // shared partsupp surrogate (Tpch.psAgg — one build per
+      // session/corpus serving Q2/Q11/Q16/Q20), so the CONSUMER plan
+      // contains ZERO lineitem scans: the "one lineitem pass" this
+      // test pins now lives in the memoized build. Pin both halves:
+      // the consumer must not re-scan lineitem, and the build it
+      // consumes must compute availability + 1996 quantity in one
+      // pass.
       val plan = graft.SparkEntry.queries("q_tpch20")(spark, sf())
         .queryExecution.executedPlan
-      val liScans = plan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-            if f.relation.location.rootPaths.exists(
-              _.toString.contains("lineitem")) => f
-      }
-      assert(liScans.size == 1,
-        s"availability + 1996 quantity must share ONE lineitem pass, " +
-          s"got ${liScans.size} scans")
+      def liScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("lineitem")) => f
+        }
+      assert(liScans(plan).isEmpty,
+        s"the consumer must read the shared pair table, not re-scan " +
+          s"lineitem — got ${liScans(plan).size} scans")
+      val buildPlan = graft.ops.Tpch.psBuildForSpec(spark, sf())
+        .queryExecution.executedPlan
+      assert(liScans(buildPlan).size == 1,
+        s"availability + 1996 quantity must share ONE lineitem pass " +
+          s"in the shared build, got ${liScans(buildPlan).size} scans")
       assert(plan.toString.contains("LeftSemi"),
         "supplier filter must plan as a semi join")
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
